@@ -1,0 +1,61 @@
+"""Query registry backing the driver contract (__spark_entry__.py).
+
+Every declared operator (SURVEY §2.3) registers here as
+``name -> (spark_fn, oracle_sql | None)``. ``spark_fn(spark, sf_dir)``
+returns a DataFrame; the oracle is equivalent ANSI SQL DuckDB runs over the
+same parquet tables. Column names and double rounding are aligned on both
+sides so the driver's order-insensitive value-hash matches (FIXTURES.md §3).
+
+Queries without an oracle (approximate / ML-backed ops) register
+``oracle=None`` and get the driver's weaker rows-only check; each of those is
+covered by a pytest asserting its semantics against an exact method instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational  # noqa: F401
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.llm_ops  # noqa: F401
+
+    _LOADED = True

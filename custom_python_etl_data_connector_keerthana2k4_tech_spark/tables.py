@@ -7,6 +7,7 @@ starts from a pruned, pushdown-friendly parquet scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -26,10 +27,28 @@ TABLES = (
 BROADCASTABLE = frozenset({"region", "nation"})
 
 
+# Columns written as parquet TIMESTAMP(NANOS), which Spark cannot map to a
+# Catalyst type directly (PARQUET_TYPE_ILLEGAL). We read them as raw nano
+# longs (legacy conf) and convert to micros-precision timestamps — the same
+# truncation DuckDB applies, so both engines see identical values.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Pin UTC on whatever session the caller (e.g. the driver) hands us:
+    # window bucketing, year()/date_format() and pandas rendering are all
+    # session-TZ dependent and must match the UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nano_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,104 @@
+"""Differential test: every oracle-paired query in the registry runs on
+Spark AND DuckDB over the same parquet (SURVEY §5.2.1). Mimics the driver's
+gate: column names, row counts, and values (doubles rounded to 6) must match
+order-insensitively.
+
+Run at sf0.001 by default for speed; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import oracle_sql, queries
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import TABLES
+
+_QUERIES = queries()
+_ORACLES = oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver: sort columns by name, round doubles to
+    6, render timestamps as UTC strings, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: None if v is None else v)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def _assert_match(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    )
+    s, o = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
+            bad = ~(
+                (sv.isna() & ov.isna())
+                | (sv.notna() & ov.notna() & ((sv - ov).abs() <= 1e-6 + 1e-9 * ov.abs()))
+            )
+        else:
+            bad = ~((sv.isna() & ov.isna()) | (sv.astype(str) == ov.astype(str)))
+        if bad.any():
+            i = bad.idxmax()
+            raise AssertionError(
+                f"{name}: column {c!r} differs at canonical row {i}: "
+                f"spark={sv[i]!r} oracle={ov[i]!r} "
+                f"(of {int(bad.sum())} differing rows)\n"
+                f"spark head:\n{s.head()}\noracle head:\n{o.head()}"
+            )
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_match(name, spark, sf_dir, ddb):
+    spark_pdf = _QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = ddb.sql(_ORACLES[name]).df()
+    _assert_match(name, spark_pdf, oracle_pdf)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_no_oracle_queries_run(name, spark, sf_dir):
+    """Queries without an oracle still must run and return a stable schema."""
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """q16 has no oracle; bound its estimate against the exact count."""
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in _QUERIES["q16_distinct_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact_parts
+        for r in _QUERIES["q15_distinct_exact"](spark, sf_dir).collect()
+    }
+    for k, e in exact.items():
+        assert math.isclose(approx[k], e, rel_tol=0.1), (k, approx[k], e)
