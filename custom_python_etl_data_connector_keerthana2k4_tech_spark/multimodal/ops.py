@@ -1,0 +1,218 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §2.3 last row).
+
+Design for 100 TB of opaque media:
+- Payloads are ``BinaryType`` columns with a typed metadata struct — Spark
+  shuffles/spills binary columns fine; never decode at the storage layer.
+- Decode / feature-extract / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: one Python worker per partition, zero-copy
+  batches, decode stays colocated with the scan (no collect, no driver
+  round-trip). Partition count (not row count) bounds peak memory:
+  repartition so `rows_per_partition x payload_size` fits the worker.
+- The actual codecs (PIL/librosa/ffmpeg) are NOT in this container. The
+  decode kernel is stubbed: if PIL is importable it decodes for real,
+  otherwise it falls back to a deterministic fake that parses our synthetic
+  header format. The Spark-side plumbing — schema, batching, partitioning,
+  UDF signatures — is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+#: Canonical multimodal asset schema: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_MAGIC = b"SGMM"  # synthetic header magic for the fake payload format
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic multimodal asset table from the ``documents``
+    fixture: payload = synthetic header + text bytes, modality by doc_id.
+
+    Pure Column expressions (binary concat/cast) — this is the ingest shape
+    a real pipeline would get from ``spark.read.format('binaryFile')``.
+    """
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    width = (F.col("doc_id") % 64 + 1).cast("int")
+    height = (F.col("doc_id") % 48 + 1).cast("int")
+    payload = F.concat(
+        F.lit(_MAGIC),
+        F.encode(F.format_string("%05d|%05d|", width, height), "UTF-8"),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars") % 300 + 1).cast("int").alias("n_frames"),
+            F.lit("sgmm").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Decode kernel: (width, height, mean_pixel_value).
+
+    Real path: PIL (not installed in this container). Fallback: parse the
+    synthetic SGMM header deterministically. A genuinely unknown format
+    raises NotImplementedError — surfaced per-record as NULLs by the
+    mapInPandas wrapper (dead-letter semantics, reference R7).
+    """
+    if payload is None:
+        return None
+    try:  # pragma: no cover - PIL absent in this image
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(BytesIO(bytes(payload)))
+        w, h = img.size
+        mean = int(sum(img.convert("L").getdata()) / (w * h))
+        return (w, h, mean)
+    except ImportError:
+        pass
+    raw = bytes(payload)
+    if not raw.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real media decoding requires PIL/librosa/ffmpeg (not in this "
+            "container); only the synthetic SGMM format is decodable"
+        )
+    body = raw[len(_MAGIC) :]
+    w = int(body[0:5])
+    h = int(body[6:11])
+    content = body[12:]
+    mean = sum(content) // max(len(content), 1)
+    return (w, h, mean)
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: adds decoded_width/height/mean_value and
+    a ``decode_error`` column (NULL on success — dead-letter friendly).
+
+    ``mapInPandas``: the iterator sees one Arrow batch at a time, so peak
+    memory is bounded by the batch, not the partition.
+    """
+    out_schema = T.StructType(
+        list(ASSET_SCHEMA.fields)
+        + [
+            T.StructField("decoded_width", T.IntegerType(), True),
+            T.StructField("decoded_height", T.IntegerType(), True),
+            T.StructField("mean_value", T.IntegerType(), True),
+            T.StructField("decode_error", T.StringType(), True),
+        ]
+    )
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means, errs = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    decoded = _decode_payload(payload)
+                    if decoded is None:
+                        widths.append(None), heights.append(None), means.append(None)
+                        errs.append("null payload")
+                    else:
+                        w, h, m = decoded
+                        widths.append(w), heights.append(h), means.append(m)
+                        errs.append(None)
+                except NotImplementedError as exc:
+                    widths.append(None), heights.append(None), means.append(None)
+                    errs.append(str(exc)[:120])
+            yield pdf.assign(
+                decoded_width=pd.array(widths, dtype="Int32"),
+                decoded_height=pd.array(heights, dtype="Int32"),
+                mean_value=pd.array(means, dtype="Int32"),
+                decode_error=errs,
+            )
+
+    return assets.mapInPandas(_decode_batches, schema=out_schema)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature-extraction stage: deterministic FEATURE_DIM-float embedding
+    per payload (md5-seeded fake — the real model call is the same plumbing:
+    grouped Arrow batches into a Python worker, floats out)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                digest = hashlib.md5(bytes(payload)).digest()
+                feats.append(
+                    [struct.unpack(">H", digest[2 * i : 2 * i + 2])[0] / 65535.0 for i in range(FEATURE_DIM // 2)]
+                    + [b / 255.0 for b in digest[:8]]
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(_featurize, schema=out_schema)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling stage for video assets: explode frame indices
+    0, every_n, 2*every_n, ... from metadata — pure Column expressions
+    (the heavy per-frame decode would then run through decode_assets)."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+            "meta",
+        )
+    )

@@ -1,9 +1,346 @@
 """North-star LLM-data-pipeline query surface (SURVEY §2.3 last rows):
-dedup family, similarity search, text analysis, multimodal plumbing.
+dedup family, similarity search, text analysis.
 
-Populated incrementally; each SQL-expressible op carries a DuckDB oracle,
-approximate ops (MinHash/SimHash/LSH) are rows-only + pytest-verified
-against exact methods.
+SQL-expressible ops carry DuckDB oracles built from the exact SQL mirrors in
+functions/text.py / functions/vectors.py. Approximate ops (MinHash, SimHash,
+LSH) are rows-only here and verified against the exact methods in
+tests/test_dedup.py and tests/test_similarity.py.
+
+Note the asymmetry between engine and oracle for the pairwise ops: the
+oracle does the naive all-pairs O(n^2) (fine for DuckDB at sf0.01); the
+engine runs the scalable plan (prefix filtering / blocking / LSH) — results
+must be identical, which is exactly what the gate checks.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import sql_quantize
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DSUM, dsum
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_doc_profile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({TXT.sql_word_count('text')} AS INT)    AS n_words,
+           CAST({TXT.sql_token_count('text')} AS INT)   AS n_tokens,
+           {TXT.sql_avg_word_len('text')}               AS avg_word_len,
+           {TXT.sql_stopword_ratio('text')}             AS stop_ratio,
+           {TXT.sql_punct_ratio('text')}                AS punct_ratio,
+           {TXT.sql_quality_score('text')}              AS quality,
+           {TXT.sql_lang_id('text')}                    AS lang_guess,
+           {TXT.sql_fingerprint('text')}                AS fp
+    FROM documents
+    """,
+)
+def q40_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: token counts, quality metrics, heuristic
+    language ID, content fingerprint. Pure Column expressions — one narrow
+    pass over the scan, fully codegen'd (no UDFs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.word_count("text").alias("n_words"),
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.avg_word_len("text").alias("avg_word_len"),
+        TXT.stopword_ratio("text").alias("stop_ratio"),
+        TXT.punct_ratio("text").alias("punct_ratio"),
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang_guess"),
+        TXT.fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "q41_lang_quality_agg",
+    oracle=f"""
+    SELECT {TXT.sql_lang_id('text')} AS lang_guess,
+           source,
+           count(*) AS n_docs,
+           {DSUM(TXT.sql_quality_score('text'))} AS total_quality,
+           CAST(sum(CAST({TXT.sql_token_count('text')} AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q41_lang_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup of the text metrics (the 100 TB shape: metric
+    derivation stays in the scan stage, one partial-agg shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            TXT.lang_id("text").alias("lang_guess"),
+            "source",
+            TXT.quality_score("text").alias("q"),
+            TXT.token_count("text").cast("long").alias("t"),
+        )
+        .groupBy("lang_guess", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum("q").alias("total_quality"),
+            F.sum("t").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q42_fingerprint_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT {TXT.sql_fingerprint('text')}) AS BIGINT) AS n_distinct,
+           min({TXT.sql_fingerprint('text')}) AS min_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q42_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup accounting by content fingerprint (hash-groupBy — the
+    canonical exact dedup at scale; reference R8's dedup generalized from
+    key-equality to content-equality)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", TXT.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact Jaccard (prefix-filtered) vs naive oracle; approx variants
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.8
+
+
+@query(
+    "q43_jaccard_neardup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({TXT.sql_words('text')}) AS sh FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common,
+             len(a.sh) AS n_a, len(b.sh) AS n_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS INT) AS n_common,
+           CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= {_JACCARD_T}
+    """,
+)
+def q43_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (J >= 0.8). Engine runs the
+    prefix-filtered plan (operators/dedup.py — no all-pairs join); the
+    oracle brute-forces all pairs. Identical results = the filter is lossless.
+
+    (Word 1-grams, not 3-gram shingles: the synthetic corpus has a 31-word
+    vocabulary, so 3-gram overlap is ~0 — shingle_sets(n=3) is the same code
+    path and is covered by unit tests.)
+    """
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", threshold=_JACCARD_T, n=1)
+
+
+@query("q44_minhash_neardup", oracle=None)  # approximate (MinHash LSH) — rows-only
+def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (MLlib, seed=42). The sub-quadratic
+    approximate path for q43; recall vs the exact pairs is asserted in
+    tests/test_dedup.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import minhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_pairs(d, "doc_id", "text", threshold=_JACCARD_T)
+
+
+@query("q45_simhash_pairs", oracle=None)  # xxhash64-based — no DuckDB twin
+def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup pairs (Hamming <= 8 of 63 bits).
+    Deterministic (xxhash64) but not reproducible in DuckDB SQL — rows-only
+    check here, semantics verified in tests/test_dedup.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+_N_QUERIES = 10
+_NEARDUP_COS = 0.3
+
+
+@query(
+    "q46_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, unnest({sql_quantize('embedding')}) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, unnest({sql_quantize('embedding')}) AS cx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(q.qx * c.cx) AS dot,
+             sum(q.qx * q.qx) AS q_nsq,
+             sum(c.cx * c.cx) AS c_nsq
+      FROM q JOIN c USING (i)
+      WHERE q.vec_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE))) AS cosine
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {_TOPK}
+    """,
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a broadcast query set. The
+    determinism trick: 1e-6-quantized integer dot products are exact and
+    order-independent, so Spark and DuckDB rank identically."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(e, queries, "vec_id", "embedding", k=_TOPK)
+
+
+@query(
+    "q47_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, unnest({sql_quantize('embedding')}) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+             sum(a.x * b.x) AS dot,
+             sum(a.x * a.x) AS nsq_a,
+             sum(b.x * b.x) AS nsq_b
+      FROM v a JOIN v b ON a.label = b.label AND a.i = b.i
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b, block,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nsq_a AS DOUBLE)) * sqrt(CAST(nsq_b AS DOUBLE))) AS cosine
+    FROM dots
+    WHERE CAST(dot AS DOUBLE)
+             / (sqrt(CAST(nsq_a AS DOUBLE)) * sqrt(CAST(nsq_b AS DOUBLE))) >= {_NEARDUP_COS}
+    """,
+)
+def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above cosine 0.3, blocked by label
+    (IVF-style: quadratic in the block, not the table). Threshold is
+    data-calibrated: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.44), so 0.3 selects the genuine tail."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import (
+        embedding_neardup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_neardup(e, "vec_id", "embedding", "label", threshold=_NEARDUP_COS)
+
+
+@query("q48_lsh_topk", oracle=None)  # approximate (sign-LSH buckets) — rows-only
+def q48_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (4 tables x 12 sign bits, seed=42),
+    exact re-rank within buckets. Recall verified with planted duplicates
+    in tests/test_similarity.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_topk(e, queries, "vec_id", "embedding", k=_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q49_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           CAST(length('SGMM' || printf('%05d|%05d|', doc_id % 64 + 1, doc_id % 48 + 1)
+                 || text) AS INT) AS payload_bytes,
+           md5('SGMM' || printf('%05d|%05d|', doc_id % 64 + 1, doc_id % 48 + 1)
+                 || text) AS payload_md5,
+           CAST(doc_id % 64 + 1 AS INT) AS width,
+           CAST(doc_id % 48 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def q49_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest shape: opaque binary payload + typed metadata
+    (multimodal/ops.py). The oracle reproduces payload bytes + md5 in SQL,
+    proving the binary plumbing is byte-exact cross-engine."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import assets_from_documents
+
+    d = load(spark, sf_dir, "documents")
+    a = assets_from_documents(d)
+    return a.select(
+        "asset_id",
+        "modality",
+        F.length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("q50_multimodal_decode", oracle=None)  # Python mapInPandas stage — rows-only
+def q50_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode + feature-extraction rollup per modality.
+    Exercises the mapInPandas pipeline end-to-end (decode -> features);
+    per-record semantics verified in tests/test_multimodal.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import (
+        assets_from_documents,
+        decode_assets,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    decoded = decode_assets(assets_from_documents(d))
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.count("decode_error").alias("n_errors"),
+        F.sum("mean_value").alias("total_mean_value"),
+        F.sum("decoded_width").alias("total_width"),
+    )

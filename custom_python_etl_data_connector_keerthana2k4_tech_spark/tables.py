@@ -41,6 +41,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # window bucketing, year()/date_format() and pandas rendering are all
     # session-TZ dependent and must match the UTC-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Ship this package to the Python workers (mapInPandas/UDF closures
+    # reference package modules; workers don't share the driver's sys.path).
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.session import ship_package
+
+    ship_package(spark)
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

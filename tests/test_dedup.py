@@ -1,0 +1,121 @@
+"""Dedup operator semantics (SURVEY §5.2.6): exact Jaccard vs approximate
+MinHash/SimHash, planted-duplicate detection, idempotence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
+    content_dedup,
+    jaccard_pairs,
+    minhash_pairs,
+    shingle_sets,
+    simhash64,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank now"),  # ~1-word edit of 1
+        (3, "completely different words about spark catalyst optimizer and shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_sets_ngram(spark, docs):
+    sh3 = {r.id: set(r.shingles) for r in shingle_sets(docs, "doc_id", "text", n=3).collect()}
+    assert "the quick brown" in sh3[1]
+    assert "quick brown fox" in sh3[1]
+    # doc 5 has 10 words -> 8 distinct 3-grams
+    assert len(sh3[5]) == 8
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # near dup
+    assert (2, 4) in pairs
+    assert not any({3, 5} & {a, b} for a, b in pairs)  # unrelated docs excluded
+
+
+def test_jaccard_prefix_filter_lossless(spark, sf_dir):
+    """Prefix-filtered plan == naive all-pairs on real fixture data."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(200)
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(d, "doc_id", "text", threshold=0.8).collect()
+    }
+    sets_df = shingle_sets(d, "doc_id", "text", n=1)
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    naive_pairs = {(r.id_a, r.id_b): r.jaccard for r in naive.collect()}
+    assert fast == naive_pairs
+    assert len(fast) > 0  # fixture has real near-dups
+
+
+def test_minhash_recall(spark, sf_dir):
+    """MinHash LSH must find most exact J>=0.8 pairs (it is the approximate
+    scale path for q43) and all exact duplicates."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(200)
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(d, "doc_id", "text", 0.8).collect()}
+    approx = {(r.id_a, r.id_b) for r in minhash_pairs(d, "doc_id", "text", 0.8).collect()}
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"minhash recall too low: {recall} ({len(exact)} exact pairs)"
+
+
+def test_minhash_deterministic(spark, docs):
+    p1 = sorted((r.id_a, r.id_b) for r in minhash_pairs(docs, "doc_id", "text", 0.5).collect())
+    p2 = sorted((r.id_a, r.id_b) for r in minhash_pairs(docs, "doc_id", "text", 0.5).collect())
+    assert p1 == p2
+    assert (1, 4) in p1  # exact dup always found (identical signatures)
+
+
+def test_simhash_semantics(spark, docs):
+    h = {r.id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    assert h[1] == h[4]  # identical text -> identical simhash
+    assert all(v >= 0 for v in h.values())  # 63-bit positive
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(h[1], h[2]) <= 8  # one-word edit flips few bits
+    assert hamming(h[1], h[3]) > 8  # unrelated text is far
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "doc_id", "text", 8).collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs
+
+
+def test_content_dedup(spark, docs):
+    out = content_dedup(docs, "doc_id", "text")
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 4 not in ids  # min doc_id survives per fingerprint
+    assert ids == {1, 2, 3, 5}
