@@ -1,28 +1,47 @@
 """Deduplication operator family (north-star ops, SURVEY §2.3):
 
 - exact dedup by key / by content fingerprint (hash-groupBy)
-- exact n-gram Jaccard near-dup pairs with prefix filtering (scale path)
-- MinHash LSH near-dup pairs (MLlib, seeded — approximate scale path)
+- exact n-gram Jaccard near-dup pairs (canonical-set reduction + adaptive
+  candidate generation: bitmap kernel or prefix filtering — scale path)
+- MinHash LSH near-dup pairs (native, seeded, exact-verified)
 - SimHash 64-bit fingerprints + Hamming-distance near-dup pairs
 
-Scale design:
-- Fingerprint dedup is one hash shuffle on the digest — the canonical
-  100 TB dedup (same shape as the reference's key upsert, R8).
-- Jaccard pairs use *prefix filtering*: for J >= tau, two sets must share
-  at least one of their ``floor((1-tau)*|S|)+1`` rarest shingles under a
-  global (freq, shingle) canonical order, and sizes must satisfy
-  ``|A| >= tau*|B|``. This turns the all-pairs O(n^2) into a join on rare
-  shingles only — no false negatives, exact verification on candidates.
-- MinHash/SimHash are the sub-quadratic approximate paths; both are
-  seeded/deterministic and pytest-verified against the exact method.
+Scale design (100 TB):
+
+- **Canonical-set reduction first.** Every near-dup plan starts by grouping
+  byte-identical shingle sets (one xxhash64 fingerprint shuffle). All pairwise
+  work then runs on *distinct* sets ("reps"); id-level pairs are re-expanded
+  at the end. Identical-content clusters are the #1 source of quadratic
+  blowup in real corpora, and collapsing them is lossless.
+- **Adaptive candidate generation.** Prefix filtering (the PPJoin family) is
+  the right general algorithm, but it degenerates when the shingle vocabulary
+  is small (every shingle is frequent, so the inverted-index join explodes).
+  When the observed vocabulary fits a packed bitmap (<= _BITMAP_MAX_VOCAB
+  bits) and the distinct-set count is modest, we dictionary-encode shingles
+  into bit positions and run a size-banded equi-join over bigint masks:
+  intersection = sum(bit_count(a & b)) — pure JVM codegen, no arrays in the
+  join. Otherwise we run prefix filtering over the reps. Both are lossless
+  (pytest-verified against the naive all-pairs plan).
+- **MinHash is native DataFrame code, not MLlib.** Signatures are computed
+  with narrow array expressions (no shuffle, no UDF, no sparse vectors);
+  banding gives sub-quadratic candidates; candidates are *exactly* verified,
+  so precision is 1.0 and only recall is probabilistic (1-(1-J^r)^b).
+- SimHash is linear in tokens (explode + two hash-partitioned aggregations)
+  with pigeonhole banding for the pair search.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import fingerprint, words
+
+#: Bitmap kernel limits: vocabulary must fit this many bit positions
+#: (64 bits per bigint chunk) and the distinct-set count must keep the
+#: size-banded join quadratic-in-reps affordable.
+_BITMAP_MAX_VOCAB = 4096
+_BITMAP_MAX_REPS = 200_000
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -66,77 +85,277 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataF
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared machinery: canonical-set reduction, verification, expansion
+# ---------------------------------------------------------------------------
+
+
+def _canonicalize(sets_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse byte-identical shingle sets.
+
+    Returns (reps, members):
+    - reps:    (fp, shingles sorted, sz) — one row per distinct set
+    - members: (fp, id, sz)              — every input id, keyed to its set
+    """
+    keyed = sets_df.select(
+        F.xxhash64(F.concat_ws("\x00", F.array_sort("shingles"))).alias("fp"),
+        F.array_sort("shingles").alias("shingles"),
+        F.size("shingles").alias("sz"),
+        "id",
+    )
+    members = keyed.select("fp", "id", "sz")
+    reps = keyed.select("fp", "shingles", "sz").dropDuplicates(["fp"])
+    return reps, members
+
+
+def _size_band_join(a: DataFrame, b: DataFrame, threshold: float) -> DataFrame:
+    """Equi-join distinct sets on compatible sizes (tau*|B| <= |A| <= |B|/tau).
+
+    The b side explodes to every admissible partner size, so the match is a
+    hash join on an integer key, not a broadcast-nested-loop cross join.
+    """
+    b_exp = b.withColumn(
+        "cand_sz",
+        F.explode(
+            F.sequence(
+                F.ceil(F.lit(threshold) * F.col("sz_b")).cast("int"),
+                F.floor(F.col("sz_b") / F.lit(threshold)).cast("int"),
+            )
+        ),
+    )
+    return a.join(b_exp, (a["sz_a"] == b_exp["cand_sz"]) & (a["fp_a"] < b_exp["fp_b"]))
+
+
+def _mask_reps(reps: DataFrame, n_chunks: int) -> DataFrame:
+    """(fp, sz, mask array<bigint>) — dictionary-encoded packed bitmap.
+
+    Bit positions come from a global shingle dictionary (row_number over the
+    distinct vocabulary — small by precondition, so the single-partition
+    window is fine). Intersections then cost O(n_chunks) bigint ops.
+    """
+    vocab = (
+        reps.select(F.explode("shingles").alias("w"))
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("w")) - 1)
+    )
+    bits = (
+        reps.select("fp", F.explode("shingles").alias("w"))
+        .join(F.broadcast(vocab), "w")
+        .select(
+            "fp",
+            (F.col("idx") / 64).cast("int").alias("chunk"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)").alias("bitval"),
+        )
+        .groupBy("fp", "chunk")
+        # words are distinct per set, so per-(fp,chunk) bit values are
+        # distinct powers of two: sum == bitwise or
+        .agg(F.sum("bitval").alias("m"))
+        .groupBy("fp")
+        .agg(F.map_from_entries(F.collect_list(F.struct("chunk", "m"))).alias("mm"))
+        .select(
+            "fp",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.coalesce(F.element_at("mm", c.cast("int")), F.lit(0).cast("long")),
+            ).alias("mask"),
+        )
+    )
+    return reps.select("fp", "sz").join(bits, "fp")
+
+
+def _mask_intersection(mask_a: Column, mask_b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(mask_a, mask_b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Attach jaccard = n_common / (sz_a + sz_b - n_common) and filter."""
+    return pairs.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _verify_with_arrays(cand: DataFrame, reps: DataFrame, threshold: float) -> DataFrame:
+    """cand (fp_a, fp_b) -> exact-verified rep pairs via array_intersect."""
+    ra = reps.select(F.col("fp").alias("fp_a"), F.col("shingles").alias("sh_a"))
+    rb = reps.select(F.col("fp").alias("fp_b"), F.col("shingles").alias("sh_b"))
+    joined = (
+        cand.join(ra, "fp_a")
+        .join(rb, "fp_b")
+        .select(
+            "fp_a",
+            "fp_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("sz_a"),
+            F.size("sh_b").alias("sz_b"),
+        )
+    )
+    return _jaccard_filter(joined, threshold)
+
+
+def _expand_pairs(rep_pairs: DataFrame, members: DataFrame, threshold: float) -> DataFrame:
+    """Rep-level verified pairs -> id-level pairs, plus the intra-group pairs
+    (identical sets, jaccard exactly 1.0). Output is id_a < id_b with n_a/n_b
+    following the ids (not the rep order)."""
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ia"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "n_common",
+            F.when(F.col("ia") < F.col("ib"), F.col("sz_a")).otherwise(F.col("sz_b")).alias("n_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("sz_b")).otherwise(F.col("sz_a")).alias("n_b"),
+            "jaccard",
+        )
+    )
+    m1 = members.select("fp", F.col("id").alias("id_a"), F.col("sz").alias("n_a"))
+    m2 = members.select("fp", F.col("id").alias("id_b"), F.col("sz").alias("n_b"))
+    intra = (
+        m1.join(m2, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").alias("n_common"),
+            "n_a",
+            "n_b",
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = cross.unionByName(intra) if threshold <= 1.0 else cross
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Exact Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float,
     n: int = 1,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold)
-    via prefix filtering + exact verification.
+    """Exact Jaccard near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Plan: canonical-set reduction, then candidate generation by ``strategy``:
+
+    - ``"bitmap"``: dictionary-encoded packed-bitmap kernel over a
+      size-banded equi-join of distinct sets. The scale path for small
+      vocabularies (the degenerate regime for prefix filtering) and for
+      within-bucket verification.
+    - ``"prefix"``: PPJoin-style prefix filtering over the distinct sets —
+      the general scale path for open vocabularies.
+    - ``"auto"`` (default): measure the vocabulary/distinct-set size with one
+      cheap aggregate and pick.
+
+    All strategies are lossless and return identical results
+    (tests/test_dedup.py proves fast == naive on fixture data).
 
     Returns columns: id_a, id_b, n_common, n_a, n_b, jaccard.
     jaccard is a single double division of exact integers — deterministic.
     """
-    sets_df = shingle_sets(df, id_col, text_col, n=n).persist()
+    sets_df = shingle_sets(df, id_col, text_col, n=n)
+    reps, members = _canonicalize(sets_df)
+    reps = reps.persist()
+    members = members.persist()
 
-    # Global canonical order: rarest shingle first (freq asc, shingle asc).
+    if strategy == "auto":
+        n_vocab, n_reps = _corpus_stats(reps)
+        strategy = (
+            "bitmap"
+            if n_vocab <= _BITMAP_MAX_VOCAB and n_reps <= _BITMAP_MAX_REPS
+            else "prefix"
+        )
+    else:
+        n_vocab = None
+
+    if strategy == "bitmap":
+        if n_vocab is None:
+            n_vocab, _ = _corpus_stats(reps)
+        n_chunks = max(1, (n_vocab + 63) // 64)
+        masked = _mask_reps(reps, n_chunks).persist()
+        a = masked.select(
+            F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), F.col("mask").alias("mask_a")
+        )
+        b = masked.select(
+            F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), F.col("mask").alias("mask_b")
+        )
+        verified = _jaccard_filter(
+            _size_band_join(a, b, threshold).select(
+                "fp_a",
+                "fp_b",
+                _mask_intersection(F.col("mask_a"), F.col("mask_b")).alias("n_common"),
+                "sz_a",
+                "sz_b",
+            ),
+            threshold,
+        )
+    elif strategy == "prefix":
+        cand = _prefix_candidates(reps, threshold)
+        verified = _verify_with_arrays(cand, reps, threshold)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    return _expand_pairs(verified, members, threshold)
+
+
+def _corpus_stats(reps: DataFrame) -> tuple[int, int]:
+    """(vocabulary size, distinct-set count) in one aggregate job."""
+    row = reps.select(F.explode("shingles").alias("w"), "fp").agg(
+        F.count_distinct("w").alias("v"), F.count_distinct("fp").alias("r")
+    ).first()
+    return int(row["v"]), int(row["r"])
+
+
+def _prefix_candidates(reps: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin-style prefix-filter candidates over distinct sets.
+
+    For J >= tau, two sets must share at least one of their
+    ``floor((1-tau)*|S|)+1`` rarest shingles under a global (freq, shingle)
+    canonical order, and sizes must satisfy ``|A| >= tau*|B|`` (pigeonhole —
+    no false negatives).
+    """
     freq = (
-        sets_df.select(F.explode("shingles").alias("sh"))
+        reps.select(F.explode("shingles").alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-
-    exploded = sets_df.select(
-        "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("sh")
-    ).join(F.broadcast(freq), "sh")
-    rank_w = Window.partitionBy("id").orderBy("freq", "sh")
-    # Prefix length floor((1-tau)*|S|)+1: any pair with J >= tau must share
-    # a shingle inside both prefixes (pigeonhole on the canonical order).
+    exploded = reps.select("fp", "sz", F.explode("shingles").alias("sh")).join(
+        F.broadcast(freq), "sh"
+    )
+    rank_w = Window.partitionBy("fp").orderBy("freq", "sh")
     prefixes = exploded.withColumn("pos", F.row_number().over(rank_w)).filter(
         F.col("pos") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
     )
-
-    a = prefixes.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("n_a"), F.col("sh").alias("sh")
-    )
-    b = prefixes.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("n_b"), F.col("sh").alias("sh")
-    )
-    candidates = (
+    a = prefixes.select(F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), "sh")
+    b = prefixes.select(F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), "sh")
+    return (
         a.join(b, "sh")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # size filter: J >= tau implies tau*|B| <= |A| (for |A| <= |B|)
-            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
-            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            (F.col("fp_a") < F.col("fp_b"))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
         )
-        .select("id_a", "id_b")
+        .select("fp_a", "fp_b")
         .distinct()
     )
 
-    sa = sets_df.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sets_df.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
-    )
-    return verified
+
+# ---------------------------------------------------------------------------
+# MinHash LSH (native)
+# ---------------------------------------------------------------------------
 
 
 def minhash_pairs(
@@ -145,39 +364,102 @@ def minhash_pairs(
     text_col: str,
     threshold: float,
     num_hash_tables: int = 8,
+    rows_per_band: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate Jaccard near-dup pairs via MLlib MinHashLSH (seeded).
+    """Near-dup pairs via native MinHash LSH banding + exact verification.
 
-    Words are hashed into a sparse binary vector (HashingTF), then
-    ``approxSimilarityJoin`` with distance threshold ``1 - threshold``
-    (MinHash distance = 1 - estimated Jaccard). Sub-quadratic: candidates
-    come from LSH band buckets, not all pairs.
+    - Signatures: ``num_hash_tables * rows_per_band`` seeded minhashes per
+      distinct set, each ``min over shingles of xxhash64(seed, g, shingle)``
+      — narrow array expressions, no shuffle, no UDF, no MLlib.
+    - Candidates: sets agreeing on all ``rows_per_band`` rows of >= 1 band
+      (join on the band digest). Sub-quadratic; recall for a pair with
+      Jaccard J is ``1 - (1 - J^r)^b`` (J=0.8, r=2, b=8 -> 0.9997).
+    - Verification: candidates are checked *exactly* (bitmap kernel when the
+      vocabulary is small, array intersection otherwise), so every returned
+      pair carries its true Jaccard and precision is 1.0. Identical sets are
+      always found (canonical-set reduction pairs them deterministically).
 
-    Returns: id_a, id_b, jaccard_est (double). Approximate — no SQL oracle;
-    verified against jaccard_pairs in tests/test_dedup.py.
+    Returns: id_a, id_b, n_common, n_a, n_b, jaccard — the same schema as
+    ``jaccard_pairs`` (recall-only divergence, asserted in tests).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    n_hashes = num_hash_tables * rows_per_band
     sets_df = shingle_sets(df, id_col, text_col, n=1)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sets_df).filter(F.size("shingles") > 0)
+    reps, members = _canonicalize(sets_df)
+    reps = reps.persist()
+    members = members.persist()
 
-    mh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    def _hash_fn(g: int):
+        # NB: the lambda must take exactly one argument — pyspark calls
+        # two-argument transform lambdas as f(element, index).
+        return lambda w: F.xxhash64(F.lit(seed), F.lit(g), w)
+
+    mh = [
+        F.array_min(F.transform(F.col("shingles"), _hash_fn(g))).alias(f"mh{g}")
+        for g in range(n_hashes)
+    ]
+    sigs = reps.select("fp", *mh)
+    bands = sigs.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("bd"),
+                        F.xxhash64(
+                            F.lit(seed),
+                            F.lit(bd),
+                            *[
+                                F.col(f"mh{bd * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for bd in range(num_hash_tables)
+                ]
+            )
+        ).alias("band"),
+    ).select("fp", F.col("band.bd").alias("bd"), F.col("band.bkey").alias("bkey"))
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bd", "bkey"])
+        .filter(F.col("a.fp") < F.col("b.fp"))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
     )
-    model = mh.fit(feats)
-    joined = model.approxSimilarityJoin(
-        feats, feats, distCol="dist", threshold=1.0 - threshold
-    )
-    return (
-        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
-            (1.0 - F.col("dist")).alias("jaccard_est"),
+
+    n_vocab, n_reps = _corpus_stats(reps)
+    if n_vocab <= _BITMAP_MAX_VOCAB and n_reps <= _BITMAP_MAX_REPS:
+        n_chunks = max(1, (n_vocab + 63) // 64)
+        masked = _mask_reps(reps, n_chunks)
+        ma = masked.select(
+            F.col("fp").alias("fp_a"), F.col("sz").alias("sz_a"), F.col("mask").alias("mask_a")
         )
-    )
+        mb = masked.select(
+            F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), F.col("mask").alias("mask_b")
+        )
+        verified = _jaccard_filter(
+            cand.join(ma, "fp_a")
+            .join(mb, "fp_b")
+            .select(
+                "fp_a",
+                "fp_b",
+                _mask_intersection(F.col("mask_a"), F.col("mask_b")).alias("n_common"),
+                "sz_a",
+                "sz_b",
+            ),
+            threshold,
+        )
+    else:
+        verified = _verify_with_arrays(cand, reps, threshold)
+
+    return _expand_pairs(verified, members, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -78,6 +78,16 @@ def test_jaccard_prefix_filter_lossless(spark, sf_dir):
     assert fast == naive_pairs
     assert len(fast) > 0  # fixture has real near-dups
 
+    # Both candidate strategies are lossless, not just the auto-picked one.
+    for strategy in ("bitmap", "prefix"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs(
+                d, "doc_id", "text", threshold=0.8, strategy=strategy
+            ).collect()
+        }
+        assert got == naive_pairs, f"strategy {strategy} diverged"
+
 
 def test_minhash_recall(spark, sf_dir):
     """MinHash LSH must find most exact J>=0.8 pairs (it is the approximate
