@@ -129,6 +129,8 @@ def paged_payloads(per_page: int = 3) -> list[dict]:
     pages = [
         {"results": RAW_PULSES[0:per_page]},
         {"pulses": RAW_PULSES[per_page : 2 * per_page]},
-        {"data": {"items": RAW_PULSES[2 * per_page :]}},  # first-list probe
+        # first-list probe: the reference scans ONE level deep for a list
+        # value under any key (etl_connector.py:108-113)
+        {"count": 2, "data": RAW_PULSES[2 * per_page :]},
     ]
     return pages
