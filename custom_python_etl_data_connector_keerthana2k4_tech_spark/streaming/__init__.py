@@ -1,0 +1,17 @@
+"""Structured Streaming surface (SURVEY §7 M5)."""
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import (
+    foreach_batch_upsert,
+    run_pulse_stream,
+    session_counts,
+    stream_dedup,
+    windowed_counts,
+)
+
+__all__ = [
+    "foreach_batch_upsert",
+    "run_pulse_stream",
+    "session_counts",
+    "stream_dedup",
+    "windowed_counts",
+]

@@ -1,0 +1,166 @@
+"""Structured Streaming operators (SURVEY §2.3 streaming rows; §7 M5).
+
+The reference's extract loop is an unbounded-ish incremental pull processed
+with bounded memory (generator + batch buffer, etl_connector.py:88-127,
+206-239). Its continuous analog here is the canonical Spark shape:
+``readStream -> transform -> writeStream``, with
+
+- tumbling/sliding window aggregations (``F.window``),
+- session windows (``F.session_window``),
+- watermarks for bounded state + late-data drop (``withWatermark``),
+- streaming dedup (watermarked ``dropDuplicates`` — R8's dedup-by-key as a
+  stream),
+- ``foreachBatch`` + the keyed idempotent upsert sink (R8/R9: micro-batched
+  writes whose re-delivery converges — exactly-once-by-key into a
+  non-transactional store, SURVEY §7 hard part e).
+
+Every transformation here is identical for batch and streaming frames
+(tests assert stream-vs-batch parity on the events fixture replay), which
+is the point of declaring them through the DataFrame API: one logical plan,
+two execution modes.
+
+Scale notes: watermark delay bounds the window/dedup state Spark keeps per
+key; at 100 TB of events/day the knobs that matter are the watermark delay
+(state size), shuffle partitions (parallelism of the stateful stage), and
+RocksDB state store — all config, not code changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import upsert_parquet
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.pipeline import transform_pulses, validate
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    width: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = "30 minutes",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) windowed counts + sums.
+
+    Works identically on batch and streaming frames; on a stream the
+    watermark bounds state and drops events later than ``watermark``.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, width, slide) if slide else F.window(ts_col, width)
+    return (
+        events.groupBy(win.alias("win"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session-window aggregation: events within ``gap`` of each other merge
+    into one session per key (dynamic-length windows)."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sess"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup by key: first occurrence wins; state for keys
+    older than the watermark is dropped (bounded memory — the streaming form
+    of R8's dedup-by-key)."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return events.dropDuplicates(list(key_cols))
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str | list[str],
+    order_by: list[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Micro-batched keyed idempotent upsert sink (R8+R9 as a stream).
+
+    Each micro-batch merges into the target with last-write-wins on ``key``,
+    so replayed batches (failure recovery) converge instead of duplicating —
+    idempotent-by-key is the exactly-once mechanism over a non-transactional
+    store, exactly as in the reference (etl_connector.py:181).
+    """
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, target_path, key=key, order_by=order_by
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def run_pulse_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    cfg: PipelineConfig,
+    target_path: str,
+    checkpoint: str,
+) -> None:
+    """Continuous connector mode (SURVEY §2.3 'streaming sink' row): JSON
+    pulse files land in ``source_dir``; each micro-batch runs the same
+    transform -> validate -> keyed-upsert chain as the batch pipeline
+    (pipeline.run_batch). One availableNow pass (drain-then-stop); run
+    again after more files arrive and the keyed table converges."""
+    raw = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .select(F.struct("*").alias("raw"))
+    )
+    transformed = validate(transform_pulses(raw, cfg))
+    q = (
+        foreach_batch_upsert(
+            transformed,
+            target_path,
+            key="pulse_id",
+            order_by=["pulse_modified"],
+            checkpoint=checkpoint,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,216 @@
+"""Streaming tests (SURVEY §5.2.5): file-source replay of the events
+fixture with availableNow triggers; stream-vs-batch parity, watermark
+late-data drop, streaming dedup, and the continuous upsert pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import (
+    run_pulse_stream,
+    session_counts,
+    stream_dedup,
+    windowed_counts,
+)
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events fixture replayed as a file-stream source directory."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    out = str(tmp_path_factory.mktemp("events_src"))
+    # load() converts the fixture's TIMESTAMP(NANOS) to micros; the rewrite
+    # gives the stream source a schema Spark's parquet reader accepts.
+    load(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df, name: str, checkpoint: str, mode: str = "complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    _run_to_memory(
+        windowed_counts(stream, width="6 hours"),
+        "tumbling_counts",
+        str(tmp_path / "ck1"),
+    )
+    got = spark.sql("SELECT * FROM tumbling_counts")
+    want = windowed_counts(spark.read.parquet(events_dir), width="6 hours")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_sliding_window_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    _run_to_memory(
+        windowed_counts(stream, width="12 hours", slide="6 hours"),
+        "sliding_counts",
+        str(tmp_path / "ck2"),
+    )
+    got = spark.sql("SELECT * FROM sliding_counts")
+    want = windowed_counts(
+        spark.read.parquet(events_dir), width="12 hours", slide="6 hours"
+    )
+    assert _rows(got) == _rows(want)
+    # sliding windows overlap: ~2x the tumbling row count
+    assert got.count() > spark.sql("SELECT * FROM tumbling_counts").count()
+
+
+def test_session_window_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    _run_to_memory(
+        session_counts(stream, gap="2 hours"),
+        "session_counts_t",
+        str(tmp_path / "ck3"),
+    )
+    got = spark.sql("SELECT * FROM session_counts_t")
+    want = session_counts(spark.read.parquet(events_dir), gap="2 hours")
+    assert _rows(got) == _rows(want)
+    # sessions merge events: fewer sessions than events, more than users
+    n_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
+    assert n_users <= got.count() < spark.read.parquet(events_dir).count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two checkpointed availableNow runs: run 1 advances the watermark; a
+    record in run 2 older than the watermark is dropped (append mode emits
+    only finalized windows, and the late row never resurrects its window)."""
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ck = str(tmp_path / "ck_late")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: events up to 12:00 -> watermark ends up at 12:00 - 10min
+    write_batch(
+        [
+            (1, base - dt.timedelta(hours=2), 1, "on_time", 1.0, "{}"),
+            (2, base, 1, "on_time", 1.0, "{}"),
+        ]
+    )
+
+    def run():
+        # file sink: append mode + checkpoint recovery (memory sink can't
+        # restart from a checkpoint), emitted rows read back as batch parquet
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        agg = windowed_counts(stream, width="10 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # run 2: one late event (3 hours before the watermark) + one new on-time
+    write_batch(
+        [
+            (3, base - dt.timedelta(hours=3), 1, "late_marker", 1.0, "{}"),
+            (4, base + dt.timedelta(hours=1), 1, "on_time", 1.0, "{}"),
+        ]
+    )
+    run()
+    emitted = spark.read.parquet(sink)
+    types = {r.event_type for r in emitted.collect()}
+    assert "on_time" in types  # finalized windows did emit
+    assert "late_marker" not in types  # late event dropped by the watermark
+
+
+def test_stream_dedup(spark, tmp_path):
+    """Duplicate event_ids across micro-batches collapse to one row."""
+    src = str(tmp_path / "dup_src")
+    sink = str(tmp_path / "dup_sink")
+    ck = str(tmp_path / "ck_dup")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (10, base, 1, "a", 1.0, "{}"),
+        (10, base, 1, "a", 1.0, "{}"),  # in-batch duplicate
+        (11, base + dt.timedelta(minutes=1), 1, "b", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        q = (
+            stream_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # second batch re-delivers event 10 (cross-batch dup) + a new event
+    spark.createDataFrame(
+        [(10, base, 1, "a", 1.0, "{}"), (12, base + dt.timedelta(minutes=2), 1, "c", 3.0, "{}")],
+        EVENTS_DDL,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(sink)
+    assert sorted(r.event_id for r in got.collect()) == [10, 11, 12]
+
+
+def test_pulse_stream_converges(spark, tmp_path):
+    """Continuous connector mode: JSON pulse files -> micro-batch keyed
+    upsert; re-delivery and multi-run both converge (R8 on a stream)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import RAW_PULSE_SCHEMA, RAW_PULSES
+
+    src = str(tmp_path / "pulse_src")
+    target = str(tmp_path / "pulse_tgt")
+    ck = str(tmp_path / "ck_pulse")
+    os.makedirs(src)
+    cfg = PipelineConfig(api_key="k", base_url="http://test", connector_name="s", city="")
+
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        for p in RAW_PULSES[:6]:
+            f.write(json.dumps(p) + "\n")
+    run_pulse_stream(spark, src, RAW_PULSE_SCHEMA, cfg, target, ck)
+    first = spark.read.parquet(target)
+    keyed_first = first.filter(F.col("pulse_id").isNotNull())
+    assert keyed_first.count() == keyed_first.select("pulse_id").distinct().count()
+
+    # second file: re-delivers pulse pi-001 with a NEWER modified -> replaces
+    newer = dict(RAW_PULSES[0])
+    newer["pulse_info"] = dict(newer["pulse_info"], modified="2024-02-01T00:00:00", name="Emotet wave v2")
+    with open(os.path.join(src, "batch2.json"), "w") as f:
+        f.write(json.dumps(newer) + "\n")
+    run_pulse_stream(spark, src, RAW_PULSE_SCHEMA, cfg, target, ck)
+
+    out = spark.read.parquet(target).filter(F.col("pulse_id") == "pi-001").collect()
+    assert len(out) == 1
+    assert out[0].pulse_name == "Emotet wave v2"
