@@ -899,3 +899,56 @@ def q33_time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q34_session_windows",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 2 HOUR AS session_end,
+           user_id,
+           count(*) AS n_events,
+           {DSUM('value')} AS total_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation in batch (streaming/ops.session_counts is
+    the streaming twin — same F.session_window plan on an unbounded frame).
+    The oracle reproduces Spark's session semantics (session ends at
+    last_event + gap; an event at exactly that instant opens a new session)
+    via gaps-and-islands SQL, proving the dynamic-window operator
+    cross-engine, not just stream-vs-batch."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "2 hours").alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
