@@ -952,3 +952,44 @@ def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q36_keyed_upsert",
+    oracle="""
+    WITH existing AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    batch AS (
+      SELECT event_id, ts, user_id, event_type, value * 2 AS value
+      FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+      SELECT *, 0 AS pri FROM existing
+      UNION ALL
+      SELECT *, 1 AS pri FROM batch
+    )
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, pri DESC) AS rn
+      FROM merged) t
+    WHERE rn = 1
+    """,
+)
+def q36_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 as a query: merge an incoming batch into an existing keyed table
+    with last-write-wins on event_id, incoming-batch priority on ties
+    (operators/upsert.upsert_dataframe — the reference's replace_one upsert,
+    etl_connector.py:167-191, as one distributed merge). The oracle mirrors
+    the window-dedup merge in SQL."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import upsert_dataframe
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    existing = e.filter(F.col("event_id") % 2 == 0)
+    batch = e.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    return upsert_dataframe(existing, batch, key="event_id", order_by=["ts"])
