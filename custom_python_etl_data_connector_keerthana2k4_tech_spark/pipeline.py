@@ -124,6 +124,7 @@ def run_batch(
     cfg: PipelineConfig,
     target_path: str,
     run_ts: _dt.datetime | None = None,
+    quarantine_path: str | None = None,
 ) -> dict:
     """One pipeline run (R13, etl_connector.py:206-239): transform ->
     validate -> keyed idempotent upsert into a parquet table.
@@ -131,11 +132,18 @@ def run_batch(
     Returns run accounting (R11, :210,226,231,237,239) as a metrics dict.
     Re-running with the same input converges (idempotence via the keyed
     upsert, :181) — the golden test asserts run(run(x)) == run(x).
+
+    With ``quarantine_path`` set, records failing validation are appended
+    there instead of only being counted — the dead-letter upgrade of the
+    reference's log-and-skip (:199-202, 221-223): at scale you audit and
+    replay skipped records, you don't grep logs for them.
     """
     transformed = transform_pulses(raw_df, cfg, run_ts=run_ts)
     valid = validate(transformed)
     n_valid = valid.count()
     n_total = transformed.count()
+    if quarantine_path is not None and n_total > n_valid:
+        invalid_records(transformed).write.mode("append").parquet(quarantine_path)
     upsert_parquet(
         spark,
         valid,

@@ -1,0 +1,70 @@
+"""Physical-plan regression guards (SURVEY §4; the 100 TB checklist).
+
+These assert the *shape* of the executed plans, not results: filters reach
+the parquet scan, projections prune the read schema, dimension joins
+broadcast, aggregations have a map-side partial stage, and nothing
+degenerates into a cartesian product. A change that silently turns a
+broadcast join into a shuffle or un-pushes a filter fails here long before
+it shows up as a bench regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = registry.queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans("q02_filter_predicates")
+    # NB: Spark truncates long filter lists ("[IsNotNull(p_size), ..."), so
+    # match the bracket content up to end-of-line, not a closing bracket.
+    m = re.search(r"PushedFilters: \[([^\n\]]*)", p)
+    assert m and m.group(1).strip(), "filters must be pushed to the parquet scan"
+    assert "PushedFilters: []" not in p
+
+
+def test_projection_prunes_read_schema(plans):
+    p = plans("q01_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if ":" in c]
+    # q01 touches 7 of lineitem's 16 columns; the scan must not read more
+    assert 0 < len(cols) <= 7, cols
+    assert "l_comment" not in cols
+
+
+def test_aggregation_is_partial_then_final(plans):
+    p = plans("q01_pricing_summary")
+    assert p.count("HashAggregate") >= 2, "expect map-side partial + final agg"
+
+
+@pytest.mark.parametrize("name", ["q04_join_inner", "q05_join_multiway"])
+def test_dimension_joins_broadcast(plans, name):
+    p = plans(name)
+    assert "BroadcastHashJoin" in p, f"{name} should broadcast its dim side"
+    assert "CartesianProduct" not in p
+
+
+def test_no_accidental_cartesian_products(plans):
+    """Every declared query plans equi-joins; the only nested-loop join in
+    the whole surface is q46's intentional broadcast of the tiny query set."""
+    for name in sorted(registry.queries()):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        if name != "q46_cosine_topk":
+            assert "BroadcastNestedLoopJoin" not in p, name
+        else:
+            assert "BroadcastNestedLoopJoin" in p  # broadcast, not shuffled
