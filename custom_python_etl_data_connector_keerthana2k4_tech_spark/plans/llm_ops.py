@@ -14,6 +14,7 @@ must be identical, which is exactly what the gate checks.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -343,4 +344,89 @@ def q50_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("decode_error").alias("n_errors"),
         F.sum("mean_value").alias("total_mean_value"),
         F.sum("decoded_width").alias("total_width"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2.3 UDF row): Arrow-vectorized Python stages with
+# DuckDB oracles — the UDF path itself is under the differential gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_pandas_udf_tokens",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(CAST({TXT.sql_token_count('text')} AS BIGINT)) AS BIGINT)
+             AS total_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q37_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-batched) + grouped-agg pandas_udf in one
+    plan: per-document BPE-ish token counts computed in vectorized Python,
+    rolled up per source with a Python aggregator. Matches the pure-Column
+    q40/q41 path bit-for-bit (same TOKEN_PATTERN regex semantics in Java,
+    Python, and DuckDB) — proving the Arrow UDF lane against the oracle,
+    not just the JVM lane."""
+    from pyspark.sql.functions import pandas_udf
+
+    pattern = TXT.TOKEN_PATTERN
+
+    @pandas_udf("long")
+    def token_count_py(s: pd.Series) -> pd.Series:
+        return s.str.count(pattern).astype("int64")
+
+    @pandas_udf("long")
+    def sum_agg(v: pd.Series) -> int:  # grouped-agg pandas UDF
+        return int(v.sum())
+
+    @pandas_udf("long")
+    def count_agg(v: pd.Series) -> int:  # (can't mix pandas + JVM aggs)
+        return int(len(v))
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", token_count_py("text").alias("t"))
+        .groupBy("source")
+        .agg(
+            sum_agg("t").alias("total_tokens"),
+            count_agg("t").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "q38_apply_in_pandas_median",
+    oracle="""
+    SELECT source,
+           median(length(text)) AS median_len,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q38_apply_in_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas: per-group arbitrary Python (here an exact
+    median over document lengths — numpy and DuckDB agree on linear
+    interpolation for even counts, so the result is oracle-checkable).
+    The grouped-map lane is the escape hatch for per-group logic Spark
+    aggregates can't express; one shuffle on the group key, Arrow both ways."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select("source", F.length("text").alias("len"))
+
+    def group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "median_len": [float(np.median(pdf["len"].to_numpy()))],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        group_median, "source string, median_len double, n_docs long"
     )
