@@ -17,3 +17,4 @@ __all__ = [
     "extract_features",
     "sample_frames",
 ]
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import resize_assets  # noqa: E402,F401

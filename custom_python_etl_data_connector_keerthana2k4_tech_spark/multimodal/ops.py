@@ -216,3 +216,44 @@ def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
             "meta",
         )
     )
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: re-encode each image/video payload to ``width x height``
+    and update the metadata struct to match.
+
+    Real path: PIL ``Image.resize`` (gated — not in this container). Fake
+    path: rewrite the SGMM header dimensions deterministically, leaving the
+    content bytes intact. Unknown formats surface per-record in
+    ``resize_error`` (dead-letter semantics) rather than failing the job.
+    Audio assets pass through untouched (resize is meaningless for them).
+    """
+    out_schema = T.StructType(
+        list(ASSET_SCHEMA.fields) + [T.StructField("resize_error", T.StringType(), True)]
+    )
+    header = _MAGIC + f"{width:05d}|{height:05d}|".encode()
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas, errs = [], [], []
+            for payload, modality, meta in zip(
+                pdf["payload"], pdf["modality"], pdf["meta"]
+            ):
+                if payload is None or modality == "audio":
+                    payloads.append(payload), metas.append(meta), errs.append(None)
+                    continue
+                raw = bytes(payload)
+                if not raw.startswith(_MAGIC):
+                    payloads.append(payload), metas.append(meta)
+                    errs.append(
+                        "real media resizing requires PIL/ffmpeg (not in this "
+                        "container); only the synthetic SGMM format is supported"
+                    )
+                    continue
+                body = raw[len(_MAGIC) + 12 :]  # strip old header, keep content
+                new_meta = dict(meta)
+                new_meta["width"], new_meta["height"] = width, height
+                payloads.append(header + body), metas.append(new_meta), errs.append(None)
+            yield pdf.assign(payload=payloads, meta=metas, resize_error=errs)
+
+    return assets.mapInPandas(_resize_batches, schema=out_schema)

@@ -68,3 +68,40 @@ def test_frame_sampling(assets):
     )
     for r in per_asset.collect():
         assert r.n >= 1 and r.mx <= 300
+
+
+def test_resize_assets(spark, sf_dir):
+    """Resize rewrites dimensions (payload header + metadata) but preserves
+    content bytes; audio passes through; re-decoding sees the new dims."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import (
+        assets_from_documents,
+        decode_assets,
+        resize_assets,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(60)
+    assets = assets_from_documents(d)
+    resized = resize_assets(assets, 32, 24)
+    rows = resized.collect()
+    assert all(r.resize_error is None for r in rows)
+    by_modality = {}
+    for r in rows:
+        by_modality.setdefault(r.modality, []).append(r)
+    # image/video: meta updated to the target dims
+    for m in ("image", "video"):
+        assert all(r.meta.width == 32 and r.meta.height == 24 for r in by_modality[m])
+    # audio untouched (original meta widths vary)
+    assert any(r.meta.width != 32 for r in by_modality["audio"])
+
+    # re-decode: decoded dims equal the new header dims, content preserved
+    redecoded = (
+        decode_assets(resized.drop("resize_error"))
+        .filter("modality != 'audio'")
+        .collect()
+    )
+    assert all(r.decode_error is None for r in redecoded)
+    assert all(r.decoded_width == 32 and r.decoded_height == 24 for r in redecoded)
+    orig_means = {r.asset_id: r.mean_value
+                  for r in decode_assets(assets).filter("modality != 'audio'").collect()}
+    assert all(orig_means[r.asset_id] == r.mean_value for r in redecoded)
