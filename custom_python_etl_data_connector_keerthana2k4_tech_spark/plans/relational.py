@@ -993,3 +993,31 @@ def q36_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value") * 2
     )
     return upsert_dataframe(existing, batch, key="event_id", order_by=["ts"])
+
+
+@query(
+    "q35_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           CAST(count(*) AS BIGINT)   AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort and linearly interpolate, so the
+    doubles match bit-for-bit). The approximate twin at scale is
+    ``percentile_approx`` (one pass, mergeable sketch) — exact percentile
+    is a full sort per group and is the operator you replace first at
+    100 TB."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
