@@ -98,6 +98,7 @@ def upsert_parquet(
     path: str,
     key: str | list[str],
     order_by: list[str],
+    partition_by: list[str] | None = None,
 ) -> None:
     """Keyed upsert into a parquet table at ``path`` (create if absent).
 
@@ -107,17 +108,74 @@ def upsert_parquet(
     ``MERGE INTO`` (``upsert_delta``); the swap is the vanilla-parquet
     equivalent of the reference's per-doc replace_one (etl_connector.py:181)
     done as one distributed write instead of 1 round-trip per record.
+
+    With ``partition_by`` (e.g. a date column), only partitions that the
+    batch touches are merged and swapped — the 100 TB path: a daily batch
+    against a years-deep table rewrites days, not years. Requires the
+    partition columns to be stable per key (an upserted key must not move
+    partitions; with date-derived partitions and keyed records this holds
+    by construction). Untouched partition directories are left byte-intact.
     """
     fs, jpath = _hadoop_fs(spark, path)
-    existing = spark.read.parquet(path) if fs.exists(jpath) else None
-    merged = upsert_dataframe(existing, batch, key, order_by)
+    exists = fs.exists(jpath)
 
+    if not partition_by:
+        existing = spark.read.parquet(path) if exists else None
+        merged = upsert_dataframe(existing, batch, key, order_by)
+        tmp = f"{path}__tmp_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _, jtmp = _hadoop_fs(spark, tmp)
+        if exists:
+            fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
+        return
+
+    if not exists:
+        upsert_dataframe(None, batch, key, order_by).write.partitionBy(
+            *partition_by
+        ).mode("overwrite").parquet(path)
+        return
+
+    # Merge only the touched partitions: existing rows are pre-filtered with
+    # a partition-pruned semi join (the scan reads only those directories).
+    touched = batch.select(*partition_by).distinct()
+    existing = spark.read.parquet(path).join(
+        F.broadcast(touched), partition_by, "left_semi"
+    )
+    merged = upsert_dataframe(existing, batch, key, order_by)
     tmp = f"{path}__tmp_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(tmp)
+    merged.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
+
+    # Swap only the partition directories present in the tmp output.
+    jvm = spark._jvm
     _, jtmp = _hadoop_fs(spark, tmp)
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
+    for status in fs.listStatus(jtmp):
+        name = status.getPath().getName()
+        if not status.isDirectory():
+            continue  # _SUCCESS etc.
+        _swap_partition_tree(jvm, fs, status.getPath(), jpath, name)
+    fs.delete(jtmp, True)
+
+
+def _swap_partition_tree(jvm, fs, src_dir, target_root, rel: str) -> None:
+    """Recursively replace target partition dirs with the freshly-written
+    ones (handles multi-level partitionBy: col1=v1/col2=v2/...)."""
+    children = fs.listStatus(src_dir)
+    has_subpartitions = any(
+        c.isDirectory() and "=" in c.getPath().getName() for c in children
+    )
+    if has_subpartitions:
+        for c in children:
+            if c.isDirectory():
+                _swap_partition_tree(
+                    jvm, fs, c.getPath(), target_root, f"{rel}/{c.getPath().getName()}"
+                )
+        return
+    dst = jvm.org.apache.hadoop.fs.Path(f"{target_root.toString()}/{rel}")
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.mkdirs(dst.getParent())
+    fs.rename(src_dir, dst)
 
 
 def upsert_delta(

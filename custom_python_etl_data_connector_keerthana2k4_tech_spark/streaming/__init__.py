@@ -4,6 +4,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops impo
     foreach_batch_upsert,
     run_pulse_stream,
     session_counts,
+    stateful_running_totals,
     stream_dedup,
     windowed_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "foreach_batch_upsert",
     "run_pulse_stream",
     "session_counts",
+    "stateful_running_totals",
     "stream_dedup",
     "windowed_counts",
 ]

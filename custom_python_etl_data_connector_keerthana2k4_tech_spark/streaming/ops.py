@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,3 +166,42 @@ def run_pulse_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    running event count + value total, maintained across micro-batches in
+    the state store and recovered from the checkpoint on restart.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (per-key models, custom session logic,
+    CDC-style accumulators): Arrow batches in, a typed state tuple per key,
+    one emitted row per key per batch with the cumulative figures. State is
+    partitioned by the grouping key — the same shuffle contract as a
+    groupBy — so it scales horizontally with shuffle partitions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        # append: each batch's emitted rows are final records (the running
+        # totals as of that batch) — composes with append-only file sinks
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -86,3 +86,38 @@ def test_json_and_csv_scans_match_parquet(spark, sf_dir, tmp_path):
     from_csv = spark.read.schema(schema).option("header", True).csv(cdir)
     assert _canon(from_json) == _canon(nation)
     assert _canon(from_csv) == _canon(nation)
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Two tables bucketed by the join key into the same bucket count join
+    WITHOUT a shuffle: the physical plan has no Exchange under the join,
+    while the plain parquet join shuffles both sides."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(o.withColumnRenamed("o_custkey", "custkey"), "t_orders_b", "custkey", 8, sort_by=["custkey"])
+    write_bucketed(c.withColumnRenamed("c_custkey", "custkey"), "t_customer_b", "custkey", 8, sort_by=["custkey"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_customer_b", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+
+        plain = o.withColumnRenamed("o_custkey", "custkey").join(
+            c.withColumnRenamed("c_custkey", "custkey"), "custkey"
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan  # the baseline does shuffle
+
+        # and results are identical to the plain join
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")

@@ -214,3 +214,53 @@ def test_pulse_stream_converges(spark, tmp_path):
     out = spark.read.parquet(target).filter(F.col("pulse_id") == "pi-001").collect()
     assert len(out) == 1
     assert out[0].pulse_name == "Emotet wave v2"
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces two batches) and survive a checkpointed
+    restart — the state store is doing the work, not the batch."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import stateful_running_totals
+
+    src = str(tmp_path / "st_src")
+    sink = str(tmp_path / "st_sink")
+    ck = str(tmp_path / "st_ck")
+    base = dt.datetime(2024, 4, 1, 12, 0, 0)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    add_file([(1, base, 7, "a", 1.0, "{}"), (2, base, 7, "a", 2.0, "{}")])
+    add_file([(3, base, 7, "a", 4.0, "{}"), (4, base, 8, "b", 10.0, "{}")])
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stateful_running_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    emitted = sorted(
+        map(tuple, spark.read.parquet(sink).collect()), key=lambda t: (t[0], t[1])
+    )
+    # user 7 emitted once per batch containing it, with growing totals
+    u7 = [t for t in emitted if t[0] == 7]
+    assert [t[1] for t in u7] == [2, 3] and [t[2] for t in u7] == [3.0, 7.0]
+    assert (8, 1, 10.0) in emitted
+
+    # restart with new data: state recovered from checkpoint, totals continue
+    add_file([(5, base, 7, "a", 0.5, "{}")])
+    run()
+    emitted2 = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert (7, 4, 7.5) in emitted2  # 3 prior events + 1 new, cumulative sum

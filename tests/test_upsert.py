@@ -56,3 +56,45 @@ def test_upsert_parquet_roundtrip(spark, tmp_path):
     upsert_parquet(spark, _df(spark, [("a", "v2", 2), ("c", "v1", 1)]), path, "k", ["ts"])
     out = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert out == {"a": "v2", "b": "v1", "c": "v1"}
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """partition_by path: merging a batch that touches one partition must
+    leave every other partition directory byte-identical (same files, same
+    mtimes) — the rewrite cost is proportional to the batch, not the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", i * 10) for i in range(30)], "k long, day string, v long"
+    )
+    upsert_parquet(spark, base, path, key="k", order_by=["v"], partition_by=["day"])
+
+    def snapshot(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d2 = snapshot("d1"), snapshot("d2")
+
+    # batch touches only day=d0: update k=0, insert k=100
+    batch = spark.createDataFrame([(0, "d0", 999), (100, "d0", 1000)], "k long, day string, v long")
+    upsert_parquet(spark, batch, path, key="k", order_by=["v"], partition_by=["day"])
+
+    assert snapshot("d1") == before_d1  # byte-untouched
+    assert snapshot("d2") == before_d2
+
+    out = spark.read.parquet(path)
+    assert out.count() == 31  # 30 + 1 insert
+    assert out.filter(F.col("k") == 0).first().v == 999  # updated
+    assert out.filter(F.col("k") == 100).first().v == 1000  # inserted
+    # re-run converges (idempotence preserved under partitioned path)
+    upsert_parquet(spark, batch, path, key="k", order_by=["v"], partition_by=["day"])
+    assert spark.read.parquet(path).count() == 31
