@@ -180,3 +180,35 @@ def sql_normalize_text(text_expr: str) -> str:
 
 def sql_fingerprint(text_expr: str) -> str:
     return f"md5({sql_normalize_text(text_expr)})"
+
+
+_RH_BASE = 131
+_RH_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) of the normalized text:
+    ``h = (h * 131 + codepoint) mod 1e9+7`` folded over every character.
+
+    One narrow higher-order-function pass — no UDF, no shuffle. Unlike the
+    md5 fingerprint this is incrementally maintainable (append = a few
+    multiply-adds), the property rolling hashes exist for. Empty-string
+    guard keeps Java's trailing-empty split artifact out of the fold so the
+    DuckDB mirror matches exactly.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(normalize_text(c), ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _RH_BASE + F.ascii(ch)) % _RH_MOD,
+    )
+
+
+def sql_rolling_fingerprint(text_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({sql_normalize_text(text_expr)}, ''), "
+        f"c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD})"
+    )

@@ -165,9 +165,9 @@ def q43_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q44_minhash_neardup", oracle=None)  # approximate (MinHash LSH) — rows-only
 def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup candidates (MLlib, seed=42). The sub-quadratic
-    approximate path for q43; recall vs the exact pairs is asserted in
-    tests/test_dedup.py."""
+    """MinHash LSH near-dup pairs (native banding, seed=42, exact-verified
+    candidates). The sub-quadratic approximate path for q43; recall vs the
+    exact pairs is asserted in tests/test_dedup.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import minhash_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -429,4 +429,32 @@ def q38_apply_in_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.groupBy("source").applyInPandas(
         group_median, "source string, median_len double, n_docs long"
+    )
+
+
+@query(
+    "q51_rolling_fingerprint",
+    oracle=f"""
+    SELECT source,
+           CAST(count(DISTINCT {TXT.sql_rolling_fingerprint('text')}) AS BIGINT)
+             AS n_distinct,
+           min({TXT.sql_rolling_fingerprint('text')}) AS min_fp,
+           max({TXT.sql_rolling_fingerprint('text')}) AS max_fp
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q51_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint accounting per source (the
+    incrementally-maintainable twin of q42's md5 fingerprint — identical
+    mod-arithmetic folds in Spark and DuckDB, bit-exact)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", TXT.rolling_fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("n_distinct"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
     )
