@@ -472,28 +472,26 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregations — linear in tokens, no pairwise work.
     """
     nbits = 63  # keep the sign bit clear so the result is a positive bigint
-    word_df = shingle_sets(df, id_col, text_col, n=1).select(
-        "id", F.explode("shingles").alias("w")
+    word_df = (
+        shingle_sets(df, id_col, text_col, n=1)
+        .select("id", F.explode("shingles").alias("w"))
+        .select("id", F.xxhash64("w").alias("h"))
     )
-    bits = word_df.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("j"),
-        F.xxhash64("w").alias("h"),
-    ).select(
-        "id",
-        "j",
-        # shiftright with a column shift amount needs the SQL form
-        F.expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END").alias("sign"),
-    )
-    per_bit = bits.groupBy("id", "j").agg(F.sum("sign").alias("s"))
-    return per_bit.groupBy("id").agg(
+    # One aggregation with 63 sign-sum expressions beats exploding 63 rows
+    # per word (63x less shuffle volume; partial aggregation applies).
+    sign_sums = [
         F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j)"
-                " ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
-    )
+            F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{j}")
+        for j in range(nbits)
+    ]
+    per_id = word_df.groupBy("id").agg(*sign_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(nbits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_id.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(
