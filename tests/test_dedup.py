@@ -129,3 +129,33 @@ def test_content_dedup(spark, docs):
     ids = {r.doc_id for r in out.collect()}
     assert 1 in ids and 4 not in ids  # min doc_id survives per fingerprint
     assert ids == {1, 2, 3, 5}
+
+
+def test_jaccard_prefix_open_vocabulary_planted_twins(spark):
+    """The open-vocabulary regime (auto -> prefix path): a Zipf corpus where
+    the bitmap kernel doesn't apply. Planted one-word-edit twins are found
+    exactly — no false positives from the random bulk, no missed twins."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(20000)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    probs /= probs.sum()
+    docs = []
+    for i in range(4000):
+        n = rng.randint(20, 60)
+        words = rng.choice(len(vocab), size=n, p=probs)
+        docs.append((i, " ".join(vocab[w] for w in words)))
+    for i in range(200):
+        base = docs[i][1].split()
+        base[0] = "edited"
+        docs.append((100000 + i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    planted = {(r.id_a, r.id_b) for r in out if r.id_b >= 100000}
+    # every twin found; the random bulk produces no J>=0.8 pairs
+    assert len(planted) >= 200
+    assert all(r.jaccard >= 0.8 for r in out)
+    spurious = [r for r in out if r.id_b < 100000]
+    assert not spurious, spurious[:5]
