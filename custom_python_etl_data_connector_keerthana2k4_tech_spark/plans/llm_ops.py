@@ -458,3 +458,60 @@ def q51_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
+
+
+@query("q52_rest_pipeline", oracle=None)  # network source — rows-only check
+def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline over the wire (R1->R7 composed): a
+    self-contained local HTTP stub serves the OTX-shaped fixture pages;
+    the paginated_rest Data Source reads them (auth header, pagination,
+    short-page stop), and the transform/validate chain produces the
+    §1.2 document shape. Deterministic rows (pinned run timestamp), no
+    external network."""
+    import datetime as dt
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import (
+        RAW_PULSE_SCHEMA,
+        paged_payloads,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.pipeline import transform_pulses, validate
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources import pulses_df
+
+    pages = {i + 1: p for i, p in enumerate(paged_payloads(3))}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_GET(self):
+            page = int(parse_qs(urlparse(self.path).query).get("page", ["1"])[0])
+            body = json.dumps(pages.get(page, {"results": []})).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    # cfg.base_url is the *reported* source tag (a metadata column in the
+    # output) — pin it to a logical name so the ephemeral stub port doesn't
+    # make the result nondeterministic across runs; the reader gets the
+    # real URL separately.
+    cfg = PipelineConfig(
+        api_key="k", base_url="http://rest-stub.local", connector_name="rest_demo", city=""
+    )
+    raw = pulses_df(
+        spark, base, RAW_PULSE_SCHEMA, api_key="k", per_page="3", max_pages="10",
+        backoff_initial_s="0.01",
+    )
+    out = validate(
+        transform_pulses(raw, cfg, run_ts=dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
+    ).drop("raw")  # struct column dropped for a stable flat schema
+    # materialize before the ephemeral server goes away
+    return spark.createDataFrame(out.collect(), schema=out.schema)
