@@ -533,3 +533,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the similarity graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph in ``edges`` —
+    component = min node id reachable (deterministic canonical labels).
+
+    Iterative min-label propagation: every node adopts the smallest label in
+    its closed neighborhood until fixpoint (checked with a cheap aggregate;
+    hop count is bounded by graph diameter, and near-dup graphs are dense
+    clusters with tiny diameters, so 2-4 rounds in practice). Each round is
+    one join + one aggregation — all hash-partitioned by node id, no driver
+    data movement. This is the standard Spark CC shape (GraphX/GraphFrames
+    use the same label-propagation plan); for graphs with genuinely large
+    diameters use the large-star/small-star variant.
+    """
+    # localCheckpoint truncates lineage each round — without it the logical
+    # plan doubles per iteration (labels appears twice) and planning itself
+    # OOMs long before the data does. Standard iterative-graph idiom.
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            both.join(labels, both["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("component", "new_component")
+            .join(labels, "node")
+            .filter(F.col("new_component") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    n: int = 1,
+) -> DataFrame:
+    """Near-duplicate-free corpus: mine the exact Jaccard similarity graph
+    (jaccard_pairs), cluster it with connected components, and keep the
+    lowest-id document of every cluster (singletons pass through untouched).
+
+    THE end-to-end dedup operator of a training-data pipeline: the output is
+    the input minus every document whose cluster has a smaller-id member.
+    Deterministic; idempotence (near_dedup(near_dedup(x)) == near_dedup(x))
+    holds because representatives of distinct clusters are never within
+    ``threshold`` of each other... unless transitively linked, which the
+    clustering already collapsed.
+    """
+    pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold, n=n)
+    components = connected_components(pairs)
+    losers = (
+        components.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

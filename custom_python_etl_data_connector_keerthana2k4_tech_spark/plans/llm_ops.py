@@ -515,3 +515,20 @@ def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("raw")  # struct column dropped for a stable flat schema
     # materialize before the ephemeral server goes away
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+@query("q53_near_dedup_corpus", oracle=None)  # iterative CC — not SQL-expressible
+def q53_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup of the corpus: exact Jaccard similarity graph
+    (J >= 0.9) -> connected components (iterative min-label propagation
+    with lineage checkpointing) -> keep the lowest-id doc per cluster.
+    The operator a training pipeline actually runs; clusters are verified
+    against a driver-side union-find in tests/test_dedup.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import near_dedup
+
+    d = load(spark, sf_dir, "documents")
+    out = near_dedup(d, "doc_id", "text", threshold=0.9)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -159,3 +159,54 @@ def test_jaccard_prefix_open_vocabulary_planted_twins(spark):
     assert all(r.jaccard >= 0.8 for r in out)
     spurious = [r for r in out if r.id_b < 100000]
     assert not spurious, spurious[:5]
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (transitive), pair 10-11, self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dedup_corpus(spark, sf_dir):
+    """near_dedup removes exactly the non-representative cluster members and
+    is idempotent; the survivors contain no J>=threshold pair."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import near_dedup
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(300)
+    out = near_dedup(d, "doc_id", "text", threshold=0.9)
+    n_in, n_out = d.count(), out.count()
+    assert 0 < n_out < n_in  # fixture has near-dups
+
+    # survivors are pairwise below threshold
+    leftover = jaccard_pairs(out, "doc_id", "text", threshold=0.9)
+    assert leftover.count() == 0
+
+    # idempotent
+    again = near_dedup(out, "doc_id", "text", threshold=0.9)
+    assert again.count() == n_out
+
+    # equivalence with a driver-side union-find over the exact pairs
+    pairs = jaccard_pairs(d, "doc_id", "text", threshold=0.9).collect()
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    expected = {r.doc_id for r in d.collect()} - losers
+    assert {r.doc_id for r in out.collect()} == expected
