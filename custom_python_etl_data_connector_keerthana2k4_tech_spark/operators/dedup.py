@@ -267,6 +267,17 @@ def jaccard_pairs(
     jaccard is a single double division of exact integers — deterministic.
     """
     sets_df = shingle_sets(df, id_col, text_col, n=n)
+    verified, members = _rep_pairs(sets_df, threshold, strategy)
+    return _expand_pairs(verified, members, threshold)
+
+
+def _rep_pairs(
+    sets_df: DataFrame, threshold: float, strategy: str = "auto"
+) -> tuple[DataFrame, DataFrame]:
+    """Verified distinct-set pairs (fp_a, fp_b, n_common, sz_a, sz_b,
+    jaccard) plus the (fp, id, sz) membership frame — the pre-expansion core
+    shared by jaccard_pairs (which expands to id pairs) and near_dedup
+    (which clusters at the rep level and never materializes id pairs)."""
     reps, members = _canonicalize(sets_df)
     reps = reps.persist()
     members = members.persist()
@@ -308,7 +319,7 @@ def jaccard_pairs(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    return _expand_pairs(verified, members, threshold)
+    return verified, members
 
 
 def _corpus_stats(reps: DataFrame) -> tuple[int, int]:
@@ -615,11 +626,32 @@ def near_dedup(
     holds because representatives of distinct clusters are never within
     ``threshold`` of each other... unless transitively linked, which the
     clustering already collapsed.
+
+    Scale shape: the similarity graph is clustered at the *canonical-set*
+    level (distinct contents), never expanded to id-level pairs — a corpus
+    with heavy exact duplication mines and clusters a graph orders of
+    magnitude smaller than the id-pair graph. Members then map to their
+    set's component and survive iff they are the cluster's min id.
     """
-    pairs = jaccard_pairs(df, id_col, text_col, threshold=threshold, n=n)
-    components = connected_components(pairs)
-    losers = (
-        components.filter(F.col("node") != F.col("component"))
-        .select(F.col("node").alias(id_col))
+    sets_df = shingle_sets(df, id_col, text_col, n=n)
+    rep_pairs, members = _rep_pairs(sets_df, threshold)
+    components = connected_components(rep_pairs, src="fp_a", dst="fp_b")
+
+    # fp -> component (singleton sets are their own component)
+    labeled = (
+        members.join(components, members["fp"] == components["node"], "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("component"), F.col("fp")).alias("component"),
+        )
     )
-    return df.join(losers, id_col, "left_anti")
+    w = Window.partitionBy("component")
+    survivors = (
+        labeled.withColumn("min_id", F.min("id").over(w))
+        .filter(F.col("id") == F.col("min_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    # docs with empty shingle sets never enter the graph: pass them through
+    return df.join(survivors, id_col, "left_semi").unionByName(
+        df.join(sets_df.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    )
