@@ -532,3 +532,19 @@ def q53_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_surviving"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query("q54_curate_corpus", oracle=None)  # composition incl. iterative CC — rows-only
+def q54_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (quality gate -> exact dedup ->
+    near-dup dedup) rolled up per source. Stage semantics are individually
+    oracle-checked (q40/q42/q43); the composition and its accounting are
+    pinned by tests/test_curate.py."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.curate import curate
+
+    d = load(spark, sf_dir, "documents")
+    out = curate(d, "doc_id", "text", min_quality=0.5, near_dup_threshold=0.9)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
