@@ -1,0 +1,372 @@
+"""Extended query surface, round-1 second wave (SURVEY §2.3 additions).
+
+Operators here round out the relational inventory with the shapes a
+point-in-time analytics / training-data engine needs beyond the first 54
+queries: as-of joins, pivot/unpivot reshaping, deterministic distributed
+sampling, correlated subqueries (Catalyst decorrelation), a 6-way
+star-schema join, edit-distance near-dup, and time-range window frames.
+
+Same determinism rules as plans/relational.py (decimal-accumulated double
+sums, aligned aliases, unique tiebreakers). Scale notes per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.joins import asof_join
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DAVG, DSUM, davg, dsum
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_asof_join",
+    oracle=f"""
+    WITH od AS (
+      SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+             {DSUM('o_totalprice')} AS day_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           od.order_ts AS last_order_ts, od.day_total
+    FROM events e
+    ASOF LEFT JOIN od ON e.user_id = od.user_id AND e.ts >= od.order_ts
+    """,
+)
+def q55_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the customer's most recent
+    order day at-or-before the event (operators/joins.asof_join — the
+    union + last-ignorenulls-window formulation: ONE shuffle on the key,
+    no range-join row explosion; reference R6's enrichment generalized to
+    temporal joins). Right side pre-aggregated per (key, day) so the match
+    is unique and both engines are deterministic."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_ts"),
+        )
+        .agg(dsum("o_totalprice").alias("day_total"))
+    )
+    return asof_join(
+        events, od, on="user_id", left_time="ts", right_time="last_order_ts"
+    ).select("event_id", "user_id", "ts", "last_order_ts", "day_total")
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (reshaping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q56_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {DSUM("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+           {DSUM("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+           {DSUM("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long -> wide on an explicit pivot-value list. Listing the
+    values up front matters at scale — it skips Spark's extra
+    distinct-collect job AND keeps the plan a single partial-aggregate
+    shuffle (pivot compiles to the same conditional aggregation the oracle
+    spells out)."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("cnt"))
+    )
+    return wide.select(
+        "l_linestatus",
+        F.col("A_qty").alias("qty_a"),
+        F.col("N_qty").alias("qty_n"),
+        F.col("R_qty").alias("qty_r"),
+        (
+            F.coalesce("A_cnt", F.lit(0))
+            + F.coalesce("N_cnt", F.lit(0))
+            + F.coalesce("R_cnt", F.lit(0))
+        ).alias("n_rows"),
+    )
+
+
+@query(
+    "q57_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def q57_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide -> long. ``DataFrame.unpivot`` is a narrow
+    transformation (no shuffle — each row expands in place), so it scales
+    linearly; the oracle spells out the equivalent UNION ALL."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 <
+          CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 858993459 ELSE 214748365 END
+    """,
+)
+def q58_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep ~20% of URGENT orders and
+    ~5% of the rest, selected by a Knuth multiplicative hash of the key —
+    plain BIGINT arithmetic, so the *same* rows are chosen on any engine,
+    any partitioning, any run (unlike ``df.sample``/``TABLESAMPLE``, whose
+    RNG is partition-dependent and un-oracle-able). At 100 TB this is a
+    pushdown-friendly filter: no shuffle, no state, reproducible splits
+    for train/eval carving."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    threshold = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit(858993459)
+    ).otherwise(F.lit(214748365))
+    return o.filter(bucket < threshold).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q59_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape). Declared through spark.sql so
+    Catalyst performs the decorrelation: the physical plan is a left-semi
+    join on l_orderkey = o_orderkey with the date conjunct pushed to both
+    scans — i.e. the optimizer, not the author, turns the per-row probe
+    into one shuffle."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q59_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q59_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM q59_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM q59_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q60_scalar_subquery",
+    oracle=f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0
+             AS avg_weekly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * {DAVG('l2.l_quantity')}
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q60_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (TPC-H Q17 shape: small-quantity
+    orders for one brand). Catalyst decorrelates the per-part average into
+    an aggregate + join; the brand filter broadcasts. The inner average is
+    decimal-sum / count on both engines so the comparison threshold is
+    bit-identical."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q60_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("q60_part")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / 7.0
+                 AS avg_weekly
+        FROM q60_lineitem, q60_part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                          / count(l2.l_quantity))
+            FROM q60_lineitem l2 WHERE l2.l_partkey = q60_part.p_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema multi-join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_regional_revenue",
+    oracle=f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q61_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way star join (TPC-H Q5: revenue by nation for one region/year,
+    local suppliers only). The scale-critical choices: nation⋈region
+    broadcast (fixed-size dims), the date filter pushed into the orders
+    scan before the fact join, and the c_nationkey = s_nationkey conjunct
+    applied as a join condition — Catalyst + AQE order the remaining
+    shuffles."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    reg = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_levenshtein_neardup",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT)
+             AS lev
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.n_chars // 50 = b.n_chars // 50
+         AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15
+    """,
+)
+def q62_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs with blocking. Levenshtein is
+    O(len²) per pair, so the join is *blocked* on (lang, length-bucket):
+    candidate pairs drop from |D|²/2 to Σ|block|²/2, and the expensive
+    metric runs on a 40-char prefix only. Complements the token-set
+    near-dup family (q43-q45): edit distance catches character-level edits
+    Jaccard misses. Both engines implement standard Wagner-Fischer, so the
+    distances match exactly."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("bucket"),
+        F.substring("text", 1, 40).alias("prefix_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("bucket"),
+        F.substring("text", 1, 40).alias("prefix_b"),
+    )
+    return (
+        a.join(b, ["lang", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("lev", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("lev") <= 15)
+        .select("doc_a", "doc_b", "lev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q63_time_range_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(30,10))) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS trailing_1h
+    FROM events
+    """,
+)
+def q63_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user running sum — a RANGE frame keyed on *time*,
+    not row count (the per-entity rolling feature of a training pipeline).
+    Spark's rangeBetween needs a numeric ordering key: microseconds since
+    epoch, so the 3.6e9-µs frame is exact and tie rows (equal ts) fall in
+    one frame on both engines. One shuffle on user_id; the frame is a
+    sliding two-pointer scan per partition, O(n) not O(n·window)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h"),
+    )
