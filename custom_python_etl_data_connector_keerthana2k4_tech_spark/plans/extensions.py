@@ -370,3 +370,146 @@ def q63_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (text analysis: salient terms per document)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q64_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n_docs FROM n) / df.df) AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def q64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salient terms: tokenize -> per-doc term frequency -> corpus
+    document frequency -> tf·ln(N/df) -> top-3 per doc. All JVM-side
+    (split/explode/groupBy/window); the df table is tiny relative to the
+    corpus (|vocab| rows) and broadcasts into the scoring join, so the only
+    big shuffles are the two token aggregations. Ties rank by term so both
+    engines order identically; identical double ops (count · ln(count ratio))
+    are bit-identical cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids (vector aggregate, component-wise)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q65_label_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS centroid,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM comp
+    GROUP BY label, dim
+    """,
+)
+def q65_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, component-wise — the
+    k-means-style aggregate of a vector column done relationally:
+    posexplode to (label, dim, val), decimal-sum/count per (label, dim).
+    One shuffle keyed (label, dim) — at 100 TB this beats any
+    collect-and-average driver loop, and the decimal accumulation makes
+    the float means deterministic cross-engine. (The IVF index build in
+    operators/similarity.py uses the same shape.)"""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum(F.col("val").cast("decimal(30,10)")).cast("double") / F.count(F.lit(1))).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vecs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q66_udtf_bigrams",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+      FROM s
+    )
+    SELECT a.w || ' ' || b.w AS bigram, CAST(count(*) AS BIGINT) AS n
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q66_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top bigrams via a Python UDTF (functions/udtfs.NGrams)
+    applied LATERAL-style per document — the declared table-function slot of
+    the UDF surface. The UDTF runs rows through the Python worker (slow
+    path; the oracle's self-join-on-position is how you'd do it JVM-side);
+    the aggregation after it is ordinary partial-agg + one shuffle."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.udtfs import NGrams
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("q66_documents")
+    spark.udtf.register("q66_ngrams", NGrams)
+    return spark.sql(
+        """
+        SELECT t.ngram AS bigram, count(*) AS n
+        FROM q66_documents d, LATERAL q66_ngrams(d.text, 2) t
+        GROUP BY t.ngram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+        """
+    )

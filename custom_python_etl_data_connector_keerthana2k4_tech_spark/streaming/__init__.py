@@ -6,6 +6,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops impo
     session_counts,
     stateful_running_totals,
     stream_dedup,
+    stream_stream_join,
     windowed_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "session_counts",
     "stateful_running_totals",
     "stream_dedup",
+    "stream_stream_join",
     "windowed_counts",
 ]

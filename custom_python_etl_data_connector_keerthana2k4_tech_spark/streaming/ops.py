@@ -205,3 +205,43 @@ def stateful_running_totals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join (funnel/attribution shape): each left
+    event pairs with right events of the same key that happen within
+    ``[left_ts, left_ts + max_delay]`` — e.g. clicks joined to the
+    purchases they convert into within the hour.
+
+    Both inputs are watermarked and the join carries an explicit time-range
+    conjunct; together those let Spark bound the state it buffers for each
+    side (rows older than watermark + delay are evicted) — without the
+    range condition a stream-stream join would have to keep *all* history.
+    Works identically on batch frames (drops the watermarks) for parity
+    testing. Right-side columns are prefixed to keep the output
+    unambiguous. ``how='left_outer'`` emits unmatched left rows once their
+    window can no longer match (after the watermark passes).
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    renamed = {c: (right_prefix + c) for c in right.columns}
+    right = right.select([F.col(c).alias(renamed[c]) for c in right.columns])
+    rk, rt = renamed[key], renamed[right_ts]
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rt) >= F.col(left_ts))
+        & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, how).drop(rk)

@@ -264,3 +264,33 @@ def test_stateful_running_totals(spark, tmp_path):
     run()
     emitted2 = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert (7, 4, 7.5) in emitted2  # 3 prior events + 1 new, cumulative sum
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Interval join of two derived streams (clicks -> purchases within 1h)
+    equals the same join done in batch. Append mode: inner stream-stream
+    join results are final once emitted."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import stream_stream_join
+
+    def split(df):
+        clicks = df.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        buys = df.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        return clicks, buys
+
+    s_clicks, s_buys = split(spark.readStream.schema(EVENTS_DDL).parquet(events_dir))
+    joined = stream_stream_join(
+        s_clicks, s_buys, key="user_id", max_delay="1 hour", watermark="4 hours"
+    )
+    _run_to_memory(joined, "ss_join", str(tmp_path / "ck_ssj"), mode="append")
+    got = spark.sql("SELECT * FROM ss_join")
+
+    b_clicks, b_buys = split(spark.read.parquet(events_dir))
+    want = stream_stream_join(
+        b_clicks, b_buys, key="user_id", max_delay="1 hour", watermark="4 hours"
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
