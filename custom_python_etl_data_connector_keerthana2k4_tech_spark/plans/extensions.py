@@ -513,3 +513,152 @@ def q66_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (mergeable-sketch path for q35)
+# ---------------------------------------------------------------------------
+
+
+@query("q67_percentile_approx", oracle=None)  # sketch != DuckDB's — bound-tested
+def q67_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx per group: the one-pass mergeable-sketch
+    (Greenwald-Khanna) replacement for q35's exact sort-per-group — the
+    form you run at 100 TB. No oracle (sketch internals differ per engine);
+    tests bound it against the exact percentiles (accuracy 10000 =>
+    rank error <= n/10000)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.25, 10000).alias("p25"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.75, 10000).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranking functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q68_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q68_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — the distribution ranking family
+    (quantile bucketing for feature engineering). One shuffle on the
+    partition key; c_custkey tiebreaks so both engines rank identically."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (vector math without UDFs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q69_higher_order_arrays",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(length(embedding) AS INT) AS dim,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+           CAST(list_sum(list_transform(embedding,
+                x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q69_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform + aggregate compute the L2
+    norm and positive-component count of each embedding entirely JVM-side —
+    no UDF, no explode, no shuffle (narrow per-row fold in list order, so
+    the doubles match the oracle's sequential list_sum bit-for-bit).
+    This is the hot-path idiom functions/vectors.py builds on."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_pos = F.aggregate(
+        F.transform("embedding", lambda x: F.when(x > 0, 1).otherwise(0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+        n_pos.alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (dense resample)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_gap_fill",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n, {DSUM('value')} AS total
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM b GROUP BY 1),
+    g AS (SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM r)
+    SELECT g.event_type, g.hour,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n_events,
+           coalesce(b.total, 0.0) AS total_value
+    FROM g LEFT JOIN b USING (event_type, hour)
+    """,
+)
+def q70_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series resample: hourly counts per event_type with
+    zero-filled rows for silent hours (the hypertable-rollup/gap-fill
+    operator of time-series engines). The dense hour grid is generated with
+    sequence()+explode from each type's observed min/max — a few rows
+    exploding to the grid, never a driver loop — then left-joined to the
+    sparse aggregate. The grid side is tiny at any SF (types × hours), so
+    AQE broadcasts it."""
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+    )
+    g = (
+        b.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return g.join(b, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("total_value"),
+    )

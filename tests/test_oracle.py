@@ -102,3 +102,20 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for k, e in exact.items():
         assert math.isclose(approx[k], e, rel_tol=0.1), (k, approx[k], e)
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    """q67 has no oracle; bound the sketch against q35's exact percentiles."""
+    approx = {
+        r.event_type: (r.p25, r.p50, r.p75)
+        for r in _QUERIES["q67_percentile_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: (r.p25, r.p50, r.p75)
+        for r in _QUERIES["q35_percentiles"](spark, sf_dir).collect()
+    }
+    for k, (e25, e50, e75) in exact.items():
+        a25, a50, a75 = approx[k]
+        spread = abs(e75 - e25) + 1e-9
+        for a, e in ((a25, e25), (a50, e50), (a75, e75)):
+            assert abs(a - e) <= 0.05 * spread + 1e-6, (k, a, e)

@@ -294,3 +294,27 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     )
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_stream_static_join_enrichment(spark, events_dir, sf_dir, tmp_path):
+    """Stream-static join: a live stream enriched against a batch dimension
+    table (no watermark needed — the static side is re-read per batch)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    enriched = stream.join(dim, "user_id", "left").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    _run_to_memory(enriched, "ss_enrich", str(tmp_path / "ck_ssenrich"), mode="append")
+    got = spark.sql("SELECT * FROM ss_enrich")
+    want = (
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    assert _rows(got) == _rows(want)
+    assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
