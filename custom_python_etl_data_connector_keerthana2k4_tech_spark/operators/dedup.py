@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import fingerprint, words
 
@@ -556,6 +557,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """(node, component) labels for the undirected graph in ``edges`` —
     component = min node id reachable (deterministic canonical labels).
@@ -569,15 +571,60 @@ def connected_components(
     use the same label-propagation plan); for graphs with genuinely large
     diameters use the large-star/small-star variant.
     """
+    # Adaptive local solve: the edge frame this operator sees is already
+    # canonical-set-reduced (distinct contents, not documents), so in the
+    # common case it is tiny even when the corpus is huge. Below the
+    # threshold, collect the edge list and union-find on the driver — the
+    # same small-side-collect tradeoff as a broadcast join, and it replaces
+    # O(diameter) shuffle rounds with one job. Above it, fall through to
+    # distributed min-label propagation. Set ``local_threshold=0`` to force
+    # the distributed path.
+    pair_df = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).persist()
+    if local_threshold > 0 and pair_df.count() <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pair_df.collect():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by canonical min so labels are deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        schema = pair_df.schema
+        out_schema = T.StructType(
+            [
+                T.StructField("node", schema["a"].dataType),
+                T.StructField("component", schema["a"].dataType),
+            ]
+        )
+        pair_df.unpersist()
+        return spark.createDataFrame(rows, out_schema)
+
     # localCheckpoint truncates lineage each round — without it the logical
     # plan doubles per iteration (labels appears twice) and planning itself
     # OOMs long before the data does. Standard iterative-graph idiom.
     both = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pair_df.unionByName(
+            pair_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .distinct()
         .localCheckpoint()
     )
+    pair_df.unpersist()
     labels = (
         both.select(F.col("a").alias("node"))
         .distinct()
@@ -633,8 +680,13 @@ def near_dedup(
     magnitude smaller than the id-pair graph. Members then map to their
     set's component and survive iff they are the cluster's min id.
     """
+    # The input is scanned twice (shingling, final keep-join); when it is
+    # itself an expensive chain (curate() feeds the quality-gated,
+    # window-deduped corpus in here) that chain would run twice. persist is
+    # MEMORY_AND_DISK so at cluster scale this spills rather than OOMs.
+    df = df.persist()
     sets_df = shingle_sets(df, id_col, text_col, n=n)
-    rep_pairs, members = _rep_pairs(sets_df, threshold)
+    rep_pairs, members = _rep_pairs(sets_df, threshold)  # members arrives persisted
     components = connected_components(rep_pairs, src="fp_a", dst="fp_b")
 
     # fp -> component (singleton sets are their own component)
@@ -649,9 +701,16 @@ def near_dedup(
     survivors = (
         labeled.withColumn("min_id", F.min("id").over(w))
         .filter(F.col("id") == F.col("min_id"))
-        .select(F.col("id").alias(id_col))
+        .select(F.col("id").alias(id_col), F.lit(1).alias("__surv"))
     )
-    # docs with empty shingle sets never enter the graph: pass them through
-    return df.join(survivors, id_col, "left_semi").unionByName(
-        df.join(sets_df.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    # One scan of df instead of a semi + anti pair (each would re-run the
+    # full upstream chain): both markers are unique per id, so the two left
+    # joins cannot multiply rows. Keep a row iff it never entered the graph
+    # (empty shingle set) or it is its cluster's survivor.
+    in_graph = members.select(F.col("id").alias(id_col), F.lit(1).alias("__in_graph"))
+    return (
+        df.join(in_graph, id_col, "left")
+        .join(survivors, id_col, "left")
+        .filter(F.col("__in_graph").isNull() | F.col("__surv").isNotNull())
+        .drop("__in_graph", "__surv")
     )

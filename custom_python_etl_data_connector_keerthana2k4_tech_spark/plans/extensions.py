@@ -662,3 +662,38 @@ def q70_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("total", F.lit(0.0)).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: VariantType (Spark 4 open-JSON path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q71_variant_json",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q71_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-content JSON via VariantType (Spark 4): ``parse_json`` once into
+    a variant column, then typed ``variant_get`` projections. This is the
+    100 TB answer to the reference's schemaless payloads (SURVEY §1.1:
+    keep the unmodeled remainder dynamic instead of inferring a rigid
+    struct per run) — variant decoding is a binary format, far cheaper
+    than per-query ``from_json`` string parsing, and the shredded access
+    pushes into the scan on Parquet variant columns."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.try_parse_json("props").alias("p")
+    ).select(
+        "event_type", F.variant_get("p", "$.k", "bigint").alias("k")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count("k").alias("n_with_k"),
+    )

@@ -210,3 +210,24 @@ def test_near_dedup_corpus(spark, sf_dir):
     losers = {x for x in parent if find(x) != x}
     expected = {r.doc_id for r in d.collect()} - losers
     assert {r.doc_id for r in out.collect()} == expected
+
+
+def test_connected_components_distributed_path_matches_local(spark):
+    """Force the distributed label-propagation path (local_threshold=0) and
+    check it produces exactly the local union-find labels."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (12, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    local = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert dist == local == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+    }
