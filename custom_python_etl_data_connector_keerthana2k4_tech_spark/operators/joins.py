@@ -146,3 +146,55 @@ def asof_join(
         *[F.col("__asof_match." + renamed[c]).alias(renamed[c]) for c in payload_cols],
     )
     return out
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_time: str,
+    right_time: str,
+    lower_us: int,
+    upper_us: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: pairs where ``right_time - left_time`` lies in
+    ``[lower_us, upper_us]`` microseconds, equi-keyed on ``on``.
+
+    Spark plans a raw time-range conjunct as a per-key nested-loop — O(n·m)
+    per key, the classic interval-join trap. This formulation buckets time
+    into ``w = upper_us - lower_us`` wide slots: the left side keeps its one
+    bucket, the right side replicates to the <= 2 buckets its admissible
+    partners can occupy, and the join becomes a hash equi-join on
+    (keys, bucket) followed by the exact range filter. Cost: <= 2x
+    replication of the right side, one shuffle, no quadratic probing —
+    survives dense keys at 100 TB where the nested-loop dies.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = max(upper_us - lower_us, 1)
+
+    overlap = (set(right.columns) - set(keys)) & set(left.columns)
+    renamed = {c: (c + suffix if c in overlap else c) for c in right.columns if c not in keys}
+    r = right.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(renamed[c]) for c in renamed],
+    )
+    rt = renamed.get(right_time, right_time)
+
+    l2 = left.withColumn("__bkt", F.floor(F.unix_micros(F.col(left_time)) / w))
+    r_us = F.unix_micros(F.col(rt))
+    r2 = r.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor((r_us - F.lit(upper_us)) / w),
+                F.floor((r_us - F.lit(lower_us)) / w),
+            )
+        ),
+    )
+    delta = F.unix_micros(F.col(rt)) - F.unix_micros(F.col(left_time))
+    return (
+        l2.join(r2, keys + ["__bkt"])
+        .filter((delta >= lower_us) & (delta <= upper_us))
+        .drop("__bkt")
+    )

@@ -697,3 +697,156 @@ def q71_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count("k").alias("n_with_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval self-join (bucketed range join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q72_interval_pairs",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTES
+    """,
+)
+def q72_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs per user within a 5-minute trailing window
+    (operators/joins.bucketed_range_join): time-bucketing turns the
+    per-key nested-loop range join into a hash equi-join on (key, bucket)
+    with <= 2x right-side replication. The oracle states the same pairs as
+    a plain theta join."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.joins import bucketed_range_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = bucketed_range_join(
+        e, e, on="user_id", left_time="ts", right_time="ts",
+        lower_us=1, upper_us=5 * 60 * 1_000_000,
+    )
+    return out.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_id_r").alias("id_b"),
+        "user_id",
+        (F.unix_micros("ts_r") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands (streak detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_order_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT o_custkey, date_trunc('day', o_orderdate) AS d
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, d,
+             d - INTERVAL (7 * row_number() OVER (PARTITION BY o_custkey ORDER BY d)) DAY
+               AS anchor
+      FROM days
+    )
+    SELECT o_custkey, min(d) AS streak_start, max(d) AS streak_end,
+           CAST(count(*) AS BIGINT) AS n_weeks
+    FROM grp
+    GROUP BY o_custkey, anchor
+    HAVING count(*) >= 3
+    """,
+)
+def q73_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive weekly order days per
+    customer (the fixture generates orders on a 7-day grid), found with the
+    row_number-difference trick — consecutive rows share (day - 7*rn), so
+    one window + one aggregate finds every streak. No self-join, no
+    iteration: two shuffles on the customer key regardless of streak
+    length."""
+    o = load(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.date_trunc("day", "o_orderdate").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn(
+        "anchor",
+        F.col("d") - F.make_dt_interval(days=F.lit(7) * F.row_number().over(w)),
+    )
+    return (
+        grp.groupBy("o_custkey", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_weeks"),
+        )
+        .filter(F.col("n_weeks") >= 3)
+        .drop("anchor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregation and ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_filtered_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree,
+           {DSUM('l_extendedprice')} AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10)))
+                FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS sum_price_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q74_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): multiple differently-
+    filtered aggregates in ONE pass / one shuffle — the alternative (N
+    filtered subqueries joined back) scans the fact table N times.
+    count_if and when()-guarded sums compile to the same partial-agg
+    shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.sum(
+            F.when(
+                F.col("l_quantity") >= 25,
+                F.col("l_extendedprice").cast("decimal(30,10)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_price_bulk"),
+    )
+
+
+@query(
+    "q75_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey < 200) t
+    GROUP BY c_nationkey
+    """,
+)
+def q75_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort -> array_join
+    gives a deterministic LISTAGG regardless of row arrival order (plain
+    collect_list order is partition-dependent — never expose it raw).
+    Bounded input: giant group strings are a driver/memory hazard at scale;
+    cap or switch to array output for unbounded groups."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
