@@ -250,3 +250,34 @@ def upsert_mongo(
             "and re-run. Equivalent keyed-upsert semantics are provided by "
             "upsert_parquet/upsert_delta."
         ) from exc
+
+
+def apply_cdc(
+    existing: DataFrame | None,
+    changes: DataFrame,
+    key: str | list[str],
+    order_by: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change feed (insert/update/delete) to a keyed table.
+
+    ``changes`` rows carry ``op_col`` in {'I','U','D'} (case-insensitive).
+    The winner per key is the newest record by ``order_by`` (change rows
+    beat existing rows on ties — replace_one semantics, extended with
+    deletes the reference's Mongo sink expresses as remove); a key whose
+    winning record is a delete disappears from the output. This is the
+    Delta ``MERGE WHEN MATCHED [AND ...] THEN UPDATE/DELETE`` shape in
+    vanilla DataFrame algebra: one union + one window shuffle on the key,
+    no per-key probing, so a 100 TB table merges a change feed in a single
+    pass.
+    """
+    changes = changes.withColumn(op_col, F.upper(F.col(op_col)))
+    tagged = changes.withColumn(_PRIORITY, F.lit(1))
+    if existing is not None:
+        tagged = (
+            existing.withColumn(op_col, F.lit("I"))
+            .withColumn(_PRIORITY, F.lit(0))
+            .unionByName(tagged)
+        )
+    merged = dedup_last_write_wins(tagged, key, order_by, priority_col=_PRIORITY)
+    return merged.filter(F.col(op_col) != "D").drop(op_col, _PRIORITY)

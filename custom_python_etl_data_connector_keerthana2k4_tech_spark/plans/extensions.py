@@ -850,3 +850,55 @@ def q75_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (merge a change feed: insert / update / delete)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q76_cdc_apply",
+    oracle="""
+    WITH existing AS (
+      SELECT event_id, ts, user_id, value FROM events WHERE event_id % 2 = 0
+    ),
+    changes AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, value * 10 AS value,
+             CASE WHEN event_id % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+      SELECT event_id, ts, user_id, value, 'I' AS op, 0 AS pri FROM existing
+      UNION ALL
+      SELECT event_id, ts, user_id, value, op, 1 AS pri FROM changes
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts DESC, pri DESC) AS rn
+      FROM merged
+    )
+    SELECT event_id, ts, user_id, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q76_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply (operators/upsert.apply_cdc): a change feed
+    with updates and deletes merges into a keyed table in ONE window pass —
+    the Delta MERGE WHEN MATCHED THEN UPDATE/DELETE shape without a
+    transaction log. Deletes win like any other change (newest record per
+    key), then vanish from the output; the oracle states the same merge as
+    window SQL."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import apply_cdc
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    existing = e.filter(F.col("event_id") % 2 == 0)
+    changes = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") * 10)
+        .withColumn(
+            "op", F.when(F.col("event_id") % 5 == 0, "D").otherwise("U")
+        )
+    )
+    return apply_cdc(existing, changes, key="event_id", order_by=["ts"])

@@ -98,3 +98,46 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # re-run converges (idempotence preserved under partitioned path)
     upsert_parquet(spark, batch, path, key="k", order_by=["v"], partition_by=["day"])
     assert spark.read.parquet(path).count() == 31
+
+
+def test_apply_cdc_semantics(spark):
+    """Updates replace, inserts add, deletes remove, stale changes lose."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import apply_cdc
+
+    existing = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 200, 10.0), (3, 300, 10.0)],
+        "k long, v long, ts double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 11, 20.0, "U"),   # newer update wins
+            (2, 99, 5.0, "u"),    # STALE update (ts 5 < 10) loses
+            (3, 0, 20.0, "d"),    # delete removes the key
+            (4, 44, 20.0, "I"),   # brand-new insert
+            (5, 50, 20.0, "D"),   # delete of unknown key -> no row
+        ],
+        "k long, v long, ts double, op string",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc(existing, changes, key="k", order_by=["ts"]).collect()
+    }
+    assert got == {1: 11, 2: 200, 4: 44}
+
+
+def test_apply_cdc_idempotent(spark):
+    """Re-applying the same change feed converges (exactly-once-by-key)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import apply_cdc
+
+    existing = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 2, 1.0)], "k long, v long, ts double"
+    )
+    changes = spark.createDataFrame(
+        [(1, 10, 2.0, "U"), (2, 0, 2.0, "D"), (3, 30, 2.0, "I")],
+        "k long, v long, ts double, op string",
+    )
+    once = apply_cdc(existing, changes, key="k", order_by=["ts"])
+    twice = apply_cdc(once, changes, key="k", order_by=["ts"])
+    assert sorted(tuple(r) for r in once.collect()) == sorted(
+        tuple(r) for r in twice.collect()
+    )
