@@ -902,3 +902,76 @@ def q76_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_cdc(existing, changes, key="event_id", order_by=["ts"])
+
+
+# ---------------------------------------------------------------------------
+# Rollup cascade (continuous-aggregate pattern: daily derived from hourly)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q77_rollup_cascade",
+    oracle=f"""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {DSUM('value')} AS total_value,
+           ({DSUM('value')} / count(*)) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q77_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: the daily aggregate is derived FROM the
+    hourly aggregate, not from raw events — the hypertable
+    continuous-aggregate pattern. It works because the hourly partials are
+    mergeable: counts sum, sums sum (kept in DECIMAL until the final cast
+    so re-aggregation stays order-independent), avg derives from merged
+    sum/count at the end. At 100 TB this is the difference between
+    rescanning the fact table per resolution and re-aggregating a frame
+    ~1000x smaller; the oracle computes daily straight from raw, proving
+    cascade == direct. The streaming twin is the same hourly plan behind
+    foreachBatch upsert keyed on (event_type, hour)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("total_dec"),
+    )
+    return (
+        hourly.groupBy("event_type", F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("total_dec").cast("double").alias("total_value"),
+        )
+        .withColumn("avg_value", F.col("total_value") / F.col("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# argmax per group (max_by / arg_max)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_argmax_per_group",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id, value AS max_value
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q78_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax as an aggregate (max_by / arg_max): the highest-value event
+    per type in ONE partial-aggregable pass — no window, no rank, no
+    second shuffle (the window formulation of the same answer shuffles all
+    rows; max_by merges per-partition champions). Ties break on the
+    (value, event_id) tuple so both engines pick the same winner."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("top_event_id"),
+        F.max("value").alias("max_value"),
+    )
