@@ -975,3 +975,171 @@ def q78_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", F.struct("value", "event_id")).alias("top_event_id"),
         F.max("value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-touch cohorts x week offset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                                date_trunc('week', e.ts)) / 7) AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, activity counted
+    per (cohort, week-offset). The first-touch timestamp comes from a window
+    min over the user partition — ONE hash shuffle on user_id instead of the
+    aggregate+self-join form's two (the oracle takes the join form; results
+    are identical). Both engines truncate weeks to Monday, so the day-diff
+    is an exact multiple of 7 and the offset division is lossless. At
+    100 TB the user_id shuffle dominates; countDistinct re-shuffles only
+    the (cohort, offset, user) projection, which partial-aggregates
+    map-side."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohorted = e.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", "ts").alias("event_week"),
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_week",
+            F.floor(F.datediff("event_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS users_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS users_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS users_purchased
+    """,
+)
+def q80_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, first click AT OR AFTER that view, first
+    purchase at or after that click — strict event-order semantics, not
+    mere set membership. ONE pass over events: per user, conditional
+    ordered mins computed from a sorted (ts, type) struct array inside a
+    single groupBy (min-filter, then array-filter for the next stage), so
+    events shuffles once on user_id; the oracle's staged-join form is the
+    readable equivalent. Stage counts then reduce in a single partial-
+    aggregable pass."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") != "view",
+                    F.struct("ts", "event_type"),
+                )
+            )
+        ).alias("seq"),
+    )
+    full = per_user.select(
+        "t_view",
+        F.when(
+            F.col("t_view").isNotNull(),
+            F.expr(
+                "array_min(transform(filter(seq, s -> s.event_type = 'click'"
+                " AND s.ts >= t_view), s -> s.ts))"
+            ),
+        ).alias("t_click"),
+        F.col("seq"),
+    )
+    full = full.select(
+        "t_view",
+        "t_click",
+        F.when(
+            F.col("t_click").isNotNull(),
+            F.expr(
+                "array_min(transform(filter(seq, s -> s.event_type = 'purchase'"
+                " AND s.ts >= t_click), s -> s.ts))"
+            ),
+        ).alias("t_purchase"),
+    )
+    return full.agg(
+        F.count("t_view").alias("users_viewed"),
+        F.count("t_click").alias("users_clicked"),
+        F.count("t_purchase").alias("users_purchased"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (width_bucket)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q81_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram via width_bucket — the single-pass,
+    fully partial-aggregable distribution profile (contrast q35/q67
+    percentiles, which need a sort or sketch). 12 equi-width bins over
+    [0, 600k]; out-of-range values land in the 0/13 overflow buckets per
+    SQL spec, identically in both engines. At 100 TB this is the shape
+    for data-quality profiling: one scan, tiny result, no shuffle beyond
+    the 13-row final combine."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
