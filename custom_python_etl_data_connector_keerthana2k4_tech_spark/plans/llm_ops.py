@@ -548,3 +548,141 @@ def q54_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary extraction (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_vocabulary",
+    oracle=f"""
+    SELECT w AS token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest({TXT.sql_words('text')}) AS w
+          FROM documents)
+    GROUP BY 1
+    HAVING count(*) >= 100
+    """,
+)
+def q82_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the first pass of
+    tokenizer training (BPE/unigram both start from exactly this table).
+    explode -> groupBy(token) partial-aggregates map-side, so the shuffle
+    carries one row per distinct (partition, token), not one per token
+    occurrence; document frequency rides along as count(DISTINCT doc_id)
+    in the same pass. The min-frequency HAVING prunes the long tail
+    before it is ever collected. At 100 TB the reduce side is bounded by
+    vocabulary size (millions), not corpus size (trillions of tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(TXT.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("freq") >= 100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern audit (PII-scan shape over semi-structured payloads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_pattern_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS n_matches,
+           CAST(count(*) FILTER (len(regexp_extract_all(props, '[0-9]+')) > 0)
+             AS BIGINT) AS n_events_with_match
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q83_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern audit over raw payloads — the PII/safety-scan shape
+    (swap '[0-9]+' for SSN/email/phone patterns; the plan is identical).
+    regexp_extract_all runs inside whole-stage codegen on the scan, match
+    counts partial-aggregate, and the result is one row per event type —
+    no UDF, no second pass. The pattern sticks to the RE2-safe subset so
+    Spark (Java regex) and DuckDB (RE2) agree."""
+    e = load(spark, sf_dir, "events")
+    n_matches = F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)))
+    return e.groupBy("event_type").agg(
+        F.sum(n_matches).alias("n_matches"),
+        F.count(F.when(n_matches > 0, 1)).alias("n_events_with_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {TXT.sql_words('text')} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(ws) - 7),
+                    i -> array_to_string(list_slice(ws, i, i + 7), ' '))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+    cand AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id % 100 <> 0 AND g IN (SELECT g FROM bench)
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN cand c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 100 <> 0
+    GROUP BY d.source
+    """,
+)
+def q84_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any word
+    8-gram with a held-out benchmark slice (here doc_id % 100 = 0 stands
+    in for the eval set). The benchmark's distinct-gram set is tiny
+    relative to the corpus, so it BROADCASTS and the contamination check
+    is a map-side left-semi join on the exploded grams — the corpus
+    shuffles once (doc_id distinct), never on the gram column. This is
+    the standard n-gram decontamination of LLM training pipelines (GPT-3
+    appendix C / PaLM-style) expressed as two scans + one broadcast."""
+    d = load(spark, sf_dir, "documents")
+    n = 8
+    w = TXT.words("text")
+    grams_col = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", "source", F.explode(grams_col).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    train = d.filter(F.col("doc_id") % 100 != 0)
+    contaminated = (
+        grams.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
