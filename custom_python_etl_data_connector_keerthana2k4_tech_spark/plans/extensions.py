@@ -1143,3 +1143,89 @@ def q81_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: new-key detection against an existing store
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_incremental_ingest",
+    oracle="""
+    WITH existing AS (
+      SELECT DISTINCT event_id FROM events WHERE event_id % 10 < 8
+    ),
+    batch AS (
+      SELECT event_id, event_type FROM events WHERE event_id % 10 >= 5
+    )
+    SELECT b.event_type,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(count(*) FILTER (e.event_id IS NULL) AS BIGINT) AS n_new
+    FROM batch b LEFT JOIN existing e ON b.event_id = e.event_id
+    GROUP BY 1
+    """,
+)
+def q85_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest accounting: which rows of an arriving batch are
+    genuinely new vs already in the store (the decision the reference's
+    upsert makes implicitly, surfaced as a metric — etl_connector.py:
+    176-191). One left join on the key scores both counts in a single
+    pass; the anti-join form would need a second scan for the batch
+    total. At 100 TB the store side prunes to just its key column
+    (ReadSchema shows one field), and a bucketed store makes the join
+    Exchange-free on that side; Spark 3.3+ also injects a runtime bloom
+    filter from the smaller side."""
+    e = load(spark, sf_dir, "events")
+    existing = e.filter(F.col("event_id") % 10 < 8).select("event_id").distinct()
+    batch = e.filter(F.col("event_id") % 10 >= 5).select("event_id", "event_type")
+    marked = batch.join(
+        existing.withColumn("seen", F.lit(1)), "event_id", "left"
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("seen").isNull(), 1)).alias("n_new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time bars (first/last by time, min/max — one aggregate pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_ohlc_bars",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS bar,
+           arg_min(value, CAST(epoch(ts) AS BIGINT) * 100000000 + event_id)
+             AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, CAST(epoch(ts) AS BIGINT) * 100000000 + event_id)
+             AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q86_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the canonical time-series downsample:
+    open/close are argmin/argmax of value over a composite
+    (epoch-seconds, event_id) key, so first/last are total-ordered and
+    both engines agree on intra-second ties; high/low/count ride the
+    same single partial-aggregable pass (contrast a window first/last
+    formulation, which shuffles every tick). This is the q77 rollup's
+    financial cousin and composes with it: bars are mergeable into
+    coarser bars by re-running the same aggregate."""
+    e = load(spark, sf_dir, "events")
+    order_key = (
+        F.unix_timestamp("ts").cast("long") * F.lit(100000000).cast("long")
+        + F.col("event_id")
+    )
+    return e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar")).agg(
+        F.min_by("value", order_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order_key).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
