@@ -1229,3 +1229,38 @@ def q86_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", order_key).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct via mergeable bitmaps (pre-aggregatable distinct index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q87_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): ids
+    bucket into 32k-bit bitmaps, bitmaps OR-merge associatively, the
+    final count is a popcount sum. Same answer as count(DISTINCT) — the
+    oracle — but unlike count(DISTINCT), the per-(group, bucket) bitmaps
+    are a MATERIALIZABLE partial state: persist them per day/partition
+    and any rollup (weekly, all-time, cross-group via bitmap_or_agg)
+    merges without touching raw ids again. That is the q77 cascade
+    pattern applied to distinct counts, which plain count(DISTINCT)
+    cannot do exactly and HLL can only do approximately."""
+    e = load(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

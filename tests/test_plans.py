@@ -68,3 +68,11 @@ def test_no_accidental_cartesian_products(plans):
             assert "BroadcastNestedLoopJoin" not in p, name
         else:
             assert "BroadcastNestedLoopJoin" in p  # broadcast, not shuffled
+
+
+def test_decontamination_broadcasts_benchmark_grams(plans):
+    """q84's contamination probe must be a broadcast left-semi join on the
+    benchmark gram set — a shuffled semi join there would re-shuffle the
+    whole exploded-gram corpus at 100 TB."""
+    p = plans("q84_decontamination")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2000]
