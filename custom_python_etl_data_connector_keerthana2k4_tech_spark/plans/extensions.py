@@ -1318,3 +1318,44 @@ def q88_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_new.select(
         "day", F.sum("new_users").over(w_days).alias("cum_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine table checksum (data-validation fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q89_table_checksum",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                              CAST(o_custkey AS VARCHAR),
+                              o_orderstatus)), 1, 15)) AS BIGINT)) AS checksum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q89_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: md5 each canonical row string,
+    XOR-fold per group. XOR is commutative/associative, so the checksum is
+    partitioning- and order-invariant and partial-aggregates map-side —
+    the migration-validation primitive this very repo's gate embodies
+    (reference R7's validation, promoted from per-record to per-table).
+    Grouping by a coarse column localizes a mismatch to a slice instead
+    of one opaque table-level bit. The 60-bit hash prefix keeps the fold
+    in BIGINT range identically on both engines."""
+    o = load(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(row_hash).alias("checksum"),
+    )
