@@ -30,8 +30,17 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
-    # Warm the JVM/session on the flagship before timed runs.
+    # Warm the JVM/session on the flagship before timed runs, and spawn the
+    # Arrow Python workers once so the first pandas-UDF query isn't charged
+    # their startup.
     _force(qs["q01_pricing_summary"](spark, sf_dir))
+    import pandas as _pd  # noqa: F401
+
+    _force(
+        spark.range(32).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
 
     total = 0.0
     for name in sorted(qs):
