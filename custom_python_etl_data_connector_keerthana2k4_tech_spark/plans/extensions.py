@@ -1359,3 +1359,55 @@ def q89_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(row_hash).alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score standardization (deterministic feature prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q91_zscore_standardize",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(30,10))) AS s1,
+             sum(CAST(value AS DECIMAL(30,10)) * CAST(value AS DECIMAL(30,10)))
+               AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - CAST(s.s1 AS DOUBLE) / s.n)
+             / sqrt((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                    / (s.n - 1)) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    """,
+)
+def q91_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization — the feature-prep normalizer.
+    Moments accumulate in DECIMAL (order-independent, so Spark's parallel
+    sums and DuckDB's serial ones agree bit-for-bit) and variance derives
+    from (s2 - s1^2/n)/(n-1); built-in stddev would float-drift across
+    partitionings. The tiny per-group stats frame broadcast-joins back
+    onto the fact rows: one scan + one broadcast, no window over raw
+    rows, no second shuffle. This two-pass shape is how normalization
+    actually runs at 100 TB (compute stats once, persist, apply)."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(30,10)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    enriched = e.join(F.broadcast(stats), "event_type")
+    return enriched.select(
+        "event_id",
+        "event_type",
+        (
+            (F.col("value") - s1d / F.col("n"))
+            / F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
+        ).alias("z"),
+    )

@@ -686,3 +686,47 @@ def q84_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-join scoring (broadcast dictionary, sentiment-analysis shape)
+# ---------------------------------------------------------------------------
+
+_LEXICON = [
+    ("fast", 2), ("big", 1), ("small", -1), ("slow", -2),
+    ("scan", 1), ("error", -2), ("null", -1), ("merge", 1),
+]
+
+
+@query(
+    "q90_lexicon_score",
+    oracle=f"""
+    WITH lex(word, weight) AS (VALUES {", ".join(f"('{w}', {s})" for w, s in _LEXICON)}),
+    toks AS (
+      SELECT doc_id, lang, unnest({TXT.sql_words('text')}) AS w FROM documents
+    )
+    SELECT t.lang,
+           CAST(sum(COALESCE(l.weight, 0)) AS BIGINT) AS total_score,
+           CAST(count(l.word) AS BIGINT) AS n_scored_tokens,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks t LEFT JOIN lex l ON t.w = l.word
+    GROUP BY t.lang
+    """,
+)
+def q90_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-join scoring — the lexicon sentiment pattern ("Large
+    Scale Sentiment Analysis on Twitter with Spark", EDBT 2016): a tiny
+    weighted word list broadcast-joins the exploded token stream, weights
+    sum per group. The lexicon side is bytes, so the join is map-side
+    everywhere; at 100 TB the plan is one scan + one partial-aggregated
+    shuffle, the same shape as q82's vocabulary. Swap the toy lexicon for
+    VADER/AFINN and the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, ["word", "weight"])
+    toks = d.select("doc_id", "lang", F.explode(TXT.words("text")).alias("w"))
+    joined = toks.join(F.broadcast(lex), toks.w == lex.word, "left")
+    return joined.groupBy("lang").agg(
+        F.sum(F.coalesce("weight", F.lit(0))).alias("total_score"),
+        F.count("word").alias("n_scored_tokens"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
