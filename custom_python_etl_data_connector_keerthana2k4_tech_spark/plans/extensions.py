@@ -1411,3 +1411,48 @@ def q91_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1))
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-rule session ids assigned to every event
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT) AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL THEN 1
+                  WHEN date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > 7200 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events)
+    """,
+)
+def q92_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: a session break is a >2h silence, and the
+    running count of breaks per user numbers every event's session —
+    q34's session_window aggregates sessions, this LABELS raw events
+    (the form joins and per-session features need). lag + running sum
+    share ONE window partitioning (user_id), so the whole query is a
+    single shuffle; ties order by (ts, event_id) so both engines number
+    identically. At 100 TB session state never leaves the user partition
+    — the streaming twin is the same rule in applyInPandasWithState."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 7200), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
