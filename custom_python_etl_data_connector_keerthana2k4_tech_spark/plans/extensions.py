@@ -1456,3 +1456,133 @@ def q92_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("session_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (within-order part pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q93_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, kept when support >= 2 — the candidate-pair stage of frequent
+    itemset mining. The self-join key is the ORDER, so the blowup is
+    items-per-order choose 2 (~21 pairs for TPC-H's ~7-line orders),
+    linear in orders — the same bounded-block principle as the near-dup
+    family: quadratic only within a naturally small group. One shuffle
+    on l_orderkey, then the pair aggregation partial-aggregates."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (share of parent total)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {DSUM('o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           revenue / sum(revenue) OVER (PARTITION BY region) AS share
+    FROM nat
+    """,
+)
+def q94_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue. The
+    share window runs over the ALREADY-AGGREGATED nation frame (25 rows),
+    not the fact table — aggregate first, window the summary; windowing
+    raw orders for the same answer would shuffle every order twice. Dims
+    broadcast onto the fact scan, so the whole query is one fact shuffle
+    plus a trivial window."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nat = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", F.col("n_name").alias("nation"),
+                    F.col("r_name").alias("region"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("region", "nation")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region", "nation", "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (periodized lag)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_yoy_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+             {DSUM('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue,
+           revenue - lag(revenue, 12) OVER (ORDER BY yr, mo) AS yoy_delta,
+           revenue / lag(revenue, 12) OVER (ORDER BY yr, mo) - 1 AS yoy_pct
+    FROM monthly
+    """,
+)
+def q95_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue lagged 12 periods. Like
+    q94, the window runs over the aggregated period frame (~84 rows for
+    7 years), so the unpartitioned ORDER BY is over summary state, never
+    raw orders — aggregate first, then compare periods. The NULL first
+    year is the honest answer (no prior-year base)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr", "mo", "revenue",
+        (F.col("revenue") - F.lag("revenue", 12).over(w)).alias("yoy_delta"),
+        (F.col("revenue") / F.lag("revenue", 12).over(w) - 1).alias("yoy_pct"),
+    )
