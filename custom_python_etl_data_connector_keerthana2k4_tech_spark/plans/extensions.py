@@ -1586,3 +1586,52 @@ def q95_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - F.lag("revenue", 12).over(w)).alias("yoy_delta"),
         (F.col("revenue") / F.lag("revenue", 12).over(w) - 1).alias("yoy_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary + quartiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             {DSUM('o_totalprice')} AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m_quartile
+    FROM rfm
+    """,
+)
+def q96_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary rolled
+    up in ONE pass over orders, then quartile-scored with ntile. The
+    ntiles run over the aggregated customer frame (|customers| rows, not
+    |orders|), and custkey tie-breaks make quartile boundaries
+    deterministic cross-engine. At 100 TB the aggregation partial-
+    aggregates per partition; if even the customer frame outgrows a
+    single ntile sort, the scale path swaps ntile for width_bucket over
+    q35-style percentile cutpoints — same output, mergeable plan."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    def quartile(col: str) -> F.Column:
+        return (
+            F.ntile(4).over(Window.orderBy(col, "custkey")).cast("long")
+        )
+    return rfm.select(
+        "custkey", "last_order", "frequency", "monetary",
+        quartile("last_order").alias("r_quartile"),
+        quartile("frequency").alias("f_quartile"),
+        quartile("monetary").alias("m_quartile"),
+    )
