@@ -1635,3 +1635,88 @@ def q96_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         quartile("frequency").alias("f_quartile"),
         quartile("monetary").alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (data-quality audit in one pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_column_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(NULLIF(event_type, 'error')) AS BIGINT)
+             AS type_nulls,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS type_distinct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_distinct,
+           min(value) AS value_min, max(value) AS value_max,
+           min(ts) AS ts_min, max(ts) AS ts_max
+    FROM events
+    """,
+)
+def q97_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile: row count, null counts (here a derived
+    nullable via NULLIF — the fixture has no organic nulls), distinct
+    cardinalities, and min/max ranges. This is the reference's R7
+    validation generalized from per-record predicates to a whole-table
+    audit, and it is ONE aggregate job: every metric partial-aggregates,
+    so profiling 100 TB costs one scan — the pre-flight every ingest
+    should run before committing a partition."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(F.nullif("event_type", F.lit("error"))))
+        .alias("type_nulls"),
+        F.countDistinct("event_type").alias("type_distinct"),
+        F.countDistinct("user_id").alias("user_distinct"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join (NULL keys match NULL keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q98_nullsafe_join",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id, NULLIF(event_type, 'error') AS k, value FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(event_type, 'error') AS k,
+             coalesce(NULLIF(event_type, 'error'), 'unclassified') AS label
+      FROM events
+    )
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(30,10))) AS DOUBLE) AS total
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+)
+def q98_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (eqNullSafe / IS NOT DISTINCT FROM): NULL keys
+    pair with the NULL dim row instead of silently dropping — the
+    semantics dirty reference data needs (the reference coalesces falsy
+    keys for the same reason, etl_connector.py:156-158). Crucially the
+    null-safe comparator is still an EQUI-join key: Spark hash-partitions
+    on the key with nulls colocated, so the plan is a broadcast/hash
+    join, not the nested-loop a general theta predicate would force."""
+    e = load(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("k"), "value"
+    )
+    dim = (
+        keyed.select("k").distinct()
+        .withColumn("label", F.coalesce("k", F.lit("unclassified")))
+    )
+    joined = keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total"),
+    )
