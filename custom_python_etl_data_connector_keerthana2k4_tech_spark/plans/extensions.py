@@ -1720,3 +1720,54 @@ def q98_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (sliding exact distinct via bitmap scatter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_rolling_active_users",
+    oracle="""
+    WITH e AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+    d AS (SELECT DISTINCT day FROM e)
+    SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_7d
+    FROM d JOIN e ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+    """,
+)
+def q99_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives — the sliding-window distinct that
+    has no partial-aggregable form over raw rows (the oracle's range
+    self-join re-reads a week of events per day). Engine plan: one scan
+    builds per-(day, bucket) bitmaps; each scatters to the <=6 later days
+    it covers (explode of a 7-element sequence — 7x a frame of
+    days x buckets, not of events); bitmaps OR-merge per target day and
+    popcount. Exact, one raw scan, and the scatter width is the window
+    length — the streaming twin keeps the same 7 bitmap states per
+    bucket."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    dayno = (F.unix_timestamp("day") / 86400).cast("long")
+    scattered = daily.select(
+        F.explode(F.sequence(dayno, dayno + 6)).alias("target_dayno"),
+        "bucket",
+        "bm",
+    )
+    merged = scattered.groupBy("target_dayno", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm7")
+    )
+    days = daily.select(dayno.alias("target_dayno")).distinct()
+    return (
+        merged.join(days, "target_dayno", "left_semi")
+        .groupBy("target_dayno")
+        .agg(F.sum(F.bitmap_count("bm7")).alias("active_7d"))
+        .select(
+            F.timestamp_seconds(F.col("target_dayno") * 86400).alias("day"),
+            "active_7d",
+        )
+    )
