@@ -15,7 +15,7 @@ must be identical, which is exactly what the gate checks.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
@@ -730,3 +730,49 @@ def q90_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("word").alias("n_scored_tokens"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced source mixing (training-data mix rebalancing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_balanced_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             (SELECT min(n) FROM counts) * 4294967296 // n AS threshold
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr t ON d.source = t.source
+    WHERE (d.doc_id * 2654435761) % 4294967296 < t.threshold
+    """,
+)
+def q100_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mix rebalancing: downsample every source to the
+    smallest source's size, so the curated corpus has a uniform mix.
+    Per-source keep-rates derive from one tiny count aggregate
+    (integer-division thresholds — exact on both engines), broadcast
+    back, and rows are kept by the q58 multiplicative-hash rule — so
+    the SAME documents are selected on any engine, any partitioning,
+    any cluster size. At 100 TB this is one scan + one broadcast; the
+    sampling itself never shuffles. Generalizes to arbitrary target
+    mixes by replacing min(n) with per-source target weights."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    thr = counts.withColumn(
+        "min_n", F.min("n").over(Window.partitionBy())
+    ).select(
+        "source",
+        F.expr("div(min_n * 4294967296, n)").alias("threshold"),
+    )
+    mixed = d.join(F.broadcast(thr), "source")
+    keep = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.col(
+        "threshold"
+    )
+    return mixed.filter(keep).select("doc_id", "source")
