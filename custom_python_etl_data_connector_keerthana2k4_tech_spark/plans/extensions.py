@@ -323,11 +323,18 @@ def q62_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 50).cast("long").alias("bucket"),
         F.substring("text", 1, 40).alias("prefix_b"),
     )
+    # The O(len x threshold) banded DP (levenshtein's threshold arg) returns
+    # -1 past the bound and the exact distance inside it, so `lev >= 0` is
+    # exactly `lev <= 15`. The probe side is round-robin repartitioned:
+    # candidate-pair DP cost is quadratic in block size while the scan is
+    # one small file, so without it every probe ran in one task.
+    n_slices = spark.sparkContext.defaultParallelism
     return (
-        a.join(b, ["lang", "bucket"])
+        a.repartition(n_slices)
+        .join(b, ["lang", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("lev", F.levenshtein("prefix_a", "prefix_b"))
-        .filter(F.col("lev") <= 15)
+        .withColumn("lev", F.levenshtein("prefix_a", "prefix_b", 15))
+        .filter(F.col("lev") >= 0)
         .select("doc_a", "doc_b", "lev")
     )
 
@@ -1477,17 +1484,34 @@ def q92_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
     order, kept when support >= 2 — the candidate-pair stage of frequent
-    itemset mining. The self-join key is the ORDER, so the blowup is
+    itemset mining. The pair scope is the ORDER, so the blowup is
     items-per-order choose 2 (~21 pairs for TPC-H's ~7-line orders),
     linear in orders — the same bounded-block principle as the near-dup
-    family: quadratic only within a naturally small group. One shuffle
-    on l_orderkey, then the pair aggregation partial-aggregates."""
+    family: quadratic only within a naturally small group.
+
+    NOT a self-join: at scale that means scanning the fact table twice
+    and either broadcasting it (impossible at 100 TB) or shuffling both
+    copies. Instead ONE scan groups items per order (one l_orderkey
+    shuffle), and the sorted in-basket array expands to ordered pairs
+    with higher-order functions JVM-side. `y > x` compares values, not
+    positions, so strict-inequality semantics stay identical to the
+    join formulation even when a part repeats within an order: k copies
+    of p each pair with every q > p, and multiplicities match."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = F.expr(
+        """
+        flatten(transform(parts, (x, i) ->
+          transform(
+            filter(slice(parts, i + 2, size(parts)), y -> y > x),
+            y -> struct(x AS part_a, y AS part_b))))
+        """
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
