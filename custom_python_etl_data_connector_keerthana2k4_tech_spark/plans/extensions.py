@@ -1498,8 +1498,18 @@ def q93_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join formulation even when a part repeats within an order: k copies
     of p each pair with every q > p, and multiplicities match."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    return copurchase_pairs(li).filter(F.col("n_orders") >= 2)
+
+
+def copurchase_pairs(
+    li: DataFrame, order_col: str = "l_orderkey", item_col: str = "l_partkey"
+) -> DataFrame:
+    """(part_a, part_b, n_orders) co-occurrence counts over (order, item)
+    rows — single scan, one shuffle on the order key, JVM-side pair
+    expansion from the sorted basket array (see q93's docstring for the
+    equivalence argument vs the self-join formulation)."""
+    baskets = li.groupBy(F.col(order_col)).agg(
+        F.array_sort(F.collect_list(item_col)).alias("parts")
     )
     pairs = F.expr(
         """
@@ -1514,7 +1524,6 @@ def q93_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
     )
 
 

@@ -25,6 +25,57 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational i
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk context windows)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+
+
+@query(
+    "q39_sequence_packing",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, start_off,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS chunk_first,
+           CAST((start_off + n_chars - 1) // {_PACK_BUDGET} AS BIGINT)
+             AS chunk_last,
+           CAST((start_off + n_chars - 1) // {_PACK_BUDGET}
+                - start_off // {_PACK_BUDGET} + 1 AS BIGINT) AS n_chunks
+    FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(COALESCE(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_off
+      FROM documents
+    )
+    """,
+)
+def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, concat-and-chunk style: within each
+    source shard, documents are concatenated in stable doc_id order and cut
+    into fixed-budget context windows; each document learns the window range
+    it lands in (windows may straddle document boundaries — exactly how
+    concatenation-based LLM pretraining fills its context length). The
+    whole assignment is one running sum per shard (a single shuffle on
+    `source`) plus integer division — no stateful scan, no driver loop.
+    At 100 TB the shard key IS the packing unit: shards pack independently,
+    so parallelism is #shards and no global offset is ever needed."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = _PACK_BUDGET
+    return (
+        d.withColumn("start_off", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+        .withColumn("chunk_first", F.expr(f"start_off DIV {b}"))
+        .withColumn("chunk_last", F.expr(f"(start_off + n_chars - 1) DIV {b}"))
+        .withColumn("n_chunks", F.col("chunk_last") - F.col("chunk_first") + F.lit(1))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
