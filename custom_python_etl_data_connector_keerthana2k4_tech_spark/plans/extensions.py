@@ -1804,3 +1804,96 @@ def q99_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_7d",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: multi-hop graph reachability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    seed AS (
+      SELECT src AS part FROM edges GROUP BY src
+      ORDER BY count(*) DESC, src LIMIT 1
+    ),
+    reach(part, dist) AS (
+      SELECT part, 0 FROM seed
+      UNION ALL
+      SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.part
+      WHERE r.dist < 3
+    )
+    SELECT part, CAST(min(dist) AS INT) AS hops FROM reach GROUP BY part
+    """,
+)
+def q101_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS over the co-purchase graph via WITH RECURSIVE (Spark
+    4's recursive CTE): hop distance (<=3) from the highest-degree part to
+    everything it reaches, min-aggregated over walks. The iterative union
+    runs inside the engine — each step is one hash join of the frontier
+    against the edge list, no driver loop. The hop cap bounds work on
+    cyclic graphs; for unbounded components this engine's label-propagation
+    operator (operators/dedup.connected_components) is the scale path —
+    this query is the *declarative* member of that family.
+
+    The edge list itself comes from copurchase_pairs (single scan + basket
+    expansion), symmetrized; the oracle rebuilds it with the naive
+    self-join, the established engine-vs-oracle asymmetry."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li).filter(F.col("n_orders") >= 2)
+    edges = pairs.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    edges.createOrReplaceTempView("q101_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE seed AS (
+          SELECT src AS part FROM q101_edges GROUP BY src
+          ORDER BY count(*) DESC, src LIMIT 1
+        ),
+        reach(part, dist) AS (
+          SELECT part, 0 FROM seed
+          UNION ALL
+          SELECT e.dst, r.dist + 1
+          FROM reach r JOIN q101_edges e ON e.src = r.part
+          WHERE r.dist < 3
+        )
+        SELECT part, CAST(min(dist) AS INT) AS hops FROM reach GROUP BY part
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate heavy hitters (frequent-items sketch)
+# ---------------------------------------------------------------------------
+
+
+@query("q102_heavy_hitters", oracle=None)  # sketch estimates — rows-only check
+def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-ordered parts via the approx_top_k frequent-items
+    sketch — the one-pass, mergeable, bounded-memory answer to "what are
+    the hot keys" (the same question q20's exact top-k answers with a full
+    groupBy + sort). At 100 TB the sketch is the first pass: partial
+    sketches merge associatively map-side, the driver never sees per-key
+    state, and memory is O(capacity), not O(distinct keys). Capacity 8192
+    exceeds the distinct-part count at test SFs, so estimates are exact
+    there — tests/test_heavy_hitters.py asserts that against q20-style
+    exact counts, tie-aware at the rank boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.agg(F.expr("approx_top_k(l_partkey, 20, 8192)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").alias("est_orders"),
+        )
+    )
