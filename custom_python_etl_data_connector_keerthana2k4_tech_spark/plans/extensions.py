@@ -1897,3 +1897,33 @@ def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("est_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup (approximate-distinct state)
+# ---------------------------------------------------------------------------
+
+
+@query("q103_hll_rollup", oracle=None)  # sketch estimates — rows-only check
+def q103_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users from per-day HLL sketches: one raw scan
+    builds a DataSketches HLL per day (hll_sketch_agg), and coarser
+    windows come from sketch UNION, never from re-reading events — the
+    approximate member of the materializable-distinct-state family
+    (q87's bitmaps are its exact sibling; q16 the single-shot estimate).
+    At 100 TB the per-day sketch table is the only thing retained: any
+    ad-hoc window (month, trailing 28d, lifetime) is an O(days x 1.5 KB)
+    merge. tests/test_hll_rollup.py bounds the estimate against the exact
+    per-month distincts."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("month", "approx_users", "n_days")
+    )
