@@ -1927,3 +1927,121 @@ def q103_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "approx_users", "n_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier profile (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type AS grp, median(CAST(value AS DOUBLE)) AS med
+      FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type AS grp,
+             median(abs(CAST(e.value AS DOUBLE) - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.grp GROUP BY 1
+    )
+    SELECT m.grp, m.med, d.mad,
+           CAST(count(*) FILTER (
+             WHERE abs(CAST(e.value AS DOUBLE) - m.med)
+                   > 3.5 * 1.4826 * d.mad) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events e
+    JOIN med m ON e.event_type = m.grp
+    JOIN mad d ON e.event_type = d.grp
+    GROUP BY 1, 2, 3
+    """,
+)
+def q104_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median + MAD (median absolute
+    deviation) and the count beyond 3.5 scaled MADs — the data-quality
+    screen that, unlike mean/stddev z-scores, is not dragged by the very
+    outliers it hunts. Three passes over one narrow projection, each a
+    per-group aggregate with the tiny (group, stat) frames broadcast back
+    — no row-level window. Exact medians keep the oracle bit-honest; at
+    100 TB the drop-in scale path is approx_percentile (q67's mergeable
+    KLL-style sketch) at a declared rank error."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("value").cast("double").alias("v")
+    )
+    med = e.groupBy("grp").agg(F.median("v").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.median(F.abs(F.col("v") - F.col("med"))).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.count_if(
+                F.abs(F.col("v") - F.col("med")) > 3.5 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("grp", "med", "mad", "n_outliers", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff -> change feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(o_totalprice AS DOUBLE) * 1.1
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price
+      FROM orders WHERE o_orderkey % 13 <> 7
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           COALESCE(n.price, o.price) AS price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+       OR (o.price IS DISTINCT FROM n.price)
+    """,
+)
+def q105_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two table snapshots into a change feed (operators/diff.
+    table_diff): insert / delete / update rows from ONE full outer join on
+    the key, null-safe struct comparison for change detection. The inverse
+    of q76's apply_cdc — together they close the loop between state-based
+    and log-based replication (tests/test_table_diff.py proves the
+    round-trip). Snapshots here are deterministic derivations of `orders`:
+    ~9% of keys deleted, ~8% inserted, 20% price-bumped."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.diff import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    old = o.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 7).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, price * 1.1)
+        .otherwise(price)
+        .alias("price"),
+    )
+    return table_diff(old, new, keys=["o_orderkey"])
