@@ -2045,3 +2045,56 @@ def q105_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     )
     return table_diff(old, new, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (A-ES exponential ranks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q107_weighted_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS w,
+             -ln(((o_orderkey * 2654435761) % 4294967296 + 1)
+                 / 4294967297.0) / CAST(o_totalprice AS DOUBLE) AS rank_key
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, w, rank_key
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY rank_key, o_orderkey) AS rn
+      FROM ranked
+    )
+    WHERE rn <= 100
+    """,
+)
+def q107_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis style:
+    each row draws an exponential rank -ln(u)/w from a DETERMINISTIC
+    uniform (q58's Knuth multiplicative hash of the key, so every engine
+    and every partitioning picks the same sample — df.sample cannot be
+    oracle-checked), and the k smallest ranks per stratum win. Inclusion
+    probability scales with weight (price-proportional here — importance
+    sampling for training mixes). One shuffle on the stratum for the
+    top-k window; at scale the same ranks feed a per-partition
+    partial top-k (q21's pattern) before the final k-merge."""
+    o = load(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) + 1) / F.lit(
+        4294967297.0
+    )
+    w = F.col("o_totalprice").cast("double")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        w.alias("w"),
+        (-F.log(u) / w).alias("rank_key"),
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy("rank_key", "o_orderkey")
+    return (
+        ranked.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )

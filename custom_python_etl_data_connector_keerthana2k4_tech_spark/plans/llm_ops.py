@@ -827,3 +827,68 @@ def q100_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold"
     )
     return mixed.filter(keep).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary encoding (text -> token-id sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q106_tokenize_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS pos
+      FROM (SELECT doc_id, {TXT.sql_words('text')} AS words FROM documents)
+    ),
+    vocab AS (
+      SELECT w AS token,
+             row_number() OVER (ORDER BY count(*) DESC, w) AS tok_id
+      FROM toks GROUP BY w HAVING count(*) >= 100
+    )
+    SELECT t.doc_id,
+           array_to_string(array_agg(COALESCE(v.tok_id, 0) ORDER BY t.pos),
+                           '-') AS ids,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok_id IS NULL) AS BIGINT) AS n_oov
+    FROM toks t LEFT JOIN vocab v ON t.w = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def q106_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text->ids step of an LLM data pipeline: train a frequency-ranked
+    vocabulary over the corpus (q82's table, rank = densest id first, OOV
+    floor -> id 0), then encode every document to its token-id sequence.
+    The vocabulary is vocabulary-sized, so its global rank window runs on
+    one partition ONCE and the id table broadcasts to the encode join —
+    per-token work is a broadcast-hash probe, order restored by sorting the
+    (pos, id) structs inside each doc's aggregate, never a global sort.
+    Ids serialize as a '-'-joined string for engine-neutral comparison."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TXT.words("text")).alias("pos", "w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 100)
+        .withColumn(
+            "tok_id",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))),
+        )
+        .select("w", "tok_id")
+    )
+    enc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .withColumn("tid", F.coalesce("tok_id", F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("seq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("tok_id").isNull()).alias("n_oov"),
+        )
+    )
+    ids = F.concat_ws(
+        "-", F.transform(F.col("seq"), lambda x: x["tid"].cast("string"))
+    )
+    return enc.select("doc_id", ids.alias("ids"), "n_tokens", "n_oov")
