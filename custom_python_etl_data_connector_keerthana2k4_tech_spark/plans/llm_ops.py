@@ -892,3 +892,104 @@ def q106_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "-", F.transform(F.col("seq"), lambda x: x["tid"].cast("string"))
     )
     return enc.select("doc_id", ids.alias("ids"), "n_tokens", "n_oov")
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA (ordered stateful feature, Pandas-UDF path)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.1
+
+
+@query(
+    "q108_ewma",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS i
+      FROM events
+    ),
+    acc AS (
+      SELECT *,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY i) AS v0,
+             sum(value * pow({1 - _EWMA_ALPHA}, -i)) OVER (
+               PARTITION BY user_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM ordered
+    )
+    SELECT event_id, user_id, ts, value,
+           pow({1 - _EWMA_ALPHA}, i) * (v0 + {_EWMA_ALPHA} * (cum - v0))
+             AS ewma
+    FROM acc
+    """,
+)
+def q108_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value — the
+    classic ordered, stateful feature no plain window aggregate expresses
+    (each output depends on ALL priors with geometric decay). Runs as
+    applyInPandas: one shuffle on user_id, then pandas' C-loop recursion
+    per group, Arrow-batched. The ORACLE is the closed-form expansion
+    y_t = (1-a)^t (x_0 + a * sum (1-a)^(-i) x_i) as window cumsums — so
+    the correctness gate hash-checks the Pandas-UDF path itself against
+    pure SQL, the strongest check a UDF operator gets here.
+
+    The closed form's (1-a)^(-i) term grows geometrically, which caps the
+    ORACLE at ~3000 rows per key in doubles; the ENGINE recursion has no
+    such cap — at 100 TB per-key history length is bounded by retention,
+    and the recursion is O(1) state (the same recurrence
+    streaming/ops.stateful_running_totals runs incrementally)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
+    )
+
+    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+        return pdf
+
+    return e.groupBy("user_id").applyInPandas(
+        ewm, schema="event_id long, user_id long, ts timestamp, value double, ewma double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing bin packing (exact-budget packing)
+# ---------------------------------------------------------------------------
+
+_FFD_BUDGET = 4096
+
+
+@query("q109_ffd_packing", oracle=None)  # imperative algorithm — rows-only
+def q109_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget sequence packing: first-fit-decreasing within each
+    source shard — documents sorted by size descending, each placed in the
+    first bin with room, bins never exceed the budget (q39 is the
+    concat-and-chunk sibling where windows may straddle documents; FFD is
+    what you run when documents must stay whole). Imperative by nature, so
+    it runs as applyInPandas per shard — the shard is the parallelism unit
+    AND the packing scope, so no cross-shard state exists. Guarantees
+    (tests/test_ffd_packing.py): every doc assigned, no bin over budget,
+    deterministic bin ids, and FFD's 11/9·OPT+1 bin-count bound vs the
+    naive lower bound."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        assigned = []
+        for sz in pdf["n_chars"]:
+            for b, rem in enumerate(bins):
+                if rem >= sz:
+                    bins[b] = rem - sz
+                    assigned.append(b)
+                    break
+            else:
+                bins.append(_FFD_BUDGET - sz)
+                assigned.append(len(bins) - 1)
+        pdf["bin_id"] = assigned
+        return pdf
+
+    return d.groupBy("source").applyInPandas(
+        pack, schema="doc_id long, source string, n_chars long, bin_id int"
+    )
