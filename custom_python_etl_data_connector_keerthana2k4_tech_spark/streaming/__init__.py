@@ -7,6 +7,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops impo
     stateful_running_totals,
     stream_dedup,
     stream_stream_join,
+    streaming_ewma,
     windowed_counts,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "stateful_running_totals",
     "stream_dedup",
     "stream_stream_join",
+    "streaming_ewma",
     "windowed_counts",
 ]

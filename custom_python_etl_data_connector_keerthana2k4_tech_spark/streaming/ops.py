@@ -245,3 +245,60 @@ def stream_stream_join(
         & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return left.join(right, cond, how).drop(rk)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    alpha: float = 0.1,
+):
+    """Per-key EWMA as a streaming operator: the recurrence
+    y = a*x + (1-a)*y_prev needs exactly ONE double of state per key.
+    The streaming twin of batch q108 (plans/llm_ops.q108_ewma) — the
+    parity test replays the same events in ordered micro-batches and
+    demands identical trajectories.
+
+    Built on ``applyInPandasWithState``. (Spark 4's successor API,
+    ``transformWithStateInPandas``, is the upstream direction for new
+    stateful operators — typed named state, timers — but its state-server
+    protocol requires protobuf, unavailable in this environment; the
+    GroupState formulation is semantically identical for a single value
+    state.)
+
+    Rows are processed in (ts, event_id) order *within* each batch and
+    batches are assumed in order per key (file replay / log-ordered
+    sources); out-of-order arrival needs an upstream watermark + sort,
+    exactly as the batch twin needs its window sort. The seeded-recursion
+    trick keeps the hot loop vectorized: prepend the carried state to the
+    batch, run pandas' C ewm recursion, drop the seed row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, "event_id"])
+        prev = state.get if state.exists else None
+        vals = pdf[value_col].astype(float)
+        if prev is None:
+            ew = vals.ewm(alpha=alpha, adjust=False).mean()
+        else:
+            seeded = pd.concat(
+                [pd.Series([float(prev[0])]), vals], ignore_index=True
+            )
+            ew = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+        pdf["ewma"] = ew.to_numpy()
+        state.update((float(pdf["ewma"].iloc[-1]),))
+        yield pdf[["event_id", key_col, ts_col, value_col, "ewma"]]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"event_id long, {key_col} long, {ts_col} timestamp, "
+            f"{value_col} double, ewma double"
+        ),
+        stateStructType="last double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -318,3 +318,51 @@ def test_stream_static_join_enrichment(spark, events_dir, sf_dir, tmp_path):
     )
     assert _rows(got) == _rows(want)
     assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas EWMA: ordered two-batch replay of the
+    fixture events must reproduce the batch q108 trajectory exactly — one
+    double of state per key carries the recursion across micro-batches."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import registry
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import streaming_ewma
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    src = str(tmp_path / "ew_src")
+    sink = str(tmp_path / "ew_sink")
+    ck = str(tmp_path / "ew_ck")
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", F.col("value").cast("double").alias("value"))
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    ddl = "event_id long, user_id long, ts timestamp, value double"
+    for chunk in (rows[:half], rows[half:]):  # ordered halves -> 2 batches
+        spark.createDataFrame(chunk, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in registry.queries()["q108_ewma"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
