@@ -1847,7 +1847,13 @@ def q101_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion), symmetrized; the oracle rebuilds it with the naive
     self-join, the established engine-vs-oracle asymmetry."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li).filter(F.col("n_orders") >= 2)
+    # Materialize the pair list once, BEFORE symmetrizing: the union's two
+    # branches and the recursive CTE's every iteration all re-evaluate
+    # their input plan, so un-checkpointed they re-run the whole scan +
+    # basket expansion repeatedly (observed 13.6s -> ~2s at sf0.1).
+    pairs = (
+        copurchase_pairs(li).filter(F.col("n_orders") >= 2).localCheckpoint()
+    )
     edges = pairs.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionByName(
@@ -1863,7 +1869,7 @@ def q101_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         reach(part, dist) AS (
           SELECT part, 0 FROM seed
           UNION ALL
-          SELECT e.dst, r.dist + 1
+          SELECT /*+ BROADCAST(e) */ e.dst, r.dist + 1
           FROM reach r JOIN q101_edges e ON e.src = r.part
           WHERE r.dist < 3
         )
