@@ -2104,3 +2104,46 @@ def q107_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row top-k, decorrelated by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.price
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) t
+    WHERE c.c_nationkey = 1
+    """,
+)
+def q110_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row correlated table subquery: each nation-1 customer's top-3
+    orders by price, declared as a LATERAL join. The point is what the
+    OPTIMIZER does with it: Catalyst decorrelates the per-row ORDER BY ..
+    LIMIT into a window row_number over o_custkey with one hash shuffle —
+    q21's hand-written per-group top-k, derived mechanically from the
+    declarative form (the same decorrelation story as q59/q60's EXISTS
+    and scalar subqueries). Identical tie-breaks (price DESC, orderkey)
+    keep both engines deterministic."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q110_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q110_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM q110_customer c,
+        LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+          FROM q110_orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) t
+        WHERE c.c_nationkey = 1
+        """
+    )
