@@ -2147,3 +2147,54 @@ def q110_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_nationkey = 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step-function integral)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS v,
+             CAST(lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts)
+               AS DOUBLE) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           sum(v * dt_us) / sum(dt_us) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM stepped WHERE dt_us IS NOT NULL AND dt_us > 0
+    GROUP BY user_id
+    """,
+)
+def q111_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each observation holds until the
+    next one, so the mean is the step-function integral sum(v*dt)/sum(dt)
+    — the unbiased summary for irregularly-sampled series, where a plain
+    avg() over-weights bursts (a sensor idling at one value for an hour
+    must count like an hour, not like one row). One lead() window and one
+    aggregate, both partitioned by user_id: a single shuffle, state
+    bounded per key. Zero-length intervals (same-timestamp bursts) drop
+    out of both engines identically; microsecond epochs keep dt integral
+    until the final double division."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        F.col("value").cast("double").alias("v"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .cast("double")
+        .alias("dt_us"),
+    )
+    return (
+        stepped.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("v") * F.col("dt_us")) / F.sum("dt_us")).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
