@@ -2198,3 +2198,58 @@ def q111_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile clamping, feature cleaning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type AS grp,
+             quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT b.grp, b.lo, b.hi,
+           avg(CAST(e.value AS DOUBLE)) AS mean_raw,
+           avg(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi))
+             AS mean_winsor,
+           CAST(count(*) FILTER (WHERE CAST(e.value AS DOUBLE) < b.lo
+                OR CAST(e.value AS DOUBLE) > b.hi) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b ON e.event_type = b.grp
+    GROUP BY 1, 2, 3
+    """,
+)
+def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp the feature into its [p05, p95] band
+    before aggregating — the standard tail-taming transform before
+    training on heavy-tailed features (q104's MAD screen *finds* the
+    outliers; winsorizing *neutralizes* them without dropping rows). Two
+    passes: exact percentile bounds per group (tiny frame, broadcast
+    back), then clamp + aggregate in one scan. Same oracle-parity /
+    scale-path split as q104: exact percentiles gate correctness,
+    approx_percentile is the mergeable 100 TB drop-in."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("value").cast("double").alias("v")
+    )
+    bounds = e.groupBy("grp").agg(
+        F.percentile("v", F.lit(0.05)).alias("lo"),
+        F.percentile("v", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "grp")
+        .groupBy("grp", "lo", "hi")
+        .agg(
+            F.avg("v").alias("mean_raw"),
+            F.avg(clamped).alias("mean_winsor"),
+            F.count_if((F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))).alias(
+                "n_clipped"
+            ),
+        )
+        .select("grp", "lo", "hi", "mean_raw", "mean_winsor", "n_clipped")
+    )
