@@ -2253,3 +2253,103 @@ def q112_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("grp", "lo", "hi", "mean_raw", "mean_winsor", "n_clipped")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode (categorical majority per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_group_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey, o_orderpriority, count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def q113_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation modal order priority — the categorical majority vote.
+    SQL's mode() breaks ties engine-dependently, so the mode is spelled
+    as count + deterministic argmax (count DESC, value ASC): correct on
+    every engine, and the heavy lifting is a partial-aggregable count
+    whose reduce side is bounded by |groups| x |categories|, not rows.
+    The final argmax runs on that tiny frame via max_by over a
+    composite-ordered struct — no second shuffle of raw data."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # argmax by (n DESC, priority ASC): max_by with a struct key ordering
+    # (n, reversed-priority) would need string negation — use min_by over
+    # (-n, priority) instead: smallest -n is the largest n, ties by the
+    # lexicographically first priority.
+    return (
+        counts.groupBy("c_nationkey")
+        .agg(
+            F.min_by(
+                F.struct(F.col("o_orderpriority").alias("p"), F.col("n").alias("n")),
+                F.struct((-F.col("n")).alias("neg"), F.col("o_orderpriority").alias("p")),
+            ).alias("m")
+        )
+        .select(
+            "c_nationkey",
+            F.col("m.p").alias("mode_priority"),
+            F.col("m.n").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy (distribution diversity per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_source_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, sum(n) AS total, count(*) AS n_langs FROM counts GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(t.n_langs AS BIGINT) AS n_langs,
+           -sum((c.n / t.total) * ln(c.n / t.total)) AS entropy_nats
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY 1, 2
+    """,
+)
+def q114_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the diversity
+    metric a training-mix dashboard watches (entropy 0 = monolingual
+    shard; ln(k) = uniform over k). Two cheap aggregations over the
+    (source, lang) count frame — the raw scan is one partial-aggregated
+    groupBy, everything after runs on |sources| x |langs| rows. The same
+    shape scores ANY categorical balance question (label skew, shard
+    balance, dedup-cluster concentration)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("source").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "n_langs")
+        .agg((-F.sum(p * F.log(p))).alias("entropy_nats"))
+        .select("source", "n_langs", "entropy_nats")
+    )
