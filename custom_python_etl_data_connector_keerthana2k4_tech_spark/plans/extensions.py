@@ -2353,3 +2353,44 @@ def q114_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((-F.sum(p * F.log(p))).alias("entropy_nats"))
         .select("source", "n_langs", "entropy_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational division (for-all quantification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q115_relational_division",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) =
+           (SELECT count(DISTINCT o_orderpriority) FROM orders)
+    """,
+)
+def q115_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — universal quantification ('customers who have
+    ordered under EVERY priority level') as set-cover counting: group,
+    count distinct categories, keep groups matching the global category
+    count (a scalar subquery Catalyst evaluates once and broadcasts as a
+    literal). No double-negated NOT EXISTS nesting, no category
+    cross-join: one partial-aggregable groupBy whose reduce side is one
+    row per customer. The universal set is computed from data, so new
+    categories tighten the predicate automatically."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q115_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM q115_orders
+        GROUP BY o_custkey
+        HAVING count(DISTINCT o_orderpriority) =
+               (SELECT count(DISTINCT o_orderpriority) FROM q115_orders)
+        """
+    )
