@@ -2394,3 +2394,42 @@ def q115_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(DISTINCT o_orderpriority) FROM q115_orders)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 (effective-dated dimension from an event history)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_scd2_dimension",
+    oracle="""
+    SELECT user_id, event_id AS version_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS BOOLEAN) AS is_current,
+           CAST(value AS DOUBLE) AS attr_value
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def q116_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a mutation history into
+    effective-dated dimension rows — each change opens a version at its
+    timestamp, the next change closes it (valid_to = next valid_from,
+    half-open intervals so point-in-time lookups never double-match), and
+    the open-ended row is flagged current. One lead() window per key, one
+    shuffle; the result is exactly what q55's as-of join probes. This is
+    the warehouse-load half of the reference's upsert semantics: R8
+    keeps only the latest record, SCD2 keeps them all with validity."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.col("value").cast("double").alias("attr_value"),
+    )
