@@ -1,0 +1,590 @@
+"""Round-2 query surface: analytics shapes that round out SURVEY §2.3.
+
+Interval sweep-lines, Pareto frontiers, closed-form per-group regression
+and correlation (decimal moments, so distributed sums stay bit-identical
+to the serial oracle), Markov transition matrices, deterministic k-fold
+carving, incremental materialized-view merging, rule-based constraint
+audits, PageRank, and seasonal anomaly screens.
+
+Same determinism rules as plans/relational.py: decimal accumulation for
+every distributed sum the oracle re-computes serially, aligned aliases,
+unique window tiebreakers. Scale notes live in each docstring and in
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_pairs
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DSUM, dsum
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: how many orders are open on each day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_order_concurrency",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS open_d, max(l.l_shipdate) AS close_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        SELECT open_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_d, -1 FROM spans
+      ) GROUP BY d
+    )
+    SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM deltas
+    """,
+)
+def q118_order_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: an order is "open" from its order
+    date until its last shipment; the question is how many are open on
+    each day (the max of this series is peak WIP — the classic
+    max-concurrent-sessions problem). The scale-critical move: the ±1
+    deltas are AGGREGATED PER DAY against the raw tables first (one join
+    + one shuffle over the facts), and only the tiny per-day delta frame
+    — thousands of rows regardless of fact size — flows into the
+    running-sum window. The naive formulation (window over raw events)
+    would single-thread 100 TB; this one windows over ~dates. The same
+    two-phase prefix-sum extends to per-key partitions if the date
+    domain itself ever grows large."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    close = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("close_d"))
+    )
+    spans = o.join(close, o.o_orderkey == close.l_orderkey).select(
+        F.col("o_orderdate").alias("open_d"), "close_d"
+    )
+    deltas = (
+        spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(spans.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta")))
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deltas.select("d", F.sum("delta").over(w).alias("open_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q119_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated on (cheaper price,
+    larger size). The ORACLE spells out the O(n^2) NOT-EXISTS dominance
+    test; the ENGINE uses the sort-and-prefix-max identity — a part is
+    dominated iff some strictly-cheaper price level reaches its size, or
+    its own price level has a strictly larger part. Per-price best sizes
+    come from one groupBy over the raw table (big side, one shuffle);
+    the prefix max runs over the small distinct-price frame; the verdict
+    broadcast-joins back. No self-join of the fact table ever happens —
+    that is what makes a skyline feasible at 100 TB. If the distinct-key
+    frame itself grew fact-sized, the prefix max would switch to the
+    same two-phase per-partition offsets as q118's sweep."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    run = per_price.withColumn("cheaper_best", F.max("best_size").over(w))
+    joined = p.join(F.broadcast(run), "p_retailprice")
+    dominated = (F.coalesce(F.col("cheaper_best"), F.lit(-1)) >= F.col("p_size")) | (
+        F.col("best_size") > F.col("p_size")
+    )
+    return joined.filter(~dominated).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (closed-form, decimal moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_group_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+                  AS DECIMAL(30,10)) AS x,
+             CAST(value AS DECIMAL(30,10)) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s
+    """,
+)
+def q120_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend of event value over time, in closed
+    form: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²). Built-in regr_slope
+    accumulates doubles in partition order and would drift between a
+    1000-way parallel sum and the oracle's serial one; here the four
+    moments accumulate in DECIMAL (exact, order-independent) and the
+    final slope/intercept arithmetic is a fixed double expression —
+    bit-identical on both engines. One partial-aggregated shuffle over
+    the facts, a per-group result frame. X is centered as days-since-
+    epoch-2020 so second moments stay far inside decimal range."""
+    e = load(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2020-01-01").cast("date")).cast(
+        "decimal(30,10)"
+    )
+    y = F.col("value").cast("decimal(30,10)")
+    s = e.select(F.col("event_type"), x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (decimal moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_corr_matrix",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(30,10)) AS x,
+             CAST(l_extendedprice AS DECIMAL(30,10)) AS y,
+             CAST(l_discount AS DECIMAL(30,10)) AS z
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(z) AS DOUBLE) AS sz,
+             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(z * z) AS DOUBLE) AS szz,
+             CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * z) AS DOUBLE) AS sxz,
+             CAST(sum(y * z) AS DOUBLE) AS syz
+      FROM pts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxz - sx * sz) / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz))
+             AS corr_qty_disc,
+           (n * syz - sy * sz) / sqrt((n * syy - sy * sy) * (n * szz - sz * sz))
+             AS corr_price_disc
+    FROM s
+    """,
+)
+def q121_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of three fact measures per group, in
+    one aggregation pass: nine decimal moments + count, then fixed
+    double expressions. Same determinism argument as q120 — built-in
+    corr() would float-drift across partitionings; decimal moments make
+    the distributed sum exactly equal the oracle's serial sum. One
+    shuffle regardless of how many measure pairs are requested (moments
+    grow quadratically in measures, rows scanned once)."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(30,10)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(30,10)").alias("y"),
+        F.col("l_discount").cast("decimal(30,10)").alias("z"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    n, sx, sy, sz = F.col("n"), F.col("sx"), F.col("sy"), F.col("sz")
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+    sxy, sxz, syz = F.col("sxy"), F.col("sxz"), F.col("syz")
+    return s.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((n * sxz - sx * sz) / F.sqrt((n * sxx - sx * sx) * (n * szz - sz * sz))).alias(
+            "corr_qty_disc"
+        ),
+        ((n * syz - sy * sz) / F.sqrt((n * syy - sy * sy) * (n * szz - sz * sz))).alias(
+            "corr_price_disc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), t AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY src) AS DOUBLE) AS prob
+    FROM t
+    """,
+)
+def q122_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (event_type -> next event_type) pair, its count and row-normalized
+    probability. One shuffle on user_id for the lead() sequencing, one
+    partial-aggregated shuffle to the |types|^2 transition frame; the
+    normalizing window runs over that tiny frame, never the raw events.
+    The probability is a single long/long double division — identical
+    bits on both engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    norm = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double")
+        ).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified k-fold carving
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_kfold_stratified",
+    oracle=f"""
+    SELECT CAST(((o_orderkey * 2654435761) % 4294967296) % 5 AS BIGINT) AS fold,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {DSUM('o_totalprice')} AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q123_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation carving with a stratification audit: fold =
+    Knuth-hash(key) mod k (q58's engine-independent uniform, so the SAME
+    rows land in the same fold on any engine, partitioning, or rerun —
+    df.randomSplit cannot promise that), and the output is the per-fold
+    per-stratum count/mass balance sheet a training pipeline checks
+    before trusting the split. Pure map-side arithmetic plus one
+    partial-aggregated shuffle; at 100 TB the fold assignment is a
+    pushdown-friendly projected column, and carving fold i out later is
+    a plain filter with no stored split table. Keys wider than ~2^33
+    would overflow the 64-bit product; production would hash via
+    xxhash64 — kept as plain arithmetic here so the oracle can replay
+    it."""
+    o = load(spark, sf_dir, "orders")
+    fold = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(5)
+    return (
+        o.select(fold.alias("fold"), "o_orderstatus", "o_totalprice")
+        .groupBy("fold", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (merge partial states)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_incremental_view_merge",
+    oracle=f"""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           {DSUM('o_totalprice')} AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q124_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer rollup
+    is computed as two INDEPENDENT partial states — the "base" history
+    (orders before 1997) and the "delta" batch (1997+) — then merged by
+    re-aggregating (count partials add; decimal sum partials add
+    exactly). The ORACLE recomputes from scratch; equality proves the
+    merge operator is lossless, which is the property that lets a 100 TB
+    view absorb a daily 100 GB delta without rescanning history: persist
+    the partial-state frame, aggregate only the delta, merge, write
+    back. Same pattern as q77's rollup cascade and q103's HLL union,
+    here for the exact count/sum state."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("ps"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("pn").alias("n_orders"), F.sum("ps").cast("double").alias("total_spend"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based constraint audit (data-quality pre-flight)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_constraint_audit",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS rule, CAST((
+      SELECT count(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST((
+      SELECT count(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_nonpositive_total', CAST((
+      SELECT count(*) FROM orders WHERE o_totalprice <= 0
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'events_null_user', CAST((
+      SELECT count(*) FROM events WHERE user_id IS NULL
+    ) AS BIGINT)
+    UNION ALL
+    SELECT 'events_duplicate_id', CAST((
+      SELECT count(*) - count(DISTINCT event_id) FROM events
+    ) AS BIGINT)
+    """,
+)
+def q125_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: one row per constraint with its
+    violation count — referential integrity (orphan foreign keys, via
+    left-anti joins whose small build sides broadcast), domain rules
+    (non-positive totals: a pushed-down scan predicate), null checks,
+    and key uniqueness (count − count distinct). This is the pre-flight
+    a training pipeline runs before trusting a new drop; every rule is
+    an independent aggregate over a pruned scan, so the audit costs one
+    pass per fact table and the result frame is rule-sized. At 100 TB
+    the rules would share scans via a single multi-aggregate pass per
+    table; kept one-rule-one-frame here for declarative clarity."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    e = load(spark, sf_dir, "events")
+
+    def rule(name: str, count_df: DataFrame) -> DataFrame:
+        return count_df.select(
+            F.lit(name).alias("rule"), F.col("violations").cast("long").alias("violations")
+        )
+
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    orphan_lines = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    nonpos = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    null_user = e.filter(F.col("user_id").isNull()).agg(
+        F.count(F.lit(1)).alias("violations")
+    )
+    dup_ids = e.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("violations")
+    )
+    return (
+        rule("orders_orphan_custkey", orphan_orders)
+        .unionByName(rule("lineitem_orphan_orderkey", orphan_lines))
+        .unionByName(rule("orders_nonpositive_total", nonpos))
+        .unionByName(rule("events_null_user", null_user))
+        .unionByName(rule("events_duplicate_id", dup_ids))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative, decimal-summed contributions)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame, *, iterations: int = 6, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over a directed edge list (``src``, ``dst``) with uniform
+    teleport. Each iteration is one hash join of ranks onto the
+    out-degree-annotated edges plus one aggregation; contributions are
+    accumulated in DECIMAL so the distributed sum is order-independent
+    and runs are bit-reproducible. Ranks are checkpointed every third
+    iteration to cut the growing lineage (same discipline as
+    operators/dedup.connected_components). Dangling nodes are absent by
+    construction in symmetric graphs; for general graphs add their mass
+    to the teleport term."""
+    out = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ann = edges.join(out, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            ann.join(ranks, ann.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).cast("decimal(38,18)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 3 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@query("q126_pagerank", oracle=None)  # iterative fixpoint — not SQL-expressible
+def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the co-purchase graph (edges from q93's
+    basket pairs, symmetrized). Six join+aggregate rounds; the edge set
+    and node set are localCheckpointed once so every iteration reuses
+    materialized inputs instead of replaying the basket build.
+    Verified in tests/test_round2.py against a dense NumPy power
+    iteration on the same graph (rows-only for the driver gate)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        copurchase_pairs(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=6, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly screen (same-weekday trailing baseline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_weekday_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d, {DSUM('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT d, revenue,
+             lag(revenue, 1) OVER w AS l1, lag(revenue, 2) OVER w AS l2,
+             lag(revenue, 3) OVER w AS l3, lag(revenue, 4) OVER w AS l4
+      FROM daily
+      WINDOW w AS (PARTITION BY dayofweek(CAST(d AS DATE)) ORDER BY d)
+    )
+    SELECT d, revenue,
+           (l1 + l2 + l3 + l4) / 4 AS expected,
+           revenue / ((l1 + l2 + l3 + l4) / 4) AS ratio
+    FROM lagged WHERE l4 IS NOT NULL
+    """,
+)
+def q127_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen: each day's revenue against the average of
+    the trailing four SAME-WEEKDAY days (Mondays compare to Mondays —
+    the baseline that doesn't false-alarm on weekly cycles). Raw facts
+    collapse to one row per day first, so the weekday-partitioned lag
+    windows run over ~dates, not 100 TB of orders. The baseline is an
+    explicit (l1+l2+l3+l4)/4 expression rather than a windowed avg():
+    a fixed four-term double expression is bit-deterministic, while
+    sliding-frame avg implementations are free to accumulate in any
+    order. Spark's and DuckDB's weekday numberings differ by an offset,
+    which is irrelevant here — the weekday is only a partition key."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.partitionBy(F.dayofweek(F.to_date("d"))).orderBy("d")
+    lagged = daily.select(
+        "d",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("l1"),
+        F.lag("revenue", 2).over(w).alias("l2"),
+        F.lag("revenue", 3).over(w).alias("l3"),
+        F.lag("revenue", 4).over(w).alias("l4"),
+    ).filter(F.col("l4").isNotNull())
+    expected = (F.col("l1") + F.col("l2") + F.col("l3") + F.col("l4")) / 4
+    return lagged.select(
+        "d",
+        "revenue",
+        expected.alias("expected"),
+        (F.col("revenue") / expected).alias("ratio"),
+    )
