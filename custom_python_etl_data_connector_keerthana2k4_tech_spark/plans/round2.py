@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.joins import asof_join
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_pairs
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DSUM, dsum
@@ -587,4 +588,327 @@ def q127_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         expected.alias("expected"),
         (F.col("revenue") / expected).alias("ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time interval join against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_pit_interval_join",
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, ts AS valid_from, max(event_id) AS version_id,
+             max_by(value, event_id) AS attr_value
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ), dim AS (
+      SELECT user_id, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               AS valid_to,
+             version_id, attr_value
+      FROM snap
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.valid_from, d.version_id, d.attr_value
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'click'
+    """,
+)
+def q128_pit_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each click gets
+    the signup-attribute version valid AT its timestamp. The ORACLE
+    proves containment semantics with an explicit half-open interval
+    join (valid_from <= ts < valid_to); the ENGINE exploits that SCD2
+    versions tile time per key, so interval containment IS a backward
+    as-of match on valid_from — operators/joins.asof_join does it in
+    ONE shuffle with zero row explosion, versus the interval join's
+    |events|x|versions-per-user| intermediate. Same-timestamp mutations
+    are snapshotted to one version (max event_id wins) so both engines
+    are deterministic."""
+    e = load(spark, sf_dir, "events")
+    snap = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", F.col("ts").alias("valid_from"))
+        .agg(
+            F.max("event_id").alias("version_id"),
+            F.max_by("value", "event_id").alias("attr_value"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(
+        clicks, snap, on="user_id", left_time="ts", right_time="valid_from"
+    ).select("event_id", "user_id", "ts", "valid_from", "version_id", "attr_value")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists) over the document corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok WHERE token <> '' GROUP BY token
+    """,
+)
+def q129_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> document frequency + its posting
+    list, the retrieval-side dual of q82's vocabulary. Postings sort
+    NUMERICALLY before rendering (array_sort on the bigint ids, then
+    cast) so the engine's unordered collect_list matches the oracle's
+    ORDER BY exactly. One explode + one distinct + one aggregation; at
+    100 TB the posting list for a stopword-grade token would blow the
+    row budget, so production shards postings by (token, bucket) — the
+    df column is exactly the statistic that picks which tokens need
+    sharding."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (Welch's t, decimal moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_ab_welch_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(((user_id * 2654435761) % 4294967296) % 2 AS BIGINT) AS arm,
+             CAST(value AS DECIMAL(30,10)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT
+        CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS na,
+        CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS nb,
+        CAST(sum(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS sa,
+        CAST(sum(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS sb,
+        CAST(sum(CASE WHEN arm = 0 THEN v * v END) AS DOUBLE) AS saa,
+        CAST(sum(CASE WHEN arm = 1 THEN v * v END) AS DOUBLE) AS sbb
+      FROM assigned
+    )
+    SELECT na, nb, sa / na AS mean_a, sb / nb AS mean_b,
+           (sb / nb) / (sa / na) - 1 AS lift,
+           (sb / nb - sa / na)
+             / sqrt(((saa - sa * sa / na) / (na - 1)) / na
+                    + ((sbb - sb * sb / nb) / (nb - 1)) / nb) AS welch_t
+    FROM s
+    """,
+)
+def q130_ab_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout in one aggregation pass: deterministic arm
+    assignment (q58's Knuth hash — the SAME users land in the same arm
+    on every engine and rerun, which randomSplit cannot promise), then
+    per-arm counts/sums/sums-of-squares as conditional decimal
+    aggregates, then mean lift and Welch's unequal-variance t statistic
+    as fixed double expressions. No groupBy-then-pivot: the conditional
+    aggregates keep it a single map-side-combined pass with a one-row
+    result, which is how experiment scorecards stay cheap when the
+    metrics table is 100 TB."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arm = ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(2)
+    v = F.col("value").cast("decimal(30,10)")
+    a, b = F.col("arm") == 0, F.col("arm") == 1
+    s = e.select(arm.alias("arm"), v.alias("v")).agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(b, 1)).alias("nb"),
+        F.sum(F.when(a, F.col("v"))).cast("double").alias("sa"),
+        F.sum(F.when(b, F.col("v"))).cast("double").alias("sb"),
+        F.sum(F.when(a, F.col("v") * F.col("v"))).cast("double").alias("saa"),
+        F.sum(F.when(b, F.col("v") * F.col("v"))).cast("double").alias("sbb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, saa, sbb = F.col("sa"), F.col("sb"), F.col("saa"), F.col("sbb")
+    ma, mb = sa / na, sb / nb
+    va, vb = (saa - sa * sa / na) / (na - 1), (sbb - sb * sb / nb) / (nb - 1)
+    return s.select(
+        "na",
+        "nb",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        (mb / ma - 1).alias("lift"),
+        ((mb - ma) / F.sqrt(va / na + vb / nb)).alias("welch_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (context-window prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_doc_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 40)) AS start
+      FROM d WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+           CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q131_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document becomes overlapping
+    50-token chunks on a 40-token stride (10 tokens of overlap), the
+    standard context-window prep for embedding/pretraining pipelines
+    (complementary to q39's packing, which concatenates — this one
+    splits). Entirely narrow operations: split, sequence, explode,
+    slice — no shuffle at all, so it scales with raw scan bandwidth.
+    The chunk grid comes from an explicit integer sequence so both
+    engines enumerate identical (start, length) windows; the final
+    short chunk is kept (slice clamps), matching the oracle's list
+    slicing."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "\\s+"), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    s = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(40))).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, 50)
+    return s.select(
+        "doc_id",
+        (F.col("start") / 40).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User journey paths (ordered first-k funnel strings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_user_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def q132_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User journey analysis: each user's first five events collapse to
+    an ordered path string ('signup>view>click>...'), then paths are
+    counted — the exploratory dual of q80's fixed-order funnel. One
+    shuffle on user_id covers both the ranking window and the path
+    aggregation (same key, Catalyst reuses the partitioning); the
+    second aggregation runs over the tiny distinct-path frame. Ordering
+    inside the path is pinned by collecting (rn, type) structs and
+    array_sorting before join — collect_list alone is
+    partition-order-dependent and would scramble under AQE."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy contribution shares (percent-of-parent rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_hierarchy_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, n.n_name,
+             sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(sum(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE)
+             AS share_of_total
+    FROM rev
+    """,
+)
+def q133_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels: each nation's revenue
+    as a share of its region and of the world (q94's ratio-to-report
+    generalized to a cascade). The fact table aggregates FIRST — dims
+    broadcast onto orders, one partial-aggregated shuffle — and the
+    share windows run over the ~nations-sized frame. Window sums stay
+    in DECIMAL until the final double cast: a windowed double sum's
+    accumulation order is engine-internal and would drift; the decimal
+    sum is exact on both."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev_dec"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    revenue = F.col("rev_dec").cast("double")
+    return rev.select(
+        "r_name",
+        "n_name",
+        revenue.alias("revenue"),
+        (revenue / F.sum("rev_dec").over(wr).cast("double")).alias("share_of_region"),
+        (revenue / F.sum("rev_dec").over(wt).cast("double")).alias("share_of_total"),
     )

@@ -99,3 +99,50 @@ def test_markov_probabilities_normalize(spark, sf_dir):
     t = _QS["q122_markov_transitions"](spark, sf_dir)
     sums = t.groupBy("src").agg(F.sum("prob").alias("p")).collect()
     assert sums and all(abs(r["p"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    chunks = _QS["q131_doc_chunking"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, toks in docs.items() if toks}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        toks = docs[doc_id]
+        assert all(r["n_tokens"] <= 50 for r in rows)
+        covered = set()
+        for r in rows:
+            start = r["chunk_id"] * 40
+            assert r["chunk_text"].split() == toks[start : start + 50]
+            covered.update(range(start, min(start + 50, len(toks))))
+        assert covered == set(range(len(toks)))  # no token falls between chunks
+
+
+def test_pit_join_picks_version_valid_at_event_time(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    out = _QS["q128_pit_interval_join"](spark, sf_dir).collect()
+    events = load(spark, sf_dir, "events").collect()
+    signups: dict[int, list] = {}
+    for r in events:
+        if r["event_type"] == "signup":
+            signups.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    for row in out:
+        cands = [
+            (ts, eid)
+            for ts, eid in signups.get(row["user_id"], [])
+            if ts <= row["ts"]
+        ]
+        if not cands:
+            assert row["version_id"] is None
+        else:
+            latest_ts = max(ts for ts, _ in cands)
+            expect_vid = max(eid for ts, eid in cands if ts == latest_ts)
+            assert row["version_id"] == expect_vid, row
