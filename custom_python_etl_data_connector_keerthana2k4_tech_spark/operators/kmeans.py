@@ -1,0 +1,97 @@
+"""Deterministic distributed k-means over ``array<float>`` columns.
+
+Lloyd's algorithm, Spark-first: the assignment step is a pure Column
+expression (squared distances to a broadcast centroid literal via
+``transform``/``aggregate`` — JVM codegen, no Python workers), and the
+update step is one (cluster, dim) aggregation. Only the k×dim centroid
+matrix is collected to the driver per iteration; the N-row assignment
+never leaves the executors, so the loop scales with scan bandwidth.
+
+Determinism (pytest-verified against a NumPy twin):
+- init = the first k vectors ordered by ``id_col`` (no RNG);
+- argmin ties break toward the lowest cluster index (``array_position``
+  returns the first match);
+- empty clusters keep their previous centroid.
+
+The reference has no vector/ML surface at all (its complete operator
+inventory is /root/reference/etl_connector.py:53-242, SURVEY §2.1); this
+is a north-star extension (SURVEY §2.3, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist_sq(vec: F.Column, centroid: list[float]) -> F.Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` (int, argmin of squared distance, first-match tie
+    break) and ``dist_sq`` (double) columns; no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = F.array(*[_dist_sq(v, c) for c in centroids])
+    return df.withColumn("__dists", dists).select(
+        "*",
+        (F.array_position(F.col("__dists"), F.array_min("__dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__dists").alias("dist_sq"),
+    ).drop("__dists")
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iters`` Lloyd iterations; return (assigned_df, centroids).
+
+    ``assigned_df`` is ``df`` plus ``cluster`` / ``dist_sq`` columns under
+    the final centroids. Per iteration: one distributed scan + one
+    k×dim-row shuffle; driver state is the centroid matrix only.
+    """
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        assigned = assign(df, vec_col, centroids)
+        # Update: per-(cluster, dim) mean via posexplode — the shuffled
+        # frame is k*dim rows of partial sums, metadata-sized at any SF.
+        sums = (
+            assigned.select(
+                "cluster",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "x"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
+            cnt[r.cluster] = r.n
+        for cl, vec in acc.items():
+            new[cl] = [x / cnt[cl] for x in vec]
+        centroids = new
+
+    return assign(df, vec_col, centroids), centroids

@@ -53,6 +53,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Some driver-generated parquet stores timestamps as TIMESTAMP_NTZ.
+    # The session TZ is pinned UTC above, so casting NTZ -> TIMESTAMP keeps
+    # wall-clock values identical to DuckDB's naive-timestamp semantics while
+    # restoring compatibility with TIMESTAMP-only functions (unix_micros,
+    # window(), etc.).
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
