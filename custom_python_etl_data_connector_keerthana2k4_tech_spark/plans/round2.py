@@ -189,9 +189,9 @@ def q120_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT l_returnflag,
-             CAST(l_quantity AS DECIMAL(30,10)) AS x,
-             CAST(l_extendedprice AS DECIMAL(30,10)) AS y,
-             CAST(l_discount AS DECIMAL(30,10)) AS z
+             CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 100) AS BIGINT) AS z
       FROM lineitem
     ), s AS (
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -215,30 +215,42 @@ def q120_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q121_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of three fact measures per group, in
-    one aggregation pass: nine decimal moments + count, then fixed
-    double expressions. Same determinism argument as q120 — built-in
-    corr() would float-drift across partitionings; decimal moments make
-    the distributed sum exactly equal the oracle's serial sum. One
+    one aggregation pass. Same determinism argument as q120 — built-in
+    corr() would float-drift across partitionings — but the moments are
+    quantized-integer (vectors.py's trick: measures are exact at 2
+    decimals, so ×100-scaled BIGINTs make every product/sum exact and
+    order-independent), and Pearson is scale-invariant so the ×100
+    cancels algebraically. Long arithmetic stays in whole-stage codegen
+    with no BigDecimal allocation — ~6× faster than the decimal-moment
+    formulation under a loaded heap; only the final sums pass through
+    DECIMAL(38) to avoid 64-bit overflow (price² sums exceed 2⁶³). One
     shuffle regardless of how many measure pairs are requested (moments
     grow quadratically in measures, rows scanned once)."""
     li = load(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_returnflag",
-        F.col("l_quantity").cast("decimal(30,10)").alias("x"),
-        F.col("l_extendedprice").cast("decimal(30,10)").alias("y"),
-        F.col("l_discount").cast("decimal(30,10)").alias("z"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("z"),
     )
+
+    def msum(expr) -> F.Column:
+        # exact sum: per-row products are longs; the sum alone widens to
+        # decimal(38,0) (DuckDB's BIGINT sum widens to HUGEINT likewise)
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
     s = pts.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum("z").cast("double").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast("double").alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast("double").alias("syz"),
+        msum(x).alias("sx"),
+        msum(y).alias("sy"),
+        msum(z).alias("sz"),
+        msum(x * x).alias("sxx"),
+        msum(y * y).alias("syy"),
+        msum(z * z).alias("szz"),
+        msum(x * y).alias("sxy"),
+        msum(x * z).alias("sxz"),
+        msum(y * z).alias("syz"),
     )
     n, sx, sy, sz = F.col("n"), F.col("sx"), F.col("sy"), F.col("sz")
     sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")

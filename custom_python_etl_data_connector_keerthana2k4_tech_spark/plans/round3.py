@@ -143,6 +143,125 @@ def q135_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonicalized exact dedup (normalize-then-fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q137_canonical_dedup",
+    oracle="""
+    WITH c AS (
+      SELECT source, text,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canon_distinct
+    FROM c GROUP BY source
+    """,
+)
+def q137_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup: lowercase, strip punctuation, collapse
+    whitespace BEFORE fingerprinting, so trivially-reformatted copies
+    (case, spacing, punctuation) collapse together — the standard
+    normalization pass that runs ahead of q42's raw-content dedup in an
+    LLM data pipeline. The canonical form is a narrow per-row expression
+    (no shuffle); the distinct counts are one hash aggregation per
+    source. At 100 TB you'd count distinct over a fingerprint of the
+    canonical form rather than the string itself — q42 demonstrates that
+    md5 path; here the oracle compares the semantics of the
+    normalization itself."""
+    d = load(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    return (
+        d.select("source", "text", canon.alias("canon"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_distinct"),
+            F.countDistinct("canon").alias("n_canon_distinct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source vocabulary overlap (pairwise Jaccard of sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q138_source_overlap",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS token
+      FROM documents
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.n AS vocab_a, sb.n AS vocab_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.src_a
+    JOIN sz sb ON sb.source = i.src_b
+    """,
+)
+def q138_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level similarity: pairwise vocabulary Jaccard between
+    sources — the contamination / redundancy screen run between corpus
+    components before mixing (q43 compares document pairs; this
+    compares whole sources). The (source, token) distinct is the only
+    full-data shuffle; the self-join then runs on the vocabulary frame,
+    where each token matches at most n_sources rows, so the join output
+    is bounded by |vocab| x n_sources^2 — independent of corpus row
+    count. Source-count sized frames (sizes, intersections) broadcast.
+    The integer-ratio Jaccard is bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    v = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+        ).alias("token"),
+    ).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("sa.source") == F.col("src_a"))
+        .join(F.broadcast(sb), F.col("sb.source") == F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("sa.n").alias("vocab_a"),
+            F.col("sb.n").alias("vocab_b"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 
