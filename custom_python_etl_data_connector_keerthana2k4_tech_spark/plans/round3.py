@@ -262,6 +262,130 @@ def q138_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equal-frequency binning (quantile buckets without a global sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_equifreq_bins",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM lineitem
+    ), binned AS (
+      SELECT l_extendedprice AS v,
+             1 + len(list_filter(c.qs, q -> q < l_extendedprice)) AS bin
+      FROM lineitem, cuts c
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           min(v) AS min_v, max(v) AS max_v,
+           CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS sum_v
+    FROM binned GROUP BY bin
+    """,
+)
+def q139_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning WITHOUT a global sort: one
+    aggregation computes the nine exact interpolated deciles (same
+    cross-engine-exact percentile path q35 pins), the cutoff vector
+    broadcasts, and bin assignment is a narrow count-of-cutoffs-below
+    expression — so the data-sized pass is shuffle-free, unlike the
+    ntile formulation which funnels every row through one sorted
+    partition. This is the profile behind quantile feature bucketing
+    and length-balanced shard carving at 100 TB (swap the exact
+    percentile for q67's mergeable sketch when approximate cutoffs are
+    acceptable). Per-bin sums in DECIMAL for cross-engine exactness."""
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile("l_extendedprice", F.lit([i / 10 for i in range(1, 10)])).alias(
+            "qs"
+        )
+    )
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        F.col("l_extendedprice").alias("v"),
+        (
+            1
+            + F.size(F.filter("qs", lambda q: q < F.col("l_extendedprice")))
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(F.col("v").cast("decimal(30,10)")).cast("double").alias("sum_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (conversion-window as-of credit assignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             (SELECT max(c.ts) FROM events c
+              WHERE c.user_id = p0.user_id AND c.event_type = 'click'
+                AND c.ts <= p0.ts
+                AND c.ts >= p0.ts - INTERVAL 7 DAY) AS click_ts
+      FROM events p0 WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(click_ts) AS BIGINT) AS n_attributed,
+           CAST(coalesce(sum(CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT)),
+                         0) AS BIGINT) AS sum_gap_us
+    FROM p GROUP BY user_id
+    """,
+)
+def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day conversion window: every
+    purchase credits the most recent preceding click by the same user.
+    The oracle states it as a correlated MAX subquery; the engine uses
+    the asof formulation that scales — one shuffle by user_id, then a
+    running ``last(click_ts, ignorenulls)`` over the time-ordered
+    union, so each user's events are scanned once instead of joined
+    quadratically (clicks sort before purchases at equal ts, matching
+    the subquery's ``<=``). The window check then turns stale clicks
+    into unattributed purchases. Micro-second integer gaps keep the
+    sums engine-exact."""
+    e = load(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts0"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = tagged.withColumn(
+        "last_click", F.last("click_ts0", ignorenulls=True).over(w)
+    ).filter(F.col("is_purchase") == 1)
+    gap_us = F.unix_micros("ts") - F.unix_micros("last_click")
+    attributed = enriched.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("last_click").isNotNull()
+            & (gap_us <= F.lit(7 * 24 * 3600 * 1_000_000)),
+            F.col("last_click"),
+        ).alias("click_ts"),
+    )
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_ts").alias("n_attributed"),
+        F.coalesce(
+            F.sum(F.unix_micros("ts") - F.unix_micros("click_ts")), F.lit(0)
+        ).alias("sum_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 

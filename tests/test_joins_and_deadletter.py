@@ -88,6 +88,24 @@ def test_json_and_csv_scans_match_parquet(spark, sf_dir, tmp_path):
     assert _canon(from_csv) == _canon(nation)
 
 
+def test_orc_scan_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC (the other built-in columnar format) roundtrips the same
+    relation with predicate pushdown intact."""
+    nation = load(spark, sf_dir, "nation")
+    odir = str(tmp_path / "o")
+    nation.write.mode("overwrite").orc(odir)
+    from_orc = spark.read.schema(nation.schema).orc(odir)
+    assert _canon(from_orc) == _canon(nation)
+    plan = (
+        from_orc.filter("n_nationkey = 3")
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan
+
+
 def test_bucketed_join_elides_shuffle(spark, sf_dir):
     """Two tables bucketed by the join key into the same bucket count join
     WITHOUT a shuffle: the physical plan has no Exchange under the join,
