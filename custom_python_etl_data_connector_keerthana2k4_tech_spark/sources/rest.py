@@ -42,7 +42,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class RestSourceError(RuntimeError):
@@ -187,12 +192,81 @@ class RestReader(DataSourceReader):
                 time.sleep(self.min_interval_s)
 
 
+class RestSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Continuous mode of R1-R5: poll the paginated endpoint as a
+    Structured Streaming source (``spark.readStream.format("paginated_rest")``).
+
+    Offset = ``{"page": p, "pos": k}``: everything before item ``k`` of page
+    ``p`` has been emitted. Full pages advance the page cursor; a short page
+    leaves the cursor ON that page at its current length, so items appended
+    later are picked up by the next micro-batch without re-emitting earlier
+    ones — exactly-once for append-only page feeds (the OTX "pulses since"
+    shape), checkpoint-recoverable via ``readBetweenOffsets`` replay.
+
+    The reader polls serially on the driver (SimpleDataSourceStreamReader's
+    prefetch model), which is exactly the reference's polite single-client
+    behavior (etl_connector.py:88-127) — appropriate for a rate-limited API,
+    while the heavy transform/sink work downstream stays distributed.
+    ``pages_per_batch`` bounds each micro-batch (R5's max_pages analog).
+    """
+
+    def __init__(self, options: dict):
+        self._r = RestReader(options)  # reuse option parsing + auth headers
+        self.pages_per_batch = int(options.get("pages_per_batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"page": 1, "pos": 0}
+
+    def _fetch_page(self, page: int) -> list:
+        headers = {"User-Agent": self._r.user_agent}
+        if self._r.api_key:
+            headers["X-OTX-API-KEY"] = self._r.api_key
+        body = safe_get(
+            self._r.base_url + self._r.endpoint,
+            params={"limit": self._r.per_page, "page": page},
+            headers=headers,
+            timeout_s=self._r.timeout_s,
+            max_retries=self._r.max_retries,
+            backoff_initial_s=self._r.backoff_initial_s,
+            backoff_multiplier=self._r.backoff_multiplier,
+        )
+        return normalize_payload(body)
+
+    def _poll(self, start: dict, stop_at: dict | None = None):
+        page, pos = int(start["page"]), int(start["pos"])
+        rows: list[tuple] = []
+        for _ in range(self.pages_per_batch):
+            items = self._fetch_page(page)
+            hi = len(items)
+            if stop_at is not None and page == int(stop_at["page"]):
+                hi = min(hi, int(stop_at["pos"]))
+            for p in range(pos, hi):
+                rows.append((page, p, json.dumps(items[p], sort_keys=True)))
+            if stop_at is not None and page == int(stop_at["page"]):
+                return rows, dict(stop_at)
+            if len(items) < self._r.per_page:  # short/empty: stay on this page
+                return rows, {"page": page, "pos": len(items)}
+            page, pos = page + 1, 0
+            if self._r.min_interval_s > 0:
+                time.sleep(self._r.min_interval_s)
+        return rows, {"page": page, "pos": pos}
+
+    def read(self, start: dict):
+        rows, end = self._poll(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._poll(start, stop_at=end)
+        return iter(rows)
+
+
 class RestDataSource(DataSource):
     """``spark.read.format("paginated_rest")`` — see module docstring.
 
     Options: base_url (required), endpoint, api_key, user_agent, per_page,
     max_pages, pages_per_partition, timeout_s, max_retries,
-    backoff_initial_s, backoff_multiplier, min_interval_s.
+    backoff_initial_s, backoff_multiplier, min_interval_s; streaming adds
+    pages_per_batch (micro-batch page budget).
     """
 
     @classmethod
@@ -204,6 +278,9 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> RestReader:
         return RestReader(self.options)
+
+    def simpleStreamReader(self, schema: T.StructType) -> RestSimpleStreamReader:
+        return RestSimpleStreamReader(self.options)
 
 
 def register_rest_source(spark: SparkSession) -> None:
