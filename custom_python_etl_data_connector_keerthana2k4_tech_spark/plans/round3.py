@@ -386,6 +386,138 @@ def q140_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event debounce (keep-first-per-burst collapse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_debounce",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS is_burst_head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_burst_head) AS BIGINT) AS n_kept
+    FROM g GROUP BY event_type
+    """,
+)
+def q141_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce: repeated (user, event_type) events within an hour
+    of their predecessor collapse into one — the keep-first-per-island
+    dual of q92's gap sessionization, and the batch shape of
+    click-spam / retry-storm suppression ahead of training-data
+    extraction. One shuffle: the lag window and the burst-head flag
+    share the (user_id, event_type) partitioning, and the final rollup
+    aggregates the flagged frame. Deterministic ordering pins ties by
+    event_id. Microsecond integer gaps keep both engines exact."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1)
+        .otherwise(0)
+        .alias("is_burst_head"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_burst_head").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations (association strength over q134's counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_bigram_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w, FROM d
+    ), uc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(n_w) AS BIGINT) AS n_tok FROM uc
+    ), s AS (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM d WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY 1, 2
+    )
+    SELECT b.w1, b.w2, b.n,
+           ln(CAST(b.n AS DOUBLE) * t.n_tok / (u1.n_w * u2.n_w)) AS pmi
+    FROM bc b
+    JOIN uc u1 ON u1.w = b.w1
+    JOIN uc u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    WHERE b.n >= 5
+    """,
+)
+def q142_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent-token pairs: the
+    collocation score that separates genuine phrases from frequency
+    accidents (q134 gives the counts; PMI normalizes by unigram
+    popularity). Two count aggregations (unigram, bigram — the bigram
+    extraction itself is the shuffle-free transform/sequence kernel),
+    then vocabulary-sized joins to score; the support floor (n >= 5)
+    bounds output. The PMI argument is an exact integer ratio evaluated
+    in one double division, so the only cross-engine wiggle is ln's
+    last ulp — inside the 1e-6 comparison tolerance."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+    td = docs.select(toks.alias("toks"))
+    uc = (
+        td.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uc.agg(F.sum("n_w").alias("n_tok"))
+    bc = (
+        td.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                F.col("n").cast("double")
+                * F.col("n_tok")
+                / (F.col("n_w1") * F.col("n_w2"))
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 
