@@ -168,6 +168,45 @@ def run_pulse_stream(
     q.awaitTermination()
 
 
+def run_pulse_stream_rest(
+    spark: SparkSession,
+    base_url: str,
+    schema: T.StructType,
+    cfg: PipelineConfig,
+    target_path: str,
+    checkpoint: str,
+    **source_options,
+) -> None:
+    """Continuous connector mode OVER THE WIRE: the streaming REST source
+    (sources/rest.py RestSimpleStreamReader — (page, pos) offsets, replayable)
+    feeds the same transform -> validate -> keyed-upsert chain as the batch
+    pipeline. This is the reference's whole program (etl_connector.py:206-239)
+    as a restartable stream: the offset checkpoint replaces the implicit
+    "start from page 1 each run", and the idempotent upsert makes any
+    replayed micro-batch converge. One availableNow pass drains what the API
+    currently serves; re-running resumes from the checkpointed page cursor."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources.rest import register_rest_source
+
+    register_rest_source(spark)
+    reader = spark.readStream.format("paginated_rest").option("base_url", base_url)
+    for k, v in source_options.items():
+        reader = reader.option(k, str(v))
+    raw = reader.load().select(F.from_json("item", schema).alias("raw"))
+    transformed = validate(transform_pulses(raw, cfg))
+    q = (
+        foreach_batch_upsert(
+            transformed,
+            target_path,
+            key="pulse_id",
+            order_by=["pulse_modified"],
+            checkpoint=checkpoint,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_running_totals(
     events: DataFrame,
     key_col: str = "user_id",

@@ -366,3 +366,60 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_pulse_stream_rest_over_the_wire(spark, tmp_path):
+    """Continuous connector mode over the wire: the streaming REST source
+    feeds transform -> validate -> keyed upsert. A second run resumes from
+    the offset checkpoint (no page re-read of full pages) and new pulses
+    appended to the feed land exactly once; re-delivered keys converge."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import RAW_PULSE_SCHEMA, RAW_PULSES
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import run_pulse_stream_rest
+
+    per_page = 3
+    pages = {1: {"results": RAW_PULSES[:per_page]},
+             2: {"results": RAW_PULSES[per_page : per_page + 1]}}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            p = int(parse_qs(urlparse(self.path).query).get("page", ["1"])[0])
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(json.dumps(pages.get(p, {"results": []})).encode())
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    target, ck = str(tmp_path / "tgt"), str(tmp_path / "ck")
+    cfg = PipelineConfig(api_key="k", base_url=base, connector_name="s", city="")
+
+    run_pulse_stream_rest(
+        spark, base, RAW_PULSE_SCHEMA, cfg, target, ck, per_page=per_page
+    )
+    first = spark.read.parquet(target).filter(F.col("pulse_id").isNotNull())
+    n_first = first.count()
+    assert n_first == first.select("pulse_id").distinct().count() > 0
+
+    # feed grows: page 2 fills out with an UPDATED copy of the first pulse
+    newer = dict(RAW_PULSES[0])
+    newer["pulse_info"] = dict(
+        newer["pulse_info"], modified="2024-02-01T00:00:00", name="Emotet wave v2"
+    )
+    pages[2] = {"results": RAW_PULSES[per_page : per_page + 2] + [newer]}
+    run_pulse_stream_rest(
+        spark, base, RAW_PULSE_SCHEMA, cfg, target, ck, per_page=per_page
+    )
+    srv.shutdown()
+
+    out = spark.read.parquet(target).filter(F.col("pulse_id").isNotNull())
+    assert out.count() == out.select("pulse_id").distinct().count()
+    v2 = out.filter(F.col("pulse_id") == "pi-001").collect()
+    assert len(v2) == 1 and v2[0].pulse_name == "Emotet wave v2"
