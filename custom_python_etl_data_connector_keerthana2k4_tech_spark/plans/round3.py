@@ -518,6 +518,133 @@ def q142_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-dimension lookup (broadcast banding join — rate/bracket tables)
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 20_000.0),
+    ("mid", 20_000.0, 45_000.0),
+    ("premium", 45_000.0, 70_000.0),
+    ("luxury", 70_000.0, 10_000_000.0),
+]
+
+
+@query(
+    "q143_band_lookup",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}
+    )
+    SELECT b.band, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q143_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-dimension lookup: classify every fact row against a small
+    table of half-open bands (rate tables, tax brackets, price tiers).
+    The band table broadcasts, so the non-equi join is a
+    BroadcastNestedLoopJoin whose inner side is a handful of rows —
+    constant work per fact row, zero shuffle before the final rollup.
+    This is the broadcast complement of bucketed_range_join (q72),
+    which handles the big-big interval case. DECIMAL revenue keeps the
+    cross-engine sum exact."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-construction kit (formatting scalar surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_string_kit",
+    oracle="""
+    SELECT n_name,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS key_padded,
+           translate(lower(n_name), ' -', '__') AS slug,
+           reverse(lower(n_name)) AS rev,
+           repeat('*', CAST(n_nationkey % 5 AS INT)) AS stars,
+           concat_ws('/', 'nation', CAST(n_regionkey AS VARCHAR),
+                     lower(n_name)) AS path
+    FROM nation
+    """,
+)
+def q144_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-construction surface in one projection: lpad, translate,
+    reverse, repeat, concat_ws — the label/slug/path builders of export
+    pipelines. Pure codegen'd Column expressions (narrow, shuffle-free;
+    at 100 TB this runs at scan bandwidth). The reference's only string
+    handling is f-string logging (etl_connector.py:105,116); this is
+    the declared engine surface for it."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("key_padded"),
+        F.translate(F.lower("n_name"), " -", "__").alias("slug"),
+        F.reverse(F.lower("n_name")).alias("rev"),
+        F.repeat(F.lit("*"), (F.col("n_nationkey") % 5).cast("int")).alias("stars"),
+        F.concat_ws(
+            "/", F.lit("nation"), F.col("n_regionkey").cast("string"), F.lower("n_name")
+        ).alias("path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar kit (date-boundary scalar surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_calendar_kit",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           date_trunc('quarter', o_orderdate) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+             AS days_to_month_end,
+           CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q145_calendar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-boundary surface: quarter start, month end,
+    days-remaining-in-month, day-of-week — the fiscal/periodization
+    helpers under q95/q127-style period analytics. All narrow codegen
+    expressions over the pushed-down key filter (the modulo sample
+    keeps oracle output small). Spark's dayofweek is 1=Sunday;
+    DuckDB's dow is 0=Sunday — aligned by subtracting one."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(F.last_day(d), d).cast("long").alias("days_to_month_end"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 
