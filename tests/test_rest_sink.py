@@ -1,0 +1,136 @@
+"""REST upsert sink tests (R8-R10 over HTTP, no network): a local stub
+captures POST batches and scripts failures, exercising batching, retry,
+auth headers, pre-flight ping, and key extraction.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources.rest import RestSourceError
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources.rest_sink import (
+    register_rest_sink,
+    safe_post,
+)
+
+
+class _SinkState:
+    def __init__(self):
+        self.batches: list[list[dict]] = []  # parsed ndjson bodies
+        self.pings = 0
+        self.fail_first: list[int] = []  # status codes to inject
+        self.headers: list[dict] = []
+        self.lock = threading.Lock()
+
+
+def _make_handler(state: _SinkState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            with state.lock:
+                if self.path == "/ping":
+                    state.pings += 1
+                    self.send_response(200)
+                    self.end_headers()
+                    return
+                if state.fail_first:
+                    self.send_response(state.fail_first.pop(0))
+                    self.end_headers()
+                    return
+                state.headers.append(
+                    {"api_key": self.headers.get("X-OTX-API-KEY")}
+                )
+                state.batches.append(
+                    [json.loads(line) for line in body.decode().splitlines()]
+                )
+            self.send_response(200)
+            self.end_headers()
+
+    return Handler
+
+
+@pytest.fixture()
+def sink_server():
+    state = _SinkState()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", state
+    server.shutdown()
+
+
+def test_safe_post_retries_5xx(sink_server):
+    base, state = sink_server
+    state.fail_first = [500, 503]
+    sleeps: list[float] = []
+    safe_post(base + "/upsert", b'{"k":1}', backoff_initial_s=1.0, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0]  # x2 exponential (etl_connector.py:55,62)
+    assert len(state.batches) == 1
+
+
+def test_safe_post_terminal_4xx(sink_server):
+    base, state = sink_server
+    state.fail_first = [403]
+    with pytest.raises(RestSourceError, match="HTTP 403"):
+        safe_post(base + "/upsert", b"x", sleep=lambda s: None)
+
+
+def test_write_batches_and_keys(spark, sink_server):
+    """20-record batching (R9), key extraction (R8), auth header (R2),
+    pre-flight ping (R10) — one pass through the writer."""
+    base, state = sink_server
+    register_rest_sink(spark)
+    df = spark.range(45).selectExpr(
+        "concat('p-', id) AS pulse_id", "id AS indicator_count"
+    ).coalesce(1)
+    (
+        df.write.format("rest_upsert")
+        .option("base_url", base)
+        .option("api_key", "sekrit")
+        .option("backoff_initial_s", "0.01")
+        .mode("append")
+        .save()
+    )
+    assert state.pings == 1
+    sizes = sorted(len(b) for b in state.batches)
+    assert sizes == [5, 20, 20]  # two full flushes + remainder (R9 final flush)
+    all_rows = [r for b in state.batches for r in b]
+    assert len(all_rows) == 45
+    assert {r["key"] for r in all_rows} == {f"p-{i}" for i in range(45)}
+    assert all_rows[0]["doc"]["indicator_count"] is not None
+    assert all(h["api_key"] == "sekrit" for h in state.headers)
+
+
+def test_write_fails_without_ping(spark):
+    register_rest_sink(spark)
+    df = spark.range(1).selectExpr("'x' AS pulse_id")
+    with pytest.raises(Exception, match="pre-flight ping failed"):
+        (
+            df.write.format("rest_upsert")
+            .option("base_url", "http://127.0.0.1:1")  # nothing listens
+            .option("timeout_s", "0.2")
+            .mode("append")
+            .save()
+        )
+
+
+def test_write_retries_transient_5xx(spark, sink_server):
+    base, state = sink_server
+    register_rest_sink(spark)
+    state.fail_first = [500]  # first batch POST fails once, then succeeds
+    df = spark.range(3).selectExpr("concat('p-', id) AS pulse_id").coalesce(1)
+    (
+        df.write.format("rest_upsert")
+        .option("base_url", base)
+        .option("backoff_initial_s", "0.01")
+        .mode("append")
+        .save()
+    )
+    assert [len(b) for b in state.batches] == [3]
