@@ -645,6 +645,163 @@ def q145_calendar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fulfillment latency percentiles (fact-fact join + ordered-set aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(days, 0.50) AS p50,
+           quantile_cont(days, 0.90) AS p90,
+           quantile_cont(days, 0.99) AS p99,
+           CAST(max(days) AS BIGINT) AS worst
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q146_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution by priority: the fact-fact
+    equi-join (orders ⋈ lineitem on the order key — both sides shuffle
+    on the key; at 100 TB co-locate them with bucketing, q72's setup)
+    feeding exact interpolated percentiles per group (q35's engine-exact
+    percentile path). Integer day latencies make the interpolation
+    arithmetic identical across engines. The operational-SLA shape of
+    latency dashboards."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lat = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("days", F.lit(0.50)).alias("p50"),
+        F.percentile("days", F.lit(0.90)).alias("p90"),
+        F.percentile("days", F.lit(0.99)).alias("p99"),
+        F.max("days").cast("long").alias("worst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency (segment x region independence screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_chisq_contingency",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, n.n_regionkey AS region,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT seg, region, o,
+             sum(o) OVER (PARTITION BY seg) AS row_n,
+             sum(o) OVER (PARTITION BY region) AS col_n,
+             sum(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT seg, region, o,
+           CAST(row_n * col_n AS DOUBLE) / grand AS expected,
+           (o - CAST(row_n * col_n AS DOUBLE) / grand)
+             * (o - CAST(row_n * col_n AS DOUBLE) / grand)
+             / (CAST(row_n * col_n AS DOUBLE) / grand) AS chi2_term
+    FROM tot
+    """,
+)
+def q147_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table: observed vs expected counts for
+    market segment × region, the independence screen behind "is my
+    corpus mix correlated with source?" audits (the categorical dual of
+    q121's correlations). One dimension-broadcast join + one count
+    aggregation touch the data; the margin sums are windows over the
+    |seg|×|region| cell frame, so the statistic costs nothing extra at
+    any scale. Exact integer counts make every expected/chi2 term a
+    deterministic double expression."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    obs = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("n_regionkey").alias("region")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_n = F.sum("o").over(Window.partitionBy("seg"))
+    col_n = F.sum("o").over(Window.partitionBy("region"))
+    grand = F.sum("o").over(Window.partitionBy())
+    expected = (row_n * col_n).cast("double") / grand
+    return obs.select(
+        "seg",
+        "region",
+        "o",
+        expected.alias("expected"),
+        ((F.col("o") - expected) * (F.col("o") - expected) / expected).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    , c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / sum(n) OVER () AS share,
+           log10(1.0 + 1.0 / digit) AS benford_expected
+    FROM c
+    """,
+)
+def q148_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    anomaly screen for fabricated or truncated numeric columns (a
+    synthetic uniform fixture will visibly NOT follow Benford, which is
+    exactly what the audit reports). The first significant digit comes
+    from the ×100-scaled integer's decimal string — no float log10 near
+    digit boundaries, so both engines bucket identically. One
+    aggregation over a narrow projection; the share normalizes by a
+    window over the 9-row digit frame (no second data pass)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            "share"
+        ),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_expected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 
