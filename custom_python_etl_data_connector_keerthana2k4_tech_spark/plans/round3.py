@@ -802,6 +802,96 @@ def q148_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Co-purchase graph degree distribution (graph profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u)
+      GROUP BY u
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q149_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (parts are nodes,
+    same-order co-occurrence is an edge): the first profile you run on
+    any graph before q117's triangles or q126's PageRank, because the
+    tail of this histogram is what blows up wedge-generating
+    algorithms. Edge generation is q93's bounded within-order self-join
+    (fan-out capped by order size, not catalog size); degrees come from
+    one aggregation over the edge list counted from both endpoints, and
+    the histogram is metadata-sized. Orientation (u < v) halves the
+    join output; the union-all restores both endpoints for degree
+    counting without materializing reversed edges in the join."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Current-state census from the event log (single-pass argmax collapse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_current_state_census",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS current_state,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q150_current_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state census: collapse the event log to each user's
+    latest event and count the population per state — the materialized
+    "where is everyone now" view over a CDC-style log. The engine does
+    it in ONE aggregation pass with ``max_by`` keyed on the
+    (ts, event_id) struct (deterministic tie-break, map-side combined:
+    each partition keeps one candidate per user before the shuffle);
+    the oracle states the same thing as the row_number formulation,
+    which shuffles every raw row into a per-user sort. The max_by form
+    is q78's argmax generalized to a composite ordering key — at 100 TB
+    the difference is a combiner-friendly aggregate vs a full-data
+    window sort."""
+    e = load(spark, sf_dir, "events")
+    latest = e.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("current_state")
+    )
+    return latest.groupBy("current_state").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic k-means over embeddings (iterative vector clustering)
 # ---------------------------------------------------------------------------
 

@@ -58,16 +58,28 @@ def test_dimension_joins_broadcast(plans, name):
     assert "CartesianProduct" not in p
 
 
+# Queries whose plan INTENTIONALLY contains a BroadcastNestedLoopJoin: the
+# broadcast side is constant-sized (a query set, a scalar total, a decile
+# vector, a band dimension), so the nested loop is O(rows x small-constant)
+# — the correct plan, unlike a shuffled cartesian.
+_INTENTIONAL_BNLJ = {
+    "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
+    "q139_equifreq_bins",  # one-row decile-cutoff vector broadcast
+    "q142_bigram_pmi",  # one-row corpus-total broadcast
+    "q143_band_lookup",  # 4-row interval band dimension broadcast
+}
+
+
 def test_no_accidental_cartesian_products(plans):
-    """Every declared query plans equi-joins; the only nested-loop join in
-    the whole surface is q46's intentional broadcast of the tiny query set."""
+    """Every declared query plans equi-joins; nested-loop joins appear only
+    where a constant-sized broadcast side makes them the right plan."""
     for name in sorted(registry.queries()):
         p = plans(name)
         assert "CartesianProduct" not in p, name
-        if name != "q46_cosine_topk":
+        if name not in _INTENTIONAL_BNLJ:
             assert "BroadcastNestedLoopJoin" not in p, name
         else:
-            assert "BroadcastNestedLoopJoin" in p  # broadcast, not shuffled
+            assert "BroadcastNestedLoopJoin" in p, name  # broadcast, not shuffled
 
 
 def test_decontamination_broadcasts_benchmark_grams(plans):
