@@ -1,0 +1,319 @@
+"""Round-4 additions to the declared query surface (SURVEY §2.3 extensions).
+
+North-star operators beyond the reference's ETL-only surface (the reference's
+complete operator inventory is /root/reference/etl_connector.py:53-242,
+SURVEY §2.1 — it has no joins, aggregations, or text analytics): association-
+rule mining over co-purchase sets, corpus boilerplate screening via bigram
+document frequency, a state-machine transition audit, and a JSON map
+entity-attribute-value profile.
+
+All queries here are oracle-paired (DuckDB) and auto-gated by
+tests/test_oracle.py; operator-level semantics are additionally covered in
+tests/test_round4.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_pairs
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over co-purchase sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q151_association_rules",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+           FROM items GROUP BY 1),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(n_ab AS DOUBLE) / n.n_orders AS support,
+           CAST(n_ab AS DOUBLE) / ia.n_item AS confidence,
+           CAST(n_ab * n.n_orders AS DOUBLE) / (ia.n_item * ib.n_item) AS lift
+    FROM p JOIN ic ia ON p.part_a = ia.l_partkey
+           JOIN ic ib ON p.part_b = ib.l_partkey, n
+    """,
+)
+def q151_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a->b over within-order part SETS: support,
+    confidence, lift — the scoring stage of frequent-itemset mining on
+    top of q93's candidate pairs. Item multiplicity is collapsed first
+    (DISTINCT order x part), so a part bought twice in one order counts
+    once, the standard basket-set semantics.
+
+    Plan shape: ONE distinct shuffle on (order, item) feeds three
+    reuses — the basket-array pair expansion (shuffle on order key, no
+    fact self-join; see q93), the per-item counts, and the basket
+    total. The basket total joins in as a broadcast 1-row frame, and
+    the per-item count frame is item-dimension-sized, far below the
+    pair frame, so both enrichment joins shuffle only aggregated state.
+    All three metrics are single double divisions of exact BIGINT
+    products, bit-identical across engines. At 100 TB the only
+    raw-data passes are the distinct and the basket grouping; rules
+    and counts live in aggregate space. The reference has no joins or
+    aggregations anywhere (SURVEY §2.2)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    item_counts = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    pairs = (
+        copurchase_pairs(items)
+        .withColumnRenamed("n_orders", "n_ab")
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate screen: per-document shared-bigram ratio
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_boilerplate_share",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM d WHERE len(toks) >= 2
+    ), b AS (
+      SELECT DISTINCT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM s
+    ), dfreq AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS df FROM b GROUP BY 1, 2
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(CASE WHEN dfreq.df >= 2 THEN 1 END) AS BIGINT)
+             AS n_shared,
+           CAST(count(CASE WHEN dfreq.df >= 2 THEN 1 END) AS DOUBLE)
+             / count(*) AS shared_share
+    FROM b JOIN dfreq ON b.w1 = dfreq.w1 AND b.w2 = dfreq.w2
+    GROUP BY 1
+    """,
+)
+def q152_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate screen for corpus curation: for each document, the
+    fraction of its distinct bigrams that also occur in at least one
+    OTHER document (document frequency >= 2). Near-1 scores flag
+    templated / mirrored pages; the dual of q84's decontamination
+    (there the grams come from a held-out set, here from the corpus
+    itself). The bigram extraction is the same shuffle-free
+    ``transform(sequence(...))`` as q134; one distinct normalizes to
+    per-document bigram sets, one aggregation builds the document-
+    frequency table, and the enrichment join back is keyed on the
+    bigram, so every stage is hash-partitioned aggregate state — no
+    pairwise document comparison ever happens, which is what lets the
+    screen run on a 100 TB corpus where any doc x doc formulation is
+    impossible. The final ratio is one double division of exact
+    BIGINTs. The reference has no text analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    bigrams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .distinct()
+    )
+    dfreq = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bigrams.join(dfreq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
+            (
+                F.count(F.when(F.col("df") >= 2, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# State-machine transition audit (sequence-derived edges x rule table)
+# ---------------------------------------------------------------------------
+
+#: Allowed event-type transitions (the product's intended state machine).
+#: Everything observed outside this set is flagged, not dropped — an audit,
+#: like the reference's log-and-skip validation (etl_connector.py:221-223),
+#: not a filter.
+ALLOWED_TRANSITIONS: tuple[tuple[str, str], ...] = (
+    ("view", "view"),
+    ("view", "click"),
+    ("view", "signup"),
+    ("click", "view"),
+    ("click", "click"),
+    ("click", "purchase"),
+    ("signup", "view"),
+    ("purchase", "view"),
+    ("error", "view"),
+)
+
+
+@query(
+    "q153_transition_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           (prev_type || '>' || event_type) IN
+             ('view>view','view>click','view>signup','click>view',
+              'click>click','click>purchase','signup>view','purchase>view',
+              'error>view') AS legal
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q153_transition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-machine audit: adjacent event-type transitions per user
+    (deterministic ts, event_id ordering) aggregated into a transition
+    matrix, then broadcast-joined against the allowed-transition rule
+    table to flag illegal flows — the sequence-level analog of q125's
+    row-level constraint audit, and the validation layer q122's Markov
+    matrix feeds. One user_id shuffle derives the transitions; the
+    matrix is |event_type|^2 rows, so the rule join is a broadcast over
+    metadata-sized state. Flagged, not filtered, mirroring the
+    reference's log-and-skip validation posture
+    (/root/reference/etl_connector.py:194-203,221-223). At 100 TB the
+    single raw pass is the windowed lag; everything downstream is
+    constant-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    matrix = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    rules = spark.createDataFrame(
+        list(ALLOWED_TRANSITIONS), "prev_type string, event_type string"
+    ).withColumn("allowed", F.lit(True))
+    return (
+        matrix.join(F.broadcast(rules), ["prev_type", "event_type"], "left")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            "n_users",
+            F.coalesce("allowed", F.lit(False)).alias("legal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON map EAV profile (open-schema key/value statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_props_eav_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT e.event_id, unnest(json_keys(e.props)) AS k, e.props
+      FROM events e
+    ), typed AS (
+      SELECT event_id, k,
+             CAST(json_extract(props, '$.' || k) AS BIGINT) AS v
+      FROM kv
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_vals,
+           min(v) AS vmin, max(v) AS vmax,
+           CAST(sum(v) AS DOUBLE) / count(v) AS vavg
+    FROM typed GROUP BY k
+    """,
+)
+def q154_props_eav_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema profile of the semi-structured payload: parse the
+    JSON props column as a map, explode to entity-attribute-value rows,
+    and aggregate per-key presence / cardinality / range statistics —
+    the schema-on-read analog of q97's fixed-column profile, and the
+    discovery step before promoting hot JSON keys to real columns
+    (q71's Variant projections). ``from_json`` to MapType + ``explode``
+    stays entirely JVM-side (no get_json_object re-parse per key, no
+    Python); the only shuffle carries (key, value) pairs, which
+    map-side combine to per-key partials. The mean is one double
+    division of exact integer state. The same pattern profiles the
+    reference's nested pulse payloads (raw struct,
+    /root/reference/etl_connector.py:143) at any key cardinality
+    without knowing the schema up front."""
+    kv = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("k", "v"),
+    )
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("v").alias("n_vals"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (F.sum("v").cast("double") / F.count("v")).alias("vavg"),
+    )

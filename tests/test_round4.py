@@ -1,0 +1,100 @@
+"""Round-4 operator semantics: association-rule identities, boilerplate
+screening on planted templates, transition-audit rule coverage, and EAV
+profile open-schema behavior (oracle hash-matches are in tests/test_oracle.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import queries
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 import ALLOWED_TRANSITIONS
+
+_QS = queries()
+
+
+def test_association_rule_identities(spark, sf_dir):
+    rows = _QS["q151_association_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 2 <= r["n_ab"] <= min(r["n_a"], r["n_b"])
+        # confidence = support / P(a); lift symmetric identity
+        assert r["confidence"] == pytest.approx(r["n_ab"] / r["n_a"])
+        assert r["lift"] == pytest.approx(
+            r["confidence"] / (r["n_b"] / (r["n_ab"] / r["support"]))
+        )
+        assert 0.0 < r["support"] <= r["confidence"] <= 1.0
+
+
+def test_association_rules_use_set_semantics(spark):
+    # A part repeated within one order must count once (basket sets).
+    li = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)],
+        "l_orderkey long, l_partkey long",
+    )
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 as r4
+
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = r4.copurchase_pairs(items).collect()
+    assert {(r["part_a"], r["part_b"], r["n_orders"]) for r in pairs} == {
+        (10, 20, 2)
+    }
+
+
+def test_boilerplate_share_flags_planted_template(spark, tmp_path):
+    # 5 docs share an identical template; 1 doc is unique vocabulary.
+    tmpl = "terms of service apply to all users of this site"
+    docs = [(i, tmpl, "en", "web", len(tmpl)) for i in range(5)]
+    docs.append((99, "zq xv qj wk vb nm", "en", "web", 17))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in _QS["q152_boilerplate_share"](spark, str(tmp_path)).collect()
+    }
+    for i in range(5):
+        assert out[i]["shared_share"] == 1.0  # template: every bigram shared
+    assert out[99]["shared_share"] == 0.0  # unique doc: nothing shared
+    assert out[99]["n_bigrams"] == 5
+
+
+def test_transition_audit_totals_and_rules(spark, sf_dir):
+    rows = _QS["q153_transition_audit"](spark, sf_dir).collect()
+    allowed = set(ALLOWED_TRANSITIONS)
+    for r in rows:
+        assert r["legal"] == ((r["prev_type"], r["event_type"]) in allowed)
+        assert r["n"] >= r["n_users"] >= 1
+    # Transition count = events - first-event-per-user.
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_eav_profile_open_schema(spark, tmp_path):
+    # Mixed keys, missing keys, empty and null props all handled.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, '{"a": 1, "b": 10}'),
+        (2, "2024-01-01 00:00:01", 1, "view", 1.0, '{"a": 3}'),
+        (3, "2024-01-01 00:00:02", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 00:00:03", 2, "view", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["k"]: r for r in _QS["q154_props_eav_profile"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"a", "b"}
+    assert (out["a"]["n"], out["a"]["n_vals"]) == (2, 2)
+    assert (out["a"]["vmin"], out["a"]["vmax"]) == (1, 3)
+    assert out["a"]["vavg"] == pytest.approx(2.0)
+    assert (out["b"]["n"], out["b"]["vavg"]) == (1, 10.0)
