@@ -317,3 +317,259 @@ def q154_props_eav_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("vmax"),
         (F.sum("v").cast("double") / F.count("v")).alias("vavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage cutoff (how many SKUs cover 80% of revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_pareto_cutoff",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT p_brand, rev,
+             sum(rev) OVER (PARTITION BY p_brand
+                            ORDER BY rev DESC, l_partkey) AS cum,
+             sum(rev) OVER (PARTITION BY p_brand) AS tot,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY rev DESC, l_partkey) AS rk
+      FROM rev
+    )
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(CASE WHEN cum * 10 >= tot * 8 THEN rk END) AS BIGINT)
+             AS parts_to_80,
+           CAST(min(CASE WHEN cum * 10 >= tot * 8 THEN rk END) AS DOUBLE)
+             / count(*) AS share_of_catalog
+    FROM ranked GROUP BY 1
+    """,
+)
+def q155_pareto_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto coverage cutoff per brand: the smallest number of parts
+    (ranked by revenue) whose cumulative revenue reaches 80% of the
+    brand total — the "how concentrated is this catalog" scalar that
+    q135's Lorenz deciles expand into a curve. For training corpora
+    the identical query answers "how many sources cover 80% of
+    tokens". One fact shuffle aggregates lineitem to (brand, part)
+    revenue in exact DECIMAL; the ranking windows then run over the
+    part-dimension-sized frame, never raw lineitem. The 80% test is
+    ``cum * 10 >= tot * 8`` — pure decimal integer arithmetic, no
+    double threshold, so the cutoff row is bit-identical across
+    engines; ties are broken by part key so the ranking is total. The
+    part join is a broadcast (dimension side). The reference has no
+    aggregation or window surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    parts = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("l_partkey")
+    )
+    ranked = rev.select(
+        "p_brand",
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("rev").over(Window.partitionBy("p_brand")).alias("tot"),
+        F.row_number().over(w).alias("rk"),
+    )
+    hit = F.when(F.col("cum") * 10 >= F.col("tot") * 8, F.col("rk"))
+    return ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(hit).cast("long").alias("parts_to_80"),
+        (F.min(hit).cast("double") / F.count(F.lit(1))).alias(
+            "share_of_catalog"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency (first view -> first purchase, exact quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_funnel_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(date_diff('second', first_view, first_purchase))
+                AS BIGINT) AS min_s,
+           quantile_cont(date_diff('second', first_view, first_purchase),
+                         0.50) AS p50_s,
+           quantile_cont(date_diff('second', first_view, first_purchase),
+                         0.90) AS p90_s,
+           CAST(max(date_diff('second', first_view, first_purchase))
+                AS BIGINT) AS max_s
+    FROM f WHERE first_view IS NOT NULL AND first_purchase > first_view
+    """,
+)
+def q156_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per-user first 'view' to first
+    'purchase' latency, reduced to exact interpolated percentiles —
+    the timing layer on top of q80's ordered step funnel. One user_id
+    shuffle collapses the event log to two conditional-min timestamps
+    per user (map-side combining mins, no window, no sort of raw
+    events); the latency frame is |users| rows and the final
+    percentile reduction is a single aggregate. Integer second
+    latencies (both engines count second-boundary crossings:
+    ``unix_timestamp`` truncation == DuckDB ``date_diff('second')``
+    for positive spans) keep the interpolation arithmetic identical.
+    At 100 TB the only full pass is the conditional-min aggregation.
+    The reference has no aggregation surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = f.filter(
+        F.col("first_view").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("sec").cast("long").alias("min_s"),
+        F.percentile("sec", F.lit(0.50)).alias("p50_s"),
+        F.percentile("sec", F.lit(0.90)).alias("p90_s"),
+        F.max("sec").cast("long").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes training: class-conditional smoothed token probabilities
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_naive_bayes_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    ), t AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS class_total FROM c GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM toks
+    )
+    SELECT c.lang, c.tok, c.n, t.class_total, v.vocab,
+           CAST(c.n + 1 AS DOUBLE) / (t.class_total + v.vocab) AS p_smooth
+    FROM c JOIN t ON c.lang = t.lang, v
+    """,
+)
+def q157_naive_bayes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training pass: per-class (lang)
+    token counts with add-one (Laplace) smoothing — the entire
+    "training" of the classic baseline text classifier is this one
+    aggregation, which is why it still gets used as a first-pass
+    language/quality filter over web-scale corpora. Token explosion
+    is narrow; the (class, token) aggregation map-side combines
+    (Zipf); class totals REUSE the aggregated frame (sum of counts ==
+    token count per class, no second raw pass); the vocabulary size
+    and class totals join back as broadcast frames (1 row and
+    |classes| rows). The smoothed probability is one double division
+    of exact BIGINTs, bit-identical across engines. Output is
+    per-class-vocabulary-sized — the model, not the corpus. The
+    reference has no text analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("tok"),
+    )
+    c = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").cast("long").alias("class_total"))
+    v = c.agg(F.count_distinct("tok").alias("vocab"))
+    return (
+        c.join(F.broadcast(t), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "tok",
+            "n",
+            "class_total",
+            "vocab",
+            (
+                (F.col("n") + 1).cast("double")
+                / (F.col("class_total") + F.col("vocab"))
+            ).alias("p_smooth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar coverage audit (missing business days in the order stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_calendar_gaps",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+    s AS (SELECT day, lag(day) OVER (ORDER BY day) AS prev FROM d)
+    SELECT CAST(prev + 1 AS TIMESTAMP) AS gap_start,
+           CAST(day - 1 AS TIMESTAMP) AS gap_end,
+           CAST(date_diff('day', prev, day) - 1 AS BIGINT) AS n_missing
+    FROM s WHERE prev IS NOT NULL AND date_diff('day', prev, day) > 1
+    """,
+)
+def q158_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar coverage audit: days inside the order stream's span
+    with NO orders at all — the ingest-completeness complement of
+    q70's gap FILL (q70 repairs a dense series; this REPORTS holes in
+    a feed that should be continuous, the first question when a
+    partition of a daily ingest silently fails). The distinct-day
+    frame is at most span-sized (thousands of rows regardless of
+    fact volume — the aggregation collapses 100 TB to calendar
+    cardinality), so the single-partition lag window over it is
+    metadata-scale work on an already-tiny frame, not a raw-data
+    sort. Gap bounds are pure DATE arithmetic, identical across
+    engines. The reference ingests with no completeness accounting
+    beyond a record count (/root/reference/etl_connector.py:210,239,
+    SURVEY §2.1 R11)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+    )
+    s = d.select(
+        "day", F.lag("day").over(Window.orderBy("day")).alias("prev")
+    )
+    return s.filter(
+        F.col("prev").isNotNull() & (F.datediff("day", "prev") > 1)
+    ).select(
+        F.date_add("prev", 1).cast("timestamp").alias("gap_start"),
+        F.date_sub("day", 1).cast("timestamp").alias("gap_end"),
+        (F.datediff("day", "prev") - 1).cast("long").alias("n_missing"),
+    )

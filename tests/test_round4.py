@@ -98,3 +98,71 @@ def test_eav_profile_open_schema(spark, tmp_path):
     assert (out["a"]["vmin"], out["a"]["vmax"]) == (1, 3)
     assert out["a"]["vavg"] == pytest.approx(2.0)
     assert (out["b"]["n"], out["b"]["vavg"]) == (1, 10.0)
+
+
+def test_pareto_cutoff_bounds(spark, sf_dir):
+    rows = _QS["q155_pareto_cutoff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Top-revenue ranking ==> 80% needs at most ~80% of parts +1, and
+        # at least ceil(0.8 * n / n) >= 1.
+        assert 1 <= r["parts_to_80"] <= r["n_parts"]
+        assert r["share_of_catalog"] == pytest.approx(
+            r["parts_to_80"] / r["n_parts"]
+        )
+        # Concentration: ranked-by-revenue prefix always beats uniform.
+        assert r["share_of_catalog"] <= 0.8 + 1.0 / r["n_parts"] + 1e-12
+
+
+def test_funnel_latency_consistency(spark, sf_dir):
+    r = _QS["q156_funnel_latency"](spark, sf_dir).collect()[0]
+    assert r["n_converted"] > 0
+    assert r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+    assert r["min_s"] > 0  # strict first_purchase > first_view filter
+
+
+def test_naive_bayes_probabilities_normalize(spark, sf_dir):
+    import collections
+
+    rows = _QS["q157_naive_bayes_tokens"](spark, sf_dir).collect()
+    assert rows
+    vocab = rows[0]["vocab"]
+    by_class = collections.defaultdict(float)
+    seen = collections.defaultdict(set)
+    for r in rows:
+        assert r["p_smooth"] == pytest.approx(
+            (r["n"] + 1) / (r["class_total"] + vocab)
+        )
+        by_class[r["lang"]] += r["p_smooth"]
+        seen[r["lang"]].add(r["tok"])
+    for lang, mass in by_class.items():
+        # Seen-token mass + unseen-token mass (1/(T+V) each) must sum to 1.
+        r0 = [r for r in rows if r["lang"] == lang][0]
+        unseen = (vocab - len(seen[lang])) / (r0["class_total"] + vocab)
+        assert mass + unseen == pytest.approx(1.0)
+
+
+def test_calendar_gaps_are_real_holes(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    gaps = _QS["q158_calendar_gaps"](spark, sf_dir).collect()
+    days = {
+        r["day"]
+        for r in load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    import datetime
+
+    for g in gaps:
+        start, end = g["gap_start"].date(), g["gap_end"].date()
+        assert start <= end
+        assert (end - start).days + 1 == g["n_missing"]
+        d = start
+        while d <= end:
+            assert d not in days  # every reported day truly has no orders
+            d += datetime.timedelta(days=1)
+        # boundary days do have orders
+        assert start - datetime.timedelta(days=1) in days
+        assert end + datetime.timedelta(days=1) in days
