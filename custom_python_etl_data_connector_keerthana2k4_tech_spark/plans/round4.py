@@ -573,3 +573,310 @@ def q158_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub("day", 1).cast("timestamp").alias("gap_end"),
         (F.datediff("day", "prev") - 1).cast("long").alias("n_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two rankings (retrieval-style list merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_reciprocal_rank_fusion",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS rev,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    ), r AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS rev_rank,
+             row_number() OVER (ORDER BY n_lines DESC, l_partkey)
+               AS freq_rank
+      FROM m
+    )
+    SELECT l_partkey, rev_rank, freq_rank,
+           CAST(1 AS DOUBLE) / (60 + rev_rank)
+             + CAST(1 AS DOUBLE) / (60 + freq_rank) AS rrf
+    FROM r
+    """,
+)
+def q159_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two part rankings — by revenue
+    and by sale frequency — the standard zero-tuning list-merge used to
+    combine lexical and vector retrieval runs (here: two facets of one
+    aggregate; in a search pipeline: BM25 ranks fused with q46's cosine
+    ranks). One fact shuffle builds both metrics in a single aggregate
+    pass (shared scan, exact DECIMAL revenue); both rankings are
+    windows over the part-dimension-sized frame with total tie-broken
+    orderings. The RRF score is two double divisions of exact integers
+    plus one add — bit-identical across engines. Global row_number is
+    the one non-scaling step: at 100 TB rankings this wide stay
+    dimension-sized (parts), never fact-sized; for fact-sized lists
+    swap in the q21 per-group top-k pattern first. The reference has
+    no ranking surface (SURVEY §2.2)."""
+    m = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    r = m.select(
+        "l_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey")))
+        .alias("rev_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_lines").desc(), F.col("l_partkey")))
+        .alias("freq_rank"),
+    )
+    return r.select(
+        "l_partkey",
+        "rev_rank",
+        "freq_rank",
+        (
+            F.lit(1).cast("double") / (F.lit(60) + F.col("rev_rank"))
+            + F.lit(1).cast("double") / (F.lit(60) + F.col("freq_rank"))
+        ).alias("rrf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session statistics (gap-rule sessions -> bounce rate / duration by entry)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_session_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), ts)
+                     > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_type, rn,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS t0, max(ts) AS t1,
+             min_by(event_type, rn) AS entry_type
+      FROM g GROUP BY 1, 2
+    )
+    SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / count(*) AS bounce_rate,
+           CAST(sum(date_diff('second', t0, t1)) AS DOUBLE) / count(*)
+             AS avg_duration_s
+    FROM sess GROUP BY 1
+    """,
+)
+def q160_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level product analytics on top of q92's gap-rule
+    sessionization (30-minute inactivity boundary): per entry event
+    type, session count, bounce rate (single-event sessions), and mean
+    duration. ONE user_id shuffle carries all three window passes
+    (row_number, boundary lag, running session-id sum share the same
+    partitioning+ordering, so Catalyst plans one Exchange + one sort);
+    the session collapse and the final entry-type rollup run on
+    aggregate-sized frames. The entry event is picked by ``min_by``
+    over the per-user row number — a total ordering, so deterministic
+    across engines and partitionings. Second-boundary durations and
+    int-ratio rates keep arithmetic exact until one final double
+    division. The behavioral-funnel dual of q156's conversion timing.
+    The reference has no sessionization surface (SURVEY §2.2)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    g = o.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "rn",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("sid"),
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min_by("event_type", "rn").alias("entry_type"),
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+        (
+            F.sum(
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio) per document
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def q161_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document: distinct tokens over total tokens
+    — the classic lexical-diversity signal for corpus curation (low TTR
+    flags keyword-stuffed / repetitive spam; the per-document
+    complement of q114's corpus-level entropy and q41's surface-quality
+    score). Entirely shuffle-FREE: tokenization, ``array_distinct``,
+    and both counts are narrow per-row array expressions inside
+    whole-stage codegen, so the query runs at parquet scan bandwidth
+    with only (doc_id, text) read — on 100 TB it is embarrassingly
+    parallel with zero exchange. One double division of exact ints.
+    The reference has no text analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+            (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+            ).alias("ttr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year supplier share shift (two-layer window analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_share_shift",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT l_suppkey, yr,
+             CAST(rev AS DOUBLE)
+               / CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE) AS share,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY rev DESC, l_suppkey) AS rnk
+      FROM rev
+    )
+    SELECT l_suppkey, yr, share, rnk,
+           lag(yr) OVER w AS prev_yr,
+           lag(share) OVER w AS prev_share,
+           share - lag(share) OVER w AS share_delta,
+           CAST(lag(rnk) OVER w - rnk AS BIGINT) AS rank_gain
+    FROM sh WINDOW w AS (PARTITION BY l_suppkey ORDER BY yr)
+    """,
+)
+def q162_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competitive share-shift readout: each supplier's share of yearly
+    revenue, within-year rank, and the year-over-year share delta and
+    rank gain — the two-layer window composition (partition by period,
+    then re-partition by entity) that q94's single-layer ratio-to-
+    report and q95's period lag each cover half of. The fact-fact join
+    shuffles on the order key (bucketing co-locates it at 100 TB,
+    q72); everything after the (supplier, year) rollup is windows over
+    a dimension x years frame. Shares divide DECIMAL-exact sums cast
+    to double (one division each side); the rank ordering is total via
+    the supplier-key tie-break, so lag() sees identical sequences in
+    both engines. First observed year yields NULL prevs by design —
+    the change-detection contract matches q105's snapshot diff. The
+    reference has no windows or joins (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_suppkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    sh = rev.select(
+        "l_suppkey",
+        "yr",
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(Window.partitionBy("yr")).cast("double")
+        ).alias("share"),
+        F.row_number()
+        .over(
+            Window.partitionBy("yr").orderBy(
+                F.col("rev").desc(), F.col("l_suppkey")
+            )
+        )
+        .alias("rnk"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("yr")
+    return sh.select(
+        "l_suppkey",
+        "yr",
+        "share",
+        "rnk",
+        F.lag("yr").over(w).alias("prev_yr"),
+        F.lag("share").over(w).alias("prev_share"),
+        (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
+        (F.lag("rnk").over(w) - F.col("rnk")).cast("long").alias("rank_gain"),
+    )

@@ -166,3 +166,85 @@ def test_calendar_gaps_are_real_holes(spark, sf_dir):
         # boundary days do have orders
         assert start - datetime.timedelta(days=1) in days
         assert end + datetime.timedelta(days=1) in days
+
+
+def test_rrf_is_rank_symmetric_and_bounded(spark, sf_dir):
+    rows = _QS["q159_reciprocal_rank_fusion"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["rev_rank"] for r in rows) == list(range(1, n + 1))
+    assert sorted(r["freq_rank"] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r["rrf"] == pytest.approx(
+            1 / (60 + r["rev_rank"]) + 1 / (60 + r["freq_rank"])
+        )
+    # best possible and worst possible scores bound everything
+    for r in rows:
+        assert 2 / (60 + n) <= r["rrf"] <= 2 / 61
+
+
+def test_session_stats_conserve_events(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q160_session_stats"](spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == total  # every event in a session
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["avg_duration_s"] >= 0.0
+        assert r["n_events"] >= r["n_sessions"]
+
+
+def test_session_boundary_rule(spark, tmp_path):
+    # Two bursts 31 minutes apart = 2 sessions; 29 minutes = 1 session.
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 00:41:00", 7, "view", 1.0, "{}"),  # 31 min gap
+        (4, "2024-01-01 01:09:00", 7, "click", 1.0, "{}"),  # 28 min: same
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = _QS["q160_session_stats"](spark, str(tmp_path)).collect()
+    assert sum(r["n_sessions"] for r in out) == 2
+    assert all(r["entry_type"] == "view" for r in out)
+
+
+def test_lexical_diversity_extremes(spark, tmp_path):
+    docs = [
+        (1, "a a a a a a", "en", "w", 11),          # minimal diversity
+        (2, "one two three four", "en", "w", 18),   # maximal diversity
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in _QS["q161_lexical_diversity"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_types"] == 1 and out[1]["ttr"] == pytest.approx(1 / 6)
+    assert out[2]["ttr"] == 1.0
+
+
+def test_share_shift_shares_sum_to_one(spark, sf_dir):
+    import collections
+
+    rows = _QS["q162_share_shift"](spark, sf_dir).collect()
+    by_year = collections.defaultdict(float)
+    ranks = collections.defaultdict(list)
+    for r in rows:
+        by_year[r["yr"]] += r["share"]
+        ranks[r["yr"]].append(r["rnk"])
+    for yr, s in by_year.items():
+        assert s == pytest.approx(1.0)
+        assert sorted(ranks[yr]) == list(range(1, len(ranks[yr]) + 1))
+    # deltas tie out against the prior year's own share
+    prev = {(r["l_suppkey"], r["yr"]): r["share"] for r in rows}
+    for r in rows:
+        if r["prev_yr"] is not None:
+            assert r["prev_share"] == pytest.approx(
+                prev[(r["l_suppkey"], r["prev_yr"])]
+            )
+            assert r["share_delta"] == pytest.approx(
+                r["share"] - r["prev_share"]
+            )
