@@ -52,3 +52,73 @@ def write_sized_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return n
+
+
+def _list_parquet_files(spark, path: str):
+    """(hadoop FileSystem, Path, [(name, bytes)]) for a parquet directory."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() and name.endswith(".parquet"):
+            files.append((name, int(st.getLen())))
+    return fs, hpath, files
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    slack: float = 1.5,
+) -> dict:
+    """Compact a small-files parquet directory in place to ~target-sized
+    files; returns ``{"files_before", "files_after", "bytes", "compacted"}``.
+
+    The maintenance half of :func:`write_sized_parquet`: long-running
+    ingests (streaming micro-batches, frequent keyed upserts — the
+    reference's per-run appends, etl_connector.py:206-237, have the same
+    failure mode) accrete files far smaller than the scan-efficient size,
+    and planner/open-file overhead then dominates reads. Sizing uses the
+    ACTUAL on-disk byte total (already encoded+compressed — better than a
+    Catalyst estimate for data already at rest). No-op unless the
+    directory has more than ``slack`` x the ideal file count, so repeated
+    maintenance runs converge instead of rewriting forever. The rewrite
+    goes to a sibling temp dir, then swaps via two FileSystem renames
+    (the atomicity a real table format (Delta/Iceberg) provides
+    transactionally; this is the vanilla-parquet equivalent, with a
+    window between the renames).
+
+    At cluster scale run this per partition directory of a
+    ``partition_by`` table so each compaction is an independent job.
+    """
+    fs, hpath, files = _list_parquet_files(spark, path)
+    total = sum(b for _, b in files)
+    ideal = max(1, -(-total // target_file_bytes))
+    stats = {
+        "files_before": len(files),
+        "files_after": len(files),
+        "bytes": total,
+        "compacted": False,
+    }
+    if len(files) <= max(ideal * slack, 1):
+        return stats
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    jvm = spark._jvm
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmp_path, True)
+    df.coalesce(ideal).write.mode("overwrite").parquet(tmp)
+    old_path = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
+    fs.delete(old_path, True)
+    if not fs.rename(hpath, old_path):
+        raise IOError(f"compact_parquet: cannot move {path} aside")
+    if not fs.rename(tmp_path, hpath):
+        fs.rename(old_path, hpath)  # roll back
+        raise IOError(f"compact_parquet: cannot swap in compacted {tmp}")
+    fs.delete(old_path, True)
+    _, _, after = _list_parquet_files(spark, path)
+    stats["files_after"] = len(after)
+    stats["compacted"] = True
+    return stats

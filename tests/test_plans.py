@@ -67,7 +67,27 @@ _INTENTIONAL_BNLJ = {
     "q139_equifreq_bins",  # one-row decile-cutoff vector broadcast
     "q142_bigram_pmi",  # one-row corpus-total broadcast
     "q143_band_lookup",  # 4-row interval band dimension broadcast
+    "q151_association_rules",  # one-row basket-total broadcast
+    "q157_naive_bayes_tokens",  # one-row vocabulary-size broadcast
 }
+
+
+def test_lexical_diversity_is_shuffle_free(plans):
+    """q161 must stay a narrow per-row pipeline: zero Exchange means it
+    runs at scan bandwidth on any cluster size."""
+    assert "Exchange" not in plans("q161_lexical_diversity")
+
+
+def test_session_stats_single_raw_shuffle(plans):
+    """q160's three window passes share one user_id partitioning; only the
+    final entry-type rollup adds a second (aggregate-sized) exchange."""
+    p = plans("q160_session_stats")
+    assert p.count("Exchange hashpartitioning") == 2, p[:1500]
+
+
+def test_pareto_cutoff_broadcasts_part_dim(plans):
+    p = plans("q155_pareto_cutoff")
+    assert "BroadcastHashJoin" in p
 
 
 def test_no_accidental_cartesian_products(plans):
