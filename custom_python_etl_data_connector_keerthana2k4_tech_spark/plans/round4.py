@@ -880,3 +880,209 @@ def q162_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("share") - F.lag("share").over(w)).alias("share_delta"),
         (F.lag("rnk").over(w) - F.col("rnk")).cast("long").alias("rank_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (52-week lag, WAPE scorecard)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_forecast_backtest",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT week, rev, lag(rev, 52) OVER (ORDER BY week) AS forecast
+      FROM wk
+    )
+    SELECT CAST(extract(year FROM week) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(sum(abs(rev - forecast)) AS DOUBLE) AS mae_total,
+           CAST(sum(abs(rev - forecast)) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS wape
+    FROM f WHERE forecast IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q163_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality scorecard: a seasonal-naive baseline (revenue =
+    same week last year, the standard straw man every real forecast
+    must beat) backtested over the whole history, scored per year with
+    WAPE — the evaluation loop of demand forecasting, expressed as
+    windows. One shuffle rolls the fact table up to weeks in exact
+    DECIMAL; the 52-step lag and the error aggregation run over the
+    weeks frame (hundreds of rows regardless of fact volume — the
+    window is positional over observed weeks, a documented trade:
+    calendar gaps would shift the alignment, and q158 audits exactly
+    that precondition). Errors accumulate in DECIMAL; WAPE is one
+    double division of two exactly-summed casts. The reference has no
+    time-series surface (SURVEY §2.2)."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    f = wk.select(
+        "week",
+        "rev",
+        F.lag("rev", 52).over(Window.orderBy("week")).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.abs(F.col("rev") - F.col("forecast"))
+    return f.groupBy(F.year("week").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum(err).cast("double").alias("mae_total"),
+        (
+            F.sum(err).cast("double") / F.sum("rev").cast("double")
+        ).alias("wape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier group sizes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, k, k < 5 AS violates_k5
+    FROM g
+    """,
+)
+def q164_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation,
+    market segment): the size of every equivalence class, flagging
+    classes below k=5 — the governance pre-flight before releasing or
+    joining "anonymized" data, where small classes re-identify
+    individuals. Pure single-aggregation shape (map-side combine; the
+    flag is a literal comparison on aggregate state), so it audits any
+    fact volume at one shuffle of class-cardinality state. Flagged,
+    not filtered — the same log-and-report posture as q125/q153 and
+    the reference's validator (/root/reference/etl_connector.py:
+    194-203). The reference has no governance surface (SURVEY §2.2)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("violates_k5", F.col("k") < 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight inverse CDF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_weighted_median",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(CAST(l_quantity AS DECIMAL(20,6)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS cw,
+             sum(CAST(l_quantity AS DECIMAL(20,6)))
+               OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(min(l_extendedprice) AS DOUBLE)
+             AS weighted_median,
+           CAST(min(tw) AS DOUBLE) AS total_weight
+    FROM s WHERE cw * 2 >= tw
+    GROUP BY 1
+    """,
+)
+def q165_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the inverse-CDF
+    walk (sort by value, accumulate weight, first row where cumulative
+    weight crosses half the total) that plain ``percentile`` cannot
+    express — every unit of quantity votes, not every line. One
+    partition-keyed window pass (cumulative and total weight share the
+    l_returnflag partitioning; ordering is total via the line-key
+    tie-break, making RANGE==ROWS framing identical across engines);
+    weights accumulate in exact DECIMAL so the crossing row — an exact
+    ``2*cum >= total`` integer-scaled comparison — is bit-identical.
+    The groups here are few; for high-cardinality groups the same
+    expression runs unchanged, scaling with the group's row count per
+    partition. The reference has no window surface (SURVEY §2.2)."""
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("decimal(20,6)")).over(w_ord).alias("cw"),
+        F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tw"),
+    )
+    return (
+        s.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").cast("double").alias("weighted_median"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile (the pre-flight for salting decisions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_skew_profile",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS freq
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(freq) AS BIGINT) AS n_rows,
+           max(freq) AS max_freq,
+           quantile_cont(freq, 0.99) AS p99_freq,
+           CAST(max(freq) AS DOUBLE) / sum(freq) AS top1_share,
+           CAST(sum(freq) AS DOUBLE) / count(*) AS mean_freq
+    FROM f
+    """,
+)
+def q166_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of the fact table's shuffle key: key
+    cardinality, max and p99 per-key frequency, and the heaviest key's
+    row share — the diagnostic that decides between a plain shuffle
+    join, AQE skew splitting, and explicit salting
+    (operators/joins.salted_join). Two aggregation levels (per-key
+    counts, then one global reduction of the key frame) — the profile
+    itself can never be the bottleneck of the join it is sizing. Exact
+    integer state everywhere; the two shares are single double
+    divisions. On real pipelines this runs on a sample partition first;
+    the full-scan form here doubles as the oracle-checkable exact
+    version. The reference hard-codes its only capacity decision
+    (batch_size=20, /root/reference/etl_connector.py:206) rather than
+    measuring (SURVEY §2.1 R9)."""
+    f = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        F.percentile("freq", F.lit(0.99)).alias("p99_freq"),
+        (F.max("freq").cast("double") / F.sum("freq")).alias("top1_share"),
+        (F.sum("freq").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
+    )

@@ -248,3 +248,51 @@ def test_share_shift_shares_sum_to_one(spark, sf_dir):
             assert r["share_delta"] == pytest.approx(
                 r["share"] - r["prev_share"]
             )
+
+
+def test_forecast_backtest_alignment(spark, sf_dir):
+    rows = {r["yr"]: r for r in _QS["q163_forecast_backtest"](spark, sf_dir).collect()}
+    assert rows
+    # First forecastable year has < 52 scored weeks (lag consumes a year).
+    first = min(rows)
+    assert rows[first]["n_weeks"] <= 52
+    for r in rows.values():
+        assert r["mae_total"] >= 0.0 and r["wape"] >= 0.0
+
+
+def test_k_anonymity_covers_every_class(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q164_k_anonymity"](spark, sf_dir).collect()
+    total = load(spark, sf_dir, "customer").count()
+    assert sum(r["k"] for r in rows) == total
+    for r in rows:
+        assert r["violates_k5"] == (r["k"] < 5)
+
+
+def test_weighted_median_against_numpy(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    got = {
+        r["l_returnflag"]: r["weighted_median"]
+        for r in _QS["q165_weighted_median"](spark, sf_dir).collect()
+    }
+    pdf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        g = g.sort_values("l_extendedprice")
+        cw = g["l_quantity"].cumsum()
+        want = g.loc[cw * 2 >= g["l_quantity"].sum(), "l_extendedprice"].iloc[0]
+        assert got[flag] == want
+
+
+def test_skew_profile_identities(spark, sf_dir):
+    r = _QS["q166_skew_profile"](spark, sf_dir).collect()[0]
+    assert r["n_rows"] == 60000 or r["n_rows"] > 0
+    assert r["max_freq"] >= r["p99_freq"] >= 1.0
+    assert r["mean_freq"] == pytest.approx(r["n_rows"] / r["n_keys"])
+    assert r["top1_share"] == pytest.approx(r["max_freq"] / r["n_rows"])
