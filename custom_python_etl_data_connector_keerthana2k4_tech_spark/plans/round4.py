@@ -1086,3 +1086,304 @@ def q166_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("freq").cast("double") / F.sum("freq")).alias("top1_share"),
         (F.sum("freq").cast("double") / F.count(F.lit(1))).alias("mean_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (derived vs booked totals, banded)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_reconciliation_audit",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(30,10))
+                 * (1 + CAST(l_tax AS DECIMAL(10,6)))
+                 * (1 - CAST(l_discount AS DECIMAL(10,6)))) AS derived
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT CASE WHEN ls.derived IS NULL THEN 'missing_lines'
+                  WHEN abs(CAST(ls.derived
+                           - CAST(o.o_totalprice AS DECIMAL(30,10))
+                           AS DOUBLE))
+                       <= 0.01 * CAST(o.o_totalprice AS DOUBLE)
+                    THEN 'within_1pct'
+                  WHEN abs(CAST(ls.derived
+                           - CAST(o.o_totalprice AS DECIMAL(30,10))
+                           AS DOUBLE))
+                       <= 0.05 * CAST(o.o_totalprice AS DOUBLE)
+                    THEN 'within_5pct'
+                  ELSE 'mismatch' END AS band
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY 1
+    """,
+)
+def q167_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from its
+    lines (price x (1+tax) x (1-discount), accumulated in exact
+    DECIMAL) and band the deviation from the booked o_totalprice —
+    the closing-the-books audit between a fact table and its rollup,
+    and the honest answer here is that the synthetic tables do NOT
+    reconcile, which is precisely what the audit reports. One
+    order-key shuffle builds derived totals; the comparison join is
+    keyed on the same column (co-partitioned — bucketing makes it
+    exchange-free at 100 TB, q72); band thresholds compare doubles
+    built from identical exact operands on both engines. LEFT join
+    keeps headerless orders as their own band, the q85 new-key
+    pattern. The reference validates single records only
+    (/root/reference/etl_connector.py:194-203), never cross-table
+    invariants (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(30,10)")
+            * (F.lit(1) + F.col("l_tax").cast("decimal(10,6)"))
+            * (F.lit(1) - F.col("l_discount").cast("decimal(10,6)"))
+        ).alias("derived")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dev = F.abs(
+        (
+            F.col("derived") - F.col("o_totalprice").cast("decimal(30,10)")
+        ).cast("double")
+    )
+    band = (
+        F.when(F.col("derived").isNull(), "missing_lines")
+        .when(dev <= 0.01 * F.col("o_totalprice").cast("double"), "within_1pct")
+        .when(dev <= 0.05 * F.col("o_totalprice").cast("double"), "within_5pct")
+        .otherwise("mismatch")
+    )
+    return (
+        o.join(ls, o.o_orderkey == ls.l_orderkey, "left")
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table (scoring-model evaluation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_decile_lift",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT c.c_custkey,
+             CASE WHEN coalesce(oc.n_orders, 0) >= 15 THEN 1 ELSE 0 END
+               AS converted,
+             ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS decile
+      FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    ), d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM s GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_conv) AS BIGINT) AS all_conv,
+             CAST(sum(n) AS BIGINT) AS all_n
+      FROM d
+    )
+    SELECT decile, n, n_conv,
+           CAST(n_conv AS DOUBLE) / n AS conv_rate,
+           (CAST(n_conv AS DOUBLE) / n)
+             / (CAST(all_conv AS DOUBLE) / all_n) AS lift,
+           CAST(sum(n_conv) OVER (ORDER BY decile) AS DOUBLE) / all_conv
+             AS cum_capture
+    FROM d, tot
+    """,
+)
+def q168_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard scoring-model evaluation: rank
+    customers by a score (account balance as the stand-in model),
+    split into deciles, and report per-decile conversion rate
+    (outcome: placed >= 15 orders), lift over the base rate, and
+    cumulative capture. The left join keeps scored non-converters, the
+    population a lift table must include. The global ntile runs over
+    the customer dimension (scores), not facts — for fact-sized score
+    lists pre-compute decile boundaries (q139's equal-frequency
+    binning) and band by broadcast cutoffs instead. All rates are
+    double divisions of exact counts; the totals frame joins back as
+    a broadcast single row. The ML-evaluation sibling of q130's A/B
+    readout. The reference has no analytics surface (SURVEY §2.2)."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.when(F.coalesce("n_orders", F.lit(0)) >= 15, 1)
+        .otherwise(0)
+        .alias("converted"),
+        F.ntile(10)
+        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    d = s.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    tot = d.agg(
+        F.sum("n_conv").cast("long").alias("all_conv"),
+        F.sum("n").cast("long").alias("all_n"),
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_conv",
+            (F.col("n_conv").cast("double") / F.col("n")).alias("conv_rate"),
+            (
+                (F.col("n_conv").cast("double") / F.col("n"))
+                / (F.col("all_conv").cast("double") / F.col("all_n"))
+            ).alias("lift"),
+            (
+                F.sum("n_conv")
+                .over(
+                    Window.orderBy("decile").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .cast("double")
+                / F.col("all_conv")
+            ).alias("cum_capture"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purchase cadence (inter-arrival gaps per segment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q169_purchase_cadence",
+    oracle="""
+    WITH seq AS (
+      SELECT c.c_mktsegment,
+             date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_days, 0.5) AS median_gap_days,
+           CAST(sum(gap_days) AS DOUBLE) / count(*) AS mean_gap_days
+    FROM seq WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q169_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase cadence: the distribution of days between consecutive
+    orders of the same customer, rolled up by market segment — the
+    recency-frequency rhythm behind q96's RFM snapshot (RFM scores a
+    point in time; cadence measures the interval process feeding it).
+    The customer dimension broadcasts into the fact scan; the lag
+    window costs the query's single fact shuffle (customer key), with
+    a total ordering via the order-key tie-break; integer day gaps
+    then reduce per segment with exact counts/sums and an interpolated
+    exact median (q35's path). First orders yield NULL gaps and are
+    excluded — cadence is defined on pairs. The reference has no
+    window surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return seq.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.5)).alias("median_gap_days"),
+        (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level grouping-sets revenue report (labeled levels, one pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_grouping_sets_report",
+    oracle="""
+    SELECT CASE WHEN GROUPING(n.n_name) = 0 THEN 'nation'
+                WHEN GROUPING(r.r_name) = 0 THEN 'region'
+                ELSE 'total' END AS level,
+           coalesce(r.r_name, '(all)') AS region_name,
+           coalesce(n.n_name, '(all)') AS nation_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+    """,
+)
+def q170_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass multi-level revenue report: nation detail, region
+    subtotals, and the grand total from a single GROUPING SETS
+    aggregation, with ``grouping()`` flags rendered into level labels
+    — the OLAP report shape q12-q14's raw rollup/cube rows feed,
+    produced without re-scanning per level (Spark expands the sets
+    into one Expand + aggregate, so the fact table is read once). The
+    star join broadcasts all three dimensions into the fact scan;
+    revenue accumulates in exact DECIMAL per set before the double
+    cast. The ``(all)`` placeholders disambiguate real NULLs from
+    subtotal rows cross-engine. The reference has no aggregation
+    surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    g = joined.groupingSets(
+        [["r_name", "n_name"], ["r_name"], []],
+        "r_name",
+        "n_name",
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("n_name").alias("_gn"),
+        F.grouping("r_name").alias("_gr"),
+    )
+    return g.select(
+        F.when(F.col("_gn") == 0, "nation")
+        .when(F.col("_gr") == 0, "region")
+        .otherwise("total")
+        .alias("level"),
+        F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+        "revenue",
+        "n_orders",
+    )

@@ -296,3 +296,57 @@ def test_skew_profile_identities(spark, sf_dir):
     assert r["max_freq"] >= r["p99_freq"] >= 1.0
     assert r["mean_freq"] == pytest.approx(r["n_rows"] / r["n_keys"])
     assert r["top1_share"] == pytest.approx(r["max_freq"] / r["n_rows"])
+
+
+def test_reconciliation_covers_all_orders(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = {r["band"]: r["n"] for r in _QS["q167_reconciliation_audit"](spark, sf_dir).collect()}
+    assert sum(rows.values()) == load(spark, sf_dir, "orders").count()
+    assert set(rows) <= {"within_1pct", "within_5pct", "mismatch", "missing_lines"}
+
+
+def test_decile_lift_identities(spark, sf_dir):
+    rows = sorted(
+        _QS["q168_decile_lift"](spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    all_conv = sum(r["n_conv"] for r in rows)
+    all_n = sum(r["n"] for r in rows)
+    base = all_conv / all_n
+    assert 0 < base < 1  # non-degenerate outcome
+    cum = 0
+    for r in rows:
+        cum += r["n_conv"]
+        assert r["lift"] == pytest.approx(r["conv_rate"] / base)
+        assert r["cum_capture"] == pytest.approx(cum / all_conv)
+    assert rows[-1]["cum_capture"] == pytest.approx(1.0)
+
+
+def test_purchase_cadence_positive_gaps(spark, sf_dir):
+    rows = _QS["q169_purchase_cadence"](spark, sf_dir).collect()
+    assert len(rows) == 5  # five market segments
+    for r in rows:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["median_gap_days"] <= r["mean_gap_days"] * 3
+        assert r["mean_gap_days"] > 0
+
+
+def test_grouping_sets_levels_tie_out(spark, sf_dir):
+    rows = _QS["q170_grouping_sets_report"](spark, sf_dir).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    total = by_level["total"][0]
+    assert total["region_name"] == total["nation_name"] == "(all)"
+    region_sum = sum(r["revenue"] for r in by_level["region"])
+    nation_sum = sum(r["revenue"] for r in by_level["nation"])
+    assert region_sum == pytest.approx(total["revenue"])
+    assert nation_sum == pytest.approx(total["revenue"])
+    assert sum(r["n_orders"] for r in by_level["region"]) == total["n_orders"]
+    # every nation row rolls into its region row
+    for rg in by_level["region"]:
+        ns = [
+            r for r in by_level["nation"] if r["region_name"] == rg["region_name"]
+        ]
+        assert sum(r["revenue"] for r in ns) == pytest.approx(rg["revenue"])
