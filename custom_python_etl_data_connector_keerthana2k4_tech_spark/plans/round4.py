@@ -1387,3 +1387,243 @@ def q170_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (fixed query, full-corpus ranking)
+# ---------------------------------------------------------------------------
+
+#: The fixed "query" scored by q171 (terms chosen from the fixture corpus's
+#: vocabulary so the ranking is non-trivial at every scale factor).
+BM25_QUERY_TERMS: tuple[str, ...] = ("table", "sort", "hash")
+
+
+@query(
+    "q171_bm25_scoring",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id AS d_id, CAST(sum(tf) AS BIGINT) AS dlen
+      FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dlen) AS DOUBLE) / count(*) AS avg_len FROM dl
+    ), dfreq AS (
+      SELECT term AS f_term, CAST(count(*) AS BIGINT) AS df FROM tf
+      WHERE term IN ('table', 'sort', 'hash') GROUP BY 1
+    )
+    SELECT tf.doc_id,
+           CAST(sum(
+             ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1)
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + (CAST(0.75 AS DOUBLE) * dl.dlen) / stats.avg_len)))
+           ) AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM tf
+    JOIN dfreq ON tf.term = dfreq.f_term
+    JOIN dl ON tf.doc_id = dl.d_id, stats
+    GROUP BY 1
+    """,
+)
+def q171_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    query — the lexical-retrieval scorer that q159's RRF fuses with
+    q46's dense cosine ranks; together they form the standard hybrid-
+    search stack. The (doc, term) tf frame is built once and reused
+    three ways (term frequencies, document lengths via per-doc tf
+    sums — no second corpus pass — and the query-term document
+    frequencies); the df and corpus-stats frames are query-sized and
+    1-row, so both join back as broadcasts, and the inner semi-join on
+    query terms prunes the tf frame to |query| rows per doc BEFORE any
+    scoring work. Every constant is pinned double-typed so the
+    floating expression trees are operand-identical cross-engine (6dp
+    hash tolerance absorbs libm ulps, the q64 idf precedent). At
+    100 TB: one token shuffle + one doc-key shuffle; scoring itself
+    is broadcast-joined map work. The reference has no retrieval
+    surface (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+    dl = dl.select(F.col("doc_id").alias("d_id"), "dlen")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+    )
+    dfreq = (
+        tf.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.col("term").alias("f_term"), "df")
+    )
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + (F.lit(0.75) * F.col("dlen")) / F.col("avg_len"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), tf.term == F.col("f_term"))
+        .join(dl, tf.doc_id == F.col("d_id"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization (ANN storage/compute prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_embedding_quantize",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS absmax
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id,
+             CAST(127 AS DOUBLE) / a.absmax AS scale,
+             list_transform(e.embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE)
+                          * (CAST(127 AS DOUBLE) / a.absmax) + 0.5)
+                    AS BIGINT)) AS qv
+      FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+      WHERE a.absmax > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+             AS qnorm_sq,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT)
+             AS q_absmax
+    FROM q
+    """,
+)
+def q172_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    scale = 127/max|x|), with integer summary stats — the storage/
+    compute prep that turns float32 ANN (q46-q48) into int8 ANN: 4x
+    smaller vectors and integer dot products (the functions/vectors.py
+    determinism trick applied as a persistent transform). Entirely
+    shuffle-free: scale, quantized values, and both summaries are
+    higher-order array expressions (transform/aggregate) inside
+    codegen, scan-bandwidth work at any scale. Rounding is pinned as
+    ``floor(x*scale + 0.5)`` — identical IEEE ops both engines, no
+    round-half-mode ambiguity. q_absmax == 127 for every vector is
+    the quantizer's invariant (the max element maps to full range);
+    qnorm_sq feeds integer cosine. Zero vectors are filtered (scale
+    undefined), matching both engines. The reference has no vector
+    surface (SURVEY §2.2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    e = emb.select("vec_id", "embedding", absmax.alias("absmax")).filter(
+        F.col("absmax") > 0
+    )
+    scale = F.lit(127).cast("double") / F.col("absmax")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    q = e.select("vec_id", scale.alias("scale"), qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("qnorm_sq"),
+        F.array_max(F.transform("qv", F.abs)).cast("long").alias("q_absmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative degree peeling on the co-purchase graph)
+# ---------------------------------------------------------------------------
+
+
+def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Nodes of the k-core of an undirected graph: iteratively peel
+    nodes with degree < k until fixpoint. ``edges`` has columns
+    (src, dst), one row per undirected edge.
+
+    Each round is one degree aggregation + one semi-join filter — all
+    keyed on node id, so every pass is a hash-partitioned scan of the
+    current (shrinking) edge set; the driver holds only the surviving-
+    node COUNT (loop control), never node lists. Checkpoint-free
+    because the edge frame is re-derived from the (cached) previous
+    iteration, keeping lineage depth = iterations like q126's
+    PageRank. Worst case rounds = graph diameter; max_iter bounds
+    runaway on adversarial chains.
+    """
+    sym = edges.selectExpr("src", "dst").union(
+        edges.selectExpr("dst AS src", "src AS dst")
+    )
+    cur = sym.localCheckpoint(eager=True) if hasattr(sym, "localCheckpoint") else sym
+    prev_nodes = -1
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n = keep.count()
+        if n == prev_nodes:
+            break
+        prev_nodes = n
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select("src").distinct().withColumnRenamed("src", "node")
+
+
+@query("q173_kcore")
+def q173_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (edges: part pairs bought
+    together in >= 2 orders, q93's support threshold): the maximal
+    subgraph where every part keeps >= 3 co-purchase partners — the
+    graph-density screen run before community/centrality work
+    (q117/q126/q149 complete the graph family) to cut the long tail
+    that dominates runtime but carries no structure. Iterative
+    degree-peeling (see kcore_nodes); no SQL oracle — the fixpoint
+    iteration is not expressible in one DuckDB query, so the driver
+    records rows-only and tests/test_round4.py proves the result
+    against a driver-side python peel of the same edges."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        copurchase_pairs(li)
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        )
+    )
+    return kcore_nodes(edges, k=3)

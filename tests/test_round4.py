@@ -350,3 +350,73 @@ def test_grouping_sets_levels_tie_out(spark, sf_dir):
             r for r in by_level["nation"] if r["region_name"] == rg["region_name"]
         ]
         assert sum(r["revenue"] for r in ns) == pytest.approx(rg["revenue"])
+
+
+def test_bm25_semantics(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 import BM25_QUERY_TERMS
+
+    rows = _QS["q171_bm25_scoring"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_terms_hit"] <= len(BM25_QUERY_TERMS)
+        assert r["bm25"] > 0.0
+    # more matched query terms can only help a doc of comparable length:
+    # the top-scored doc must hit every term at this fixture scale
+    top = max(rows, key=lambda r: r["bm25"])
+    assert top["n_terms_hit"] == len(BM25_QUERY_TERMS)
+
+
+def test_quantization_invariants(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    out = {r["vec_id"]: r for r in _QS["q172_embedding_quantize"](spark, sf_dir).collect()}
+    src = load(spark, sf_dir, "embeddings").limit(50).collect()
+    for row in src:
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        r = out[row["vec_id"]]
+        scale = 127.0 / np.abs(v).max()
+        q = np.floor(v * scale + 0.5).astype(np.int64)
+        assert r["scale"] == pytest.approx(scale)
+        assert r["qnorm_sq"] == int((q * q).sum())
+        assert r["q_absmax"] == 127  # max element hits full range
+        # reconstruction error bounded by half a quantization step
+        assert np.abs(q / scale - v).max() <= 0.5 / scale + 1e-12
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_pairs
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+    import collections
+
+    got = {r["node"] for r in _QS["q173_kcore"](spark, sf_dir).collect()}
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = [
+        (r["part_a"], r["part_b"])
+        for r in copurchase_pairs(li).filter(F.col("n_orders") >= 2).collect()
+    ]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 3:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    assert got == set(adj)
+
+
+def test_kcore_on_known_graph(spark):
+    # K4 plus a pendant chain: 3-core is exactly the K4.
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 import kcore_nodes
+
+    assert {r["node"] for r in kcore_nodes(edges, 3).collect()} == {1, 2, 3, 4}
+    # 2-core keeps the K4 only as well (chain nodes have degree 1)
+    assert {r["node"] for r in kcore_nodes(edges, 2).collect()} == {1, 2, 3, 4}
