@@ -69,6 +69,8 @@ _INTENTIONAL_BNLJ = {
     "q143_band_lookup",  # 4-row interval band dimension broadcast
     "q151_association_rules",  # one-row basket-total broadcast
     "q157_naive_bayes_tokens",  # one-row vocabulary-size broadcast
+    "q168_decile_lift",  # one-row grand-total broadcast
+    "q171_bm25_scoring",  # one-row corpus-stats broadcast
 }
 
 
