@@ -1627,3 +1627,327 @@ def q173_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kcore_nodes(edges, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence intervals per segment (proportion inference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END)
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT seg, n, x,
+           CAST(x AS DOUBLE) / n AS p_hat,
+           (CAST(x AS DOUBLE) / n
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * n)
+              - CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+                         / n
+                       + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * n * n)))
+             / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n)
+             AS wilson_lo,
+           (CAST(x AS DOUBLE) / n
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * n)
+              + CAST(1.96 AS DOUBLE)
+                * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+                         / n
+                       + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * n * n)))
+             / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n)
+             AS wilson_hi
+    FROM s
+    """,
+)
+def q174_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals for a per-segment proportion (share of
+    URGENT-priority orders): the interval that stays valid for small n
+    and extreme rates, where the naive normal interval collapses —
+    the uncertainty layer q130's point-estimate A/B readout lacks.
+    One aggregation collapses facts to (n, x) per segment (broadcast
+    dimension join into the fact scan); the interval algebra runs on
+    that class-cardinality frame. IEEE sqrt is correctly-rounded by
+    spec, and every constant is pinned double, so both engines
+    evaluate operand-identical trees. The same two-column (n, x)
+    reduction feeds any proportion monitored at 100 TB — conversion,
+    defect, null-rate — with intervals costing nothing beyond the
+    count pass. The reference has no statistics surface (SURVEY
+    §2.2)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            ).alias("x"),
+        )
+    )
+    z = F.lit(1.96)
+    n = F.col("n")
+    p = F.col("x").cast("double") / n
+    half = z * F.sqrt(
+        p * (1 - p) / n + z * z / (F.lit(4).cast("double") * n * n)
+    )
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return s.select(
+        "seg",
+        "n",
+        "x",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift screen (stateful recursion; oracle = recursive CTE)
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack and alarm threshold (shared by query and oracle).
+CUSUM_SLACK = 0.5
+CUSUM_ALARM = 2.0
+
+
+@query(
+    "q175_cusum_drift",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+               AS mu
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        AS mu0
+      FROM events
+    ), seq AS (
+      SELECT day, mu, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), walk AS (
+      SELECT rn, day, mu,
+             greatest(CAST(0 AS DOUBLE),
+                      mu - (SELECT mu0 FROM base) - CAST({CUSUM_SLACK} AS DOUBLE))
+               AS cpos
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.mu,
+             greatest(CAST(0 AS DOUBLE),
+                      w.cpos + (s.mu - (SELECT mu0 FROM base)
+                                - CAST({CUSUM_SLACK} AS DOUBLE)))
+      FROM seq s JOIN walk w ON s.rn = w.rn + 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, mu, cpos,
+           cpos > CAST({CUSUM_ALARM} AS DOUBLE) AS alarm
+    FROM walk
+    """,
+)
+def q175_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift screen over the daily event-value mean:
+    cpos_t = max(0, cpos_t-1 + (mu_t - mu0 - k)) with alarm when the
+    accumulated positive drift clears the threshold — the sequential
+    change detector that catches slow upward creep q127's fixed-lag
+    anomaly screen misses. CUSUM has no closed form, so the recursion
+    runs in an Arrow-batched ``applyInPandas`` over the DAILY frame —
+    calendar-sized regardless of fact volume; the 100 TB work is the
+    two exact aggregation passes (per-day and global means, DECIMAL
+    then one double division each) that feed it. Per-metric fleets
+    partition by series key and recurse per group, q108's EWMA
+    pattern. The DuckDB oracle replays the identical double recursion
+    as a recursive CTE — one of the few stateful operators that still
+    gets a full value-hash gate. The reference has no monitoring
+    surface beyond a record count (/root/reference/etl_connector.py:
+    210,239)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    base = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu0")
+    )
+    joined = daily.crossJoin(F.broadcast(base))
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        mu0 = float(pdf["mu0"].iloc[0])
+        c = 0.0
+        out = []
+        for mu in pdf["mu"]:
+            first = not out
+            inc = float(mu) - mu0 - CUSUM_SLACK
+            c = max(0.0, inc if first else c + inc)
+            out.append(c)
+        pdf["cpos"] = out
+        pdf["alarm"] = pdf["cpos"] > CUSUM_ALARM
+        return pdf[["day", "mu", "cpos", "alarm"]]
+
+    return (
+        joined.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(cusum, "day date, mu double, cpos double, alarm boolean")
+        .select(
+            F.col("day").cast("timestamp").alias("day"), "mu", "cpos", "alarm"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: quantile bridge between two periods
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_quantile_drift",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice AS price
+      FROM lineitem WHERE extract(year FROM l_shipdate) IN (1996, 2000)
+    )
+    SELECT quantile_cont(CASE WHEN yr = 1996 THEN price END, 0.10) AS p10_a,
+           quantile_cont(CASE WHEN yr = 2000 THEN price END, 0.10) AS p10_b,
+           quantile_cont(CASE WHEN yr = 1996 THEN price END, 0.50) AS p50_a,
+           quantile_cont(CASE WHEN yr = 2000 THEN price END, 0.50) AS p50_b,
+           quantile_cont(CASE WHEN yr = 1996 THEN price END, 0.90) AS p90_a,
+           quantile_cont(CASE WHEN yr = 2000 THEN price END, 0.90) AS p90_b,
+           quantile_cont(CASE WHEN yr = 2000 THEN price END, 0.50)
+             - quantile_cont(CASE WHEN yr = 1996 THEN price END, 0.50)
+             AS median_shift
+    FROM y
+    """,
+)
+def q176_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two periods: matched exact
+    quantiles (p10/p50/p90) of the price distribution in 1996 vs 2000
+    plus the median shift — the data-drift monitor run between a
+    training snapshot and serving traffic before a model silently
+    degrades (the continuous counterpart of q147's categorical
+    chi-square). Conditional-percentile aggregation computes BOTH
+    periods in one pass over the pushed-down two-year scan (no
+    self-join, no second read); output is one row. Interpolated exact
+    quantiles over integer-cent prices keep both engines bit-aligned
+    (q35/q146's path). At scale, swap exact percentiles for q67's
+    mergeable sketches and keep the same report schema. The reference
+    has no profiling surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.col("l_extendedprice").alias("price"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    pa = F.when(F.col("yr") == 1996, F.col("price"))
+    pb = F.when(F.col("yr") == 2000, F.col("price"))
+    return li.agg(
+        F.percentile(pa, F.lit(0.10)).alias("p10_a"),
+        F.percentile(pb, F.lit(0.10)).alias("p10_b"),
+        F.percentile(pa, F.lit(0.50)).alias("p50_a"),
+        F.percentile(pb, F.lit(0.50)).alias("p50_b"),
+        F.percentile(pa, F.lit(0.90)).alias("p90_a"),
+        F.percentile(pb, F.lit(0.90)).alias("p90_b"),
+        (
+            F.percentile(pb, F.lit(0.50)) - F.percentile(pa, F.lit(0.50))
+        ).alias("median_shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume/price decomposition of revenue change (index-number analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_revenue_decomposition",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand, CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS yr,
+             sum(CAST(l.l_quantity AS DECIMAL(30,10))) AS qty,
+             sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE extract(year FROM l.l_shipdate) IN (1996, 2000)
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT a.p_brand,
+             CAST(a.qty AS DOUBLE) AS q1, CAST(b.qty AS DOUBLE) AS q2,
+             CAST(a.rev AS DOUBLE) AS r1, CAST(b.rev AS DOUBLE) AS r2,
+             CAST(a.rev AS DOUBLE) / CAST(a.qty AS DOUBLE) AS p1,
+             CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE) AS p2
+      FROM f a JOIN f b
+        ON a.p_brand = b.p_brand AND a.yr = 1996 AND b.yr = 2000
+    )
+    SELECT p_brand, r2 - r1 AS rev_change,
+           (q2 - q1) * p1 AS volume_effect,
+           q2 * (p2 - p1) AS price_effect
+    FROM w
+    """,
+)
+def q177_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-number decomposition of each brand's revenue change
+    between 1996 and 2000 into a volume effect ((q2-q1) at old unit
+    price) and a price effect (new volume x unit-price change) — the
+    Laspeyres-style bridge that answers "did we sell more, or sell
+    dearer?", and the decomposition sums to the total change exactly
+    (up to fp, by construction). One pushed-down two-year scan
+    aggregates (brand, year) quantity and revenue in DECIMAL; the
+    year self-join runs on the brand-dimension frame, not facts.
+    Unit prices and effects are double arithmetic over exactly-
+    aggregated casts, operand-identical cross-engine. The analytical
+    sibling of q162's share shift (who gained) — this explains WHY.
+    The reference has no analytics surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.year("l_shipdate").cast("long").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    parts = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    f = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "yr")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias(
+                "rev"
+            ),
+        )
+    )
+    a = f.filter(F.col("yr") == 1996).select(
+        "p_brand",
+        F.col("qty").cast("double").alias("q1"),
+        F.col("rev").cast("double").alias("r1"),
+        (F.col("rev").cast("double") / F.col("qty").cast("double")).alias(
+            "p1"
+        ),
+    )
+    b = f.filter(F.col("yr") == 2000).select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("qty").cast("double").alias("q2"),
+        F.col("rev").cast("double").alias("r2"),
+        (F.col("rev").cast("double") / F.col("qty").cast("double")).alias(
+            "p2"
+        ),
+    )
+    return (
+        a.join(b, a.p_brand == b.b_brand)
+        .select(
+            "p_brand",
+            (F.col("r2") - F.col("r1")).alias("rev_change"),
+            ((F.col("q2") - F.col("q1")) * F.col("p1")).alias("volume_effect"),
+            (F.col("q2") * (F.col("p2") - F.col("p1"))).alias("price_effect"),
+        )
+    )

@@ -420,3 +420,49 @@ def test_kcore_on_known_graph(spark):
     assert {r["node"] for r in kcore_nodes(edges, 3).collect()} == {1, 2, 3, 4}
     # 2-core keeps the K4 only as well (chain nodes have degree 1)
     assert {r["node"] for r in kcore_nodes(edges, 2).collect()} == {1, 2, 3, 4}
+
+
+def test_wilson_ci_brackets_p_hat(spark, sf_dir):
+    rows = _QS["q174_wilson_ci"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+        # interval narrows as 1/sqrt(n): sanity width bound
+        import math
+
+        assert (r["wilson_hi"] - r["wilson_lo"]) <= 4 * 1.96 * math.sqrt(
+            0.25 / r["n"]
+        )
+
+
+def test_cusum_recursion_and_reset(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 import CUSUM_ALARM, CUSUM_SLACK
+
+    rows = sorted(
+        _QS["q175_cusum_drift"](spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    for r in rows:
+        assert r["cpos"] >= 0.0
+        assert r["alarm"] == (r["cpos"] > CUSUM_ALARM)
+    # cpos is max(0, prev + inc): differences never exceed the raw increment
+    for prev, cur in zip(rows, rows[1:]):
+        inc = cur["cpos"] - prev["cpos"]
+        raw = cur["mu"] - CUSUM_SLACK  # mu0 unknown here; bound loosely
+        assert cur["cpos"] == 0.0 or inc <= raw
+
+
+def test_quantile_drift_orderings(spark, sf_dir):
+    r = _QS["q176_quantile_drift"](spark, sf_dir).collect()[0]
+    assert r["p10_a"] < r["p50_a"] < r["p90_a"]
+    assert r["p10_b"] < r["p50_b"] < r["p90_b"]
+    assert r["median_shift"] == pytest.approx(r["p50_b"] - r["p50_a"])
+
+
+def test_revenue_decomposition_closes(spark, sf_dir):
+    rows = _QS["q177_revenue_decomposition"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rev_change"] == pytest.approx(
+            r["volume_effect"] + r["price_effect"], abs=1e-4
+        )
