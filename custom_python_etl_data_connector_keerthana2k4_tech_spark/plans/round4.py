@@ -1951,3 +1951,144 @@ def q177_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q2") * (F.col("p2") - F.col("p1"))).alias("price_effect"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (what exact dedup would save, per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_dedup_impact",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS canon
+      FROM documents
+    ), nonempty AS (
+      SELECT source, doc_id, canon,
+             CAST(len(string_split(canon, ' ')) AS BIGINT) AS toks
+      FROM c WHERE canon <> ''
+    ), per_canon AS (
+      SELECT source, canon, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(toks) AS BIGINT) AS toks
+      FROM nonempty GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n_copies * toks) AS BIGINT) AS tokens_before,
+           CAST(sum(toks) AS BIGINT) AS tokens_after,
+           CAST(sum(toks) AS DOUBLE) / sum(n_copies * toks) AS keep_ratio
+    FROM per_canon GROUP BY 1
+    """,
+)
+def q178_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: per source, how many documents and
+    tokens exact canonical dedup (q137's normalize-then-fingerprint)
+    would keep — the cost/benefit readout a curation run (q54)
+    publishes BEFORE committing to a rewrite, and per-source because
+    mirror-heavy sources are where dedup pays. Canonical text, token
+    counts, and the (source, canon) collapse are one narrow pass plus
+    one aggregation; the report is source-cardinality rows. Exact
+    integer token accounting; one double division. The fixture corpus
+    is duplicate-free at small scale — a keep_ratio of 1.0 IS the
+    correct report there (tests plant duplicates to exercise the
+    shrink path). The reference upserts per-key but never measures
+    duplication (/root/reference/etl_connector.py:167-191)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+    )
+    nonempty = docs.select(
+        "source", F.col("doc_id"), canon.alias("canon")
+    ).filter(F.col("canon") != "").select(
+        "source",
+        "canon",
+        F.size(F.split("canon", " ")).cast("long").alias("toks"),
+    )
+    per_canon = nonempty.groupBy("source", "canon").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("toks").cast("long").alias("toks"),
+    )
+    return per_canon.groupBy("source").agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_copies") * F.col("toks")).cast("long").alias(
+            "tokens_before"
+        ),
+        F.sum("toks").cast("long").alias("tokens_after"),
+        (
+            F.sum("toks").cast("double")
+            / F.sum(F.col("n_copies") * F.col("toks"))
+        ).alias("keep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift: KL divergence + total variation between periods
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_kl_drift",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(CASE WHEN extract(year FROM o_orderdate) = 1996
+                             THEN 1 END) AS BIGINT) AS na,
+             CAST(count(CASE WHEN extract(year FROM o_orderdate) = 2000
+                             THEN 1 END) AS BIGINT) AS nb
+      FROM orders WHERE extract(year FROM o_orderdate) IN (1996, 2000)
+      GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+      FROM y
+    )
+    SELECT CAST(sum((CAST(na AS DOUBLE) / t.ta)
+                    * ln((CAST(na AS DOUBLE) / t.ta)
+                         / (CAST(nb AS DOUBLE) / t.tb))) AS DOUBLE) AS kl_ab,
+           CAST(sum((CAST(nb AS DOUBLE) / t.tb)
+                    * ln((CAST(nb AS DOUBLE) / t.tb)
+                         / (CAST(na AS DOUBLE) / t.ta))) AS DOUBLE) AS kl_ba,
+           CAST(0.5 * sum(abs(CAST(na AS DOUBLE) / t.ta
+                              - CAST(nb AS DOUBLE) / t.tb)) AS DOUBLE)
+             AS tvd,
+           CAST(count(*) AS BIGINT) AS n_categories
+    FROM y, t
+    """,
+)
+def q179_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift between two periods: KL divergence (both
+    directions — it is not symmetric) and total variation distance of
+    the order-priority mix, 1996 vs 2000 — the information-theoretic
+    drift triple completing q147 (chi-square: is it significant?),
+    q176 (continuous quantile drift), and this (how large, in nats /
+    probability mass). One pushed-down conditional-count pass builds
+    both distributions; totals broadcast back over the category-
+    cardinality frame; the divergence sum runs over a handful of
+    rows. Probabilities are single divisions of exact counts; the
+    category set is closed on both sides so no zero-mass guards
+    diverge. The reference has no profiling surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+    ).filter(F.col("yr").isin(1996, 2000))
+    y = o.groupBy("pri").agg(
+        F.count(F.when(F.col("yr") == 1996, 1)).alias("na"),
+        F.count(F.when(F.col("yr") == 2000, 1)).alias("nb"),
+    )
+    t = y.agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    j = y.crossJoin(F.broadcast(t))
+    pa = F.col("na").cast("double") / F.col("ta")
+    pb = F.col("nb").cast("double") / F.col("tb")
+    return j.agg(
+        F.sum(pa * F.log(pa / pb)).cast("double").alias("kl_ab"),
+        F.sum(pb * F.log(pb / pa)).cast("double").alias("kl_ba"),
+        (F.lit(0.5) * F.sum(F.abs(pa - pb))).cast("double").alias("tvd"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )

@@ -341,3 +341,51 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    mu0: float,
+    slack: float = 0.5,
+    alarm: float = 2.0,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+):
+    """Per-key one-sided CUSUM as a streaming operator: cpos =
+    max(0, cpos_prev + (x - mu0 - slack)), alarming when the
+    accumulated positive drift clears ``alarm``. One double of state
+    per key — the streaming twin of batch q175 (plans/round4.
+    q175_cusum_drift), monitoring each key's stream against a
+    baseline ``mu0`` computed offline (exactly how production CUSUM
+    is deployed: the baseline comes from a calibration window, the
+    detector runs forever after). Ordering contract and state
+    mechanics are identical to :func:`streaming_ewma`; the recursion
+    here is a reflected cumulative sum, kept in plain python per
+    batch (rows per key per micro-batch are small; the numpy
+    alternative needs no less state handoff)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, "event_id"])
+        c = float(state.get[0]) if state.exists else 0.0
+        out = []
+        for x in pdf[value_col].astype(float):
+            c = max(0.0, c + (x - mu0 - slack))
+            out.append(c)
+        pdf["cpos"] = out
+        pdf["alarm"] = pdf["cpos"] > alarm
+        state.update((float(c),))
+        yield pdf[["event_id", key_col, ts_col, value_col, "cpos", "alarm"]]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"event_id long, {key_col} long, {ts_col} timestamp, "
+            f"{value_col} double, cpos double, alarm boolean"
+        ),
+        stateStructType="cpos double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -466,3 +466,32 @@ def test_revenue_decomposition_closes(spark, sf_dir):
         assert r["rev_change"] == pytest.approx(
             r["volume_effect"] + r["price_effect"], abs=1e-4
         )
+
+
+def test_dedup_impact_with_planted_duplicates(spark, tmp_path):
+    docs = [
+        (1, "Alpha beta gamma.", "web", "en", 17),
+        (2, "alpha  BETA gamma", "web", "en", 17),  # canonical twin of 1
+        (3, "delta epsilon", "web", "en", 13),
+        (4, "unique text here", "api", "en", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in _QS["q178_dedup_impact"](spark, str(tmp_path)).collect()}
+    web = out["web"]
+    assert (web["n_docs"], web["n_unique"]) == (3, 2)
+    assert web["tokens_before"] == 3 + 3 + 2
+    assert web["tokens_after"] == 3 + 2
+    assert web["keep_ratio"] == pytest.approx(5 / 8)
+    assert out["api"]["keep_ratio"] == 1.0
+
+
+def test_kl_drift_properties(spark, sf_dir):
+    r = _QS["q179_kl_drift"](spark, sf_dir).collect()[0]
+    assert r["n_categories"] == 5
+    assert r["kl_ab"] >= 0.0 and r["kl_ba"] >= 0.0  # Gibbs' inequality
+    assert 0.0 <= r["tvd"] <= 1.0
+    # Pinsker's inequality: KL >= 2 * TVD^2
+    assert r["kl_ab"] >= 2 * r["tvd"] ** 2 - 1e-12
+    assert r["kl_ba"] >= 2 * r["tvd"] ** 2 - 1e-12
