@@ -2092,3 +2092,286 @@ def q179_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.sum(F.abs(pa - pb))).cast("double").alias("tvd"),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (declared label vs heuristic prediction)
+# ---------------------------------------------------------------------------
+
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import sql_lang_id as _sql_lang_id
+
+_Q180_ORACLE = f"""
+    WITH p AS (
+      SELECT lang, {_sql_lang_id('text')} AS predicted FROM documents
+    ), m AS (
+      SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2
+    )
+    SELECT lang, predicted, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)
+             AS share_of_actual
+    FROM m
+"""
+
+
+@query("q180_lang_confusion", oracle=_Q180_ORACLE)
+def q180_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the declared ``lang`` label against the
+    engine's heuristic language-ID (functions/text.lang_id, the q40
+    classifier): per (actual, predicted) cell, row count and share of
+    the actual class — the evaluation harness for any cheap labeler
+    run over a corpus before trusting it to route 100 TB (exactly how
+    fasttext-style lang-ID gets audited against a labeled sample).
+    The classifier is a pure Column expression (marker-stopword
+    argmax, zero Python), so scoring rides the document scan; the
+    matrix aggregation is |langs|^2 cells, and the class-share window
+    runs over that constant-sized frame. Oracle: the same classifier
+    compiled to DuckDB SQL by functions/text.sql_lang_id — one
+    definition, two engines, hash-matched."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select("lang", lang_id("text").alias("predicted"))
+    m = p.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    return m.select(
+        "lang",
+        "predicted",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("lang"))
+        ).alias("share_of_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 30-day correlation (bivariate moments over ordered frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_rolling_correlation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) * 100
+                  AS BIGINT) AS rev_c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT day,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))) OVER win AS DOUBLE)
+               AS sx,
+             CAST(sum(cnt) OVER win AS DOUBLE) AS sy,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0)) * cnt) OVER win
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c) OVER win
+                  AS DOUBLE) AS sxx,
+             CAST(sum(cnt * cnt) OVER win AS DOUBLE) AS syy
+      FROM d
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+    FROM w WHERE n = 30
+    """,
+)
+def q181_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day Pearson correlation between daily revenue and
+    daily order count — the co-movement monitor behind "are average
+    order values drifting?" alarms, and the windowed extension of
+    q121's static correlation matrix. The fact table collapses to a
+    daily frame first (one shuffle); the five moment sums then run
+    over 30-row ordered frames on that calendar-sized frame. All
+    moments are EXACT integer/decimal arithmetic (revenue in cents,
+    DECIMAL(38,0) products — immune to frame-internal summation
+    order, which IS engine-dependent for doubles), cast to double
+    only for the final closed-form r. Output days with full windows
+    only. The day column doubles as the deterministic frame order.
+    The reference has no time-series surface (SURVEY §2.2)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+            .cast("long")
+            .alias("rev_c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    rc = F.col("rev_c").cast("decimal(38,0)")
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum(rc).over(win).cast("double").alias("sx"),
+        F.sum("cnt").over(win).cast("double").alias("sy"),
+        F.sum(rc * F.col("cnt")).over(win).cast("double").alias("sxy"),
+        F.sum(rc * F.col("rev_c")).over(win).cast("double").alias("sxx"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(win).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return w.filter(n == 30).select(
+        F.col("day").cast("timestamp").alias("day"), r.alias("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_negative_sampling",
+    oracle="""
+    WITH np AS (SELECT CAST(max(l_partkey) AS BIGINT) AS maxp FROM lineitem),
+    cand AS (
+      SELECT c.c_custkey, t.i AS attempt,
+             1 + ((c.c_custkey * 2654435761 + t.i * 40503)
+                  % (SELECT maxp FROM np)) AS neg_partkey
+      FROM customer c, unnest([0, 1]) AS t(i)
+    ), pos AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT cand.c_custkey, cand.attempt, cand.neg_partkey
+    FROM cand LEFT JOIN pos
+      ON cand.c_custkey = pos.o_custkey
+     AND cand.neg_partkey = pos.l_partkey
+    WHERE pos.o_custkey IS NULL
+    """,
+)
+def q182_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: per
+    customer, two hash-generated candidate parts, kept only when the
+    customer never bought them (anti-join against the positives) —
+    the (user, negative-item) pair generator behind two-tower /
+    matrix-factorization training sets, made reproducible by drawing
+    "randomness" from multiplicative-hash arithmetic (q58's trick
+    repurposed for pair generation: same seed, same pairs, any engine,
+    any partitioning). Candidate expansion is a 2x narrow explode of
+    the customer dimension; the positives frame collapses facts to
+    DISTINCT (customer, part) once; the rejection join is keyed and
+    hash-partitioned. At 100 TB the positives distinct is the only
+    heavy pass, and raising attempts-per-user scales candidates
+    linearly, never quadratically. The anti-join is expressed as
+    LEFT + IS NULL on both engines to keep the oracle's join shape
+    identical. The reference has no sampling surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    maxp = li.agg(F.max("l_partkey").cast("long").alias("maxp"))
+    cand = (
+        c.crossJoin(F.broadcast(maxp))
+        .select(
+            "c_custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("attempt"),
+            "maxp",
+        )
+        .select(
+            "c_custkey",
+            "attempt",
+            (
+                1
+                + (
+                    F.col("c_custkey") * F.lit(2654435761)
+                    + F.col("attempt") * F.lit(40503)
+                )
+                % F.col("maxp")
+            ).alias("neg_partkey"),
+        )
+    )
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey"), F.col("l_partkey"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            pos,
+            (cand.c_custkey == pos.o_custkey)
+            & (cand.neg_partkey == pos.l_partkey),
+            "left",
+        )
+        .filter(F.col("o_custkey").isNull())
+        .select("c_custkey", "attempt", "neg_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality index (dow profile of a daily metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_weekday_index",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow,
+             sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), t AS (
+      SELECT CAST(sum(rev) AS DOUBLE) AS all_rev,
+             CAST(count(*) AS BIGINT) AS all_days
+      FROM d
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(rev) AS DOUBLE) / count(*) AS avg_daily_rev,
+           (CAST(sum(rev) AS DOUBLE) / count(*))
+             / (t.all_rev / t.all_days) AS seasonality_index
+    FROM d, t GROUP BY dow, t.all_rev, t.all_days
+    """,
+)
+def q183_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily revenue per
+    weekday relative to the overall daily average (index 1.0 = flat
+    week) — the multiplicative profile that de-seasonalizes daily
+    metrics before q175's CUSUM or q163's backtest judges them (the
+    classic decomposition: index out the week, then detect). The
+    fact table collapses to (day, dow) once in DECIMAL; both the
+    7-row profile and the broadcast scalar baseline derive from that
+    daily frame, so the index arithmetic — two double divisions of
+    exactly-summed operands — runs on constant-sized state. Weekday
+    numbering is pinned to 0=Sunday on both engines (Spark's
+    dayofweek is 1-based; the q145 alignment). The reference has no
+    time-series surface (SURVEY §2.2)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    t = d.agg(
+        F.sum("rev").cast("double").alias("all_rev"),
+        F.count(F.lit(1)).alias("all_days"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("dow", "all_rev", "all_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.sum("rev").cast("double") / F.count(F.lit(1))).alias(
+                "avg_daily_rev"
+            ),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "avg_daily_rev",
+            (
+                F.col("avg_daily_rev")
+                / (F.col("all_rev") / F.col("all_days"))
+            ).alias("seasonality_index"),
+        )
+    )

@@ -495,3 +495,78 @@ def test_kl_drift_properties(spark, sf_dir):
     # Pinsker's inequality: KL >= 2 * TVD^2
     assert r["kl_ab"] >= 2 * r["tvd"] ** 2 - 1e-12
     assert r["kl_ba"] >= 2 * r["tvd"] ** 2 - 1e-12
+
+
+def test_lang_confusion_shares(spark, sf_dir):
+    import collections
+
+    rows = _QS["q180_lang_confusion"](spark, sf_dir).collect()
+    per_actual = collections.defaultdict(float)
+    for r in rows:
+        assert r["n"] >= 1
+        per_actual[r["lang"]] += r["share_of_actual"]
+    for lang, s in per_actual.items():
+        assert s == pytest.approx(1.0)
+
+
+def test_rolling_correlation_bounds_and_window(spark, sf_dir):
+    rows = _QS["q181_rolling_correlation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9
+    # spot-check one window against numpy
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+            .cast("long")
+            .alias("rev_c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    want_day = rows[len(rows) // 2]["day"].date()
+    idx = next(i for i, d in enumerate(daily) if d["day"] == want_day)
+    xs = np.array([d["rev_c"] for d in daily[idx - 29 : idx + 1]], dtype=float)
+    ys = np.array([d["cnt"] for d in daily[idx - 29 : idx + 1]], dtype=float)
+    want_r = np.corrcoef(xs, ys)[0, 1]
+    got_r = next(r["r"] for r in rows if r["day"].date() == want_day)
+    assert got_r == pytest.approx(want_r, abs=1e-9)
+
+
+def test_negative_samples_are_true_negatives(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q182_negative_sampling"](spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    maxp = max(p for _, p in pos)
+    for r in rows:
+        assert (r["c_custkey"], r["neg_partkey"]) not in pos
+        assert 1 <= r["neg_partkey"] <= maxp
+        # deterministic hash replay
+        assert r["neg_partkey"] == 1 + (
+            r["c_custkey"] * 2654435761 + r["attempt"] * 40503
+        ) % maxp
+
+
+def test_weekday_index_averages_to_one(spark, sf_dir):
+    rows = _QS["q183_weekday_index"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    # day-count-weighted mean of the index is exactly 1
+    total_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["seasonality_index"] * r["n_days"] for r in rows)
+    assert weighted / total_days == pytest.approx(1.0)
