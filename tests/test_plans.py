@@ -71,6 +71,10 @@ _INTENTIONAL_BNLJ = {
     "q157_naive_bayes_tokens",  # one-row vocabulary-size broadcast
     "q168_decile_lift",  # one-row grand-total broadcast
     "q171_bm25_scoring",  # one-row corpus-stats broadcast
+    "q175_cusum_drift",  # one-row baseline-mean broadcast
+    "q179_kl_drift",  # one-row distribution-totals broadcast
+    "q182_negative_sampling",  # one-row max-key broadcast
+    "q183_weekday_index",  # one-row overall-baseline broadcast
 }
 
 
