@@ -2375,3 +2375,268 @@ def q183_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonality_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/test split audit (deterministic hash split)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_split_audit",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang) AS frac
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q184_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test assignment by multiplicative
+    key hash, audited per language stratum: the achieved fraction per
+    (stratum, split) is the report that catches both hash bias and
+    small-stratum skew BEFORE a model trains on a bad split
+    (companion to q123's k-fold carving; same q58 hash trick, so
+    membership is reproducible from the key alone — no stored split
+    table, no RNG). One aggregation pass; the share window runs over
+    the stratum x split frame. Integer hash arithmetic and one double
+    division. At any scale each document's assignment is computable
+    independently — embarrassingly parallel, join-free. The reference
+    has no sampling surface (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang",
+        F.when(
+            (F.col("doc_id") * F.lit(2654435761)) % 100 < 80, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    g = s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "lang",
+        "split",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("lang"))
+        ).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spend-band transition matrix (entity-state churn between periods)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_band_transitions",
+    oracle="""
+    WITH y AS (
+      SELECT o_custkey, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(30,10))) AS spend
+      FROM orders WHERE extract(year FROM o_orderdate) IN (1996, 2000)
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT o_custkey, yr,
+             CASE WHEN spend < 100000 THEN 'low'
+                  WHEN spend < 300000 THEN 'mid' ELSE 'high' END AS band
+      FROM y
+    ), m AS (
+      SELECT coalesce(a.band, 'none') AS band_1996,
+             coalesce(c.band, 'none') AS band_2000
+      FROM (SELECT * FROM b WHERE yr = 1996) a
+      FULL OUTER JOIN (SELECT * FROM b WHERE yr = 2000) c
+        ON a.o_custkey = c.o_custkey
+    )
+    SELECT band_1996, band_2000, CAST(count(*) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q185_band_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-band churn matrix between 1996 and 2000: band
+    each customer's yearly spend (exact DECIMAL thresholds — no
+    float boundary flapping), then full-outer join the two years so
+    appearing ('none' -> band) and churning (band -> 'none')
+    customers are cells, not casualties — the entity-level state
+    transition matrix complementing q122's event-level Markov chain
+    and q162's continuous share shift. One pushed-down two-year
+    aggregation; the year-on-year join runs on customer-dimension
+    frames; output is a 4x4 matrix. The reference has no joins
+    (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        "o_totalprice",
+    ).filter(F.col("yr").isin(1996, 2000))
+    y = o.groupBy("o_custkey", "yr").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("spend")
+    )
+    band = (
+        F.when(F.col("spend") < 100000, "low")
+        .when(F.col("spend") < 300000, "mid")
+        .otherwise("high")
+    )
+    b = y.select("o_custkey", "yr", band.alias("band"))
+    a = b.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("k1"), F.col("band").alias("ba")
+    )
+    c = b.filter(F.col("yr") == 2000).select(
+        F.col("o_custkey").alias("k2"), F.col("band").alias("bc")
+    )
+    m = a.join(c, a.k1 == c.k2, "full_outer").select(
+        F.coalesce("ba", F.lit("none")).alias("band_1996"),
+        F.coalesce("bc", F.lit("none")).alias("band_2000"),
+    )
+    return m.groupBy("band_1996", "band_2000").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk / expected shortfall of a daily metric
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q186_revenue_var",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    ), q AS (SELECT quantile_cont(rev, 0.05) AS var5 FROM d)
+    SELECT CAST(count(*) AS BIGINT) AS n_days, q.var5,
+           CAST(sum(CASE WHEN rev <= q.var5
+                         THEN CAST(rev AS DECIMAL(30,10)) END) AS DOUBLE)
+             / count(CASE WHEN rev <= q.var5 THEN 1 END) AS cvar5,
+           CAST(count(CASE WHEN rev <= q.var5 THEN 1 END) AS BIGINT)
+             AS n_tail
+    FROM d, q GROUP BY q.var5
+    """,
+)
+def q186_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and expected shortfall of daily revenue: the 5th
+    percentile (VaR) and the mean of days at or below it (CVaR) — the
+    tail-risk pair that answers "how bad is a bad day, and how bad are
+    the bad days on average" (finance's standard beyond-the-quantile
+    metric; for pipelines the same statistic bounds worst-day ingest
+    volume). The daily frame is one fact shuffle; VaR is an exact
+    interpolated quantile over it; the tail mean re-accumulates the
+    (at most 5%) tail days in DECIMAL so the conditional sum is
+    summation-order-proof before its single double division. The
+    1-row quantile frame joins back as a broadcast. The reference has
+    no statistics surface (SURVEY §2.2)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    q = d.agg(F.percentile("rev", F.lit(0.05)).alias("var5"))
+    j = d.crossJoin(F.broadcast(q))
+    tail = F.col("rev") <= F.col("var5")
+    return j.groupBy("var5").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.when(tail, F.col("rev").cast("decimal(30,10)")))
+            .cast("double")
+            / F.count(F.when(tail, 1))
+        ).alias("cvar5"),
+        F.count(F.when(tail, 1)).alias("n_tail"),
+    ).select("n_days", "var5", "cvar5", "n_tail")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC via tie-averaged rank sum (Mann-Whitney)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_roc_auc",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+    ), s AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             CASE WHEN coalesce(oc.n, 0) >= 15 THEN 1 ELSE 0 END AS y
+      FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    ), r AS (
+      SELECT y,
+             rank() OVER (ORDER BY c_acctbal) AS rmin,
+             count(*) OVER (PARTITION BY c_acctbal) AS nties
+      FROM s
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN y = 1 THEN 2 * rmin + nties - 1 END)
+                  AS BIGINT) AS rank_sum2,
+             CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS np,
+             CAST(count(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS nn
+      FROM r
+    )
+    SELECT np, nn,
+           CAST(rank_sum2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+    FROM agg
+    """,
+)
+def q187_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of a score (account balance) against an outcome
+    (heavy buyer, >= 15 orders) via the Mann-Whitney rank-sum identity
+    with tie-averaged ranks — the threshold-free companion to q168's
+    decile lift (lift tells you WHERE the score helps; AUC is the one-
+    number ranking quality). Doubled ranks keep the tie average in
+    INTEGER space (2*rank_min + ties - 1 == 2*avg_rank), so the whole
+    statistic is exact until a single final double division —
+    partition- and engine-proof. The global rank runs over the scored
+    dimension frame; at fact scale, bucket scores first (q139) and
+    rank bucket boundaries. An AUC near 0.5 on the fixtures is the
+    truthful report that balance barely predicts purchase volume. The
+    reference has no evaluation surface (SURVEY §2.2)."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        "c_acctbal",
+        F.when(F.coalesce("n", F.lit(0)) >= 15, 1).otherwise(0).alias("y"),
+    )
+    r = s.select(
+        "y",
+        F.rank().over(Window.orderBy("c_acctbal")).alias("rmin"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_acctbal"))
+        .alias("nties"),
+    )
+    agg = r.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                2 * F.col("rmin") + F.col("nties") - 1,
+            )
+        )
+        .cast("long")
+        .alias("rank_sum2"),
+        F.count(F.when(F.col("y") == 1, 1)).alias("np"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("nn"),
+    )
+    return agg.select(
+        "np",
+        "nn",
+        (
+            (F.col("rank_sum2") - F.col("np") * (F.col("np") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("np") * F.col("nn"))
+        ).alias("auc"),
+    )

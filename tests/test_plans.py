@@ -75,6 +75,7 @@ _INTENTIONAL_BNLJ = {
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
     "q183_weekday_index",  # one-row overall-baseline broadcast
+    "q186_revenue_var",  # one-row VaR-quantile broadcast
 }
 
 

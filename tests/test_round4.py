@@ -570,3 +570,62 @@ def test_weekday_index_averages_to_one(spark, sf_dir):
     total_days = sum(r["n_days"] for r in rows)
     weighted = sum(r["seasonality_index"] * r["n_days"] for r in rows)
     assert weighted / total_days == pytest.approx(1.0)
+
+
+def test_split_audit_is_deterministic_and_complete(spark, sf_dir):
+    a = _QS["q184_split_audit"](spark, sf_dir).collect()
+    b = _QS["q184_split_audit"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same split, always
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    total = load(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in a) == total
+    for r in a:
+        assert 0.0 < r["frac"] < 1.0
+
+
+def test_band_transitions_conserve_customers(spark, sf_dir):
+    rows = _QS["q185_band_transitions"](spark, sf_dir).collect()
+    assert not any(
+        r["band_1996"] == "none" and r["band_2000"] == "none" for r in rows
+    )
+    # row/col marginals = active customers in each year
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    n96 = o.filter(F.col("yr") == 1996).select("o_custkey").distinct().count()
+    n00 = o.filter(F.col("yr") == 2000).select("o_custkey").distinct().count()
+    assert sum(r["n"] for r in rows if r["band_1996"] != "none") == n96
+    assert sum(r["n"] for r in rows if r["band_2000"] != "none") == n00
+
+
+def test_var_cvar_ordering(spark, sf_dir):
+    r = _QS["q186_revenue_var"](spark, sf_dir).collect()[0]
+    assert r["cvar5"] <= r["var5"]  # tail mean below the quantile
+    assert 0 < r["n_tail"] <= r["n_days"] * 0.06 + 1
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q187_roc_auc"](spark, sf_dir).collect()[0]
+    # reference: probability a random positive outranks a random negative
+    oc = {
+        x["o_custkey"]: x["cnt"]
+        for x in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    rows = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").collect()
+    scores = np.array([x["c_acctbal"] for x in rows])
+    ys = np.array([1 if oc.get(x["c_custkey"], 0) >= 15 else 0 for x in rows])
+    pos, neg = scores[ys == 1], scores[ys == 0]
+    wins = sum((pos[:, None] > neg[None, :]).sum() for _ in [0])
+    ties = (pos[:, None] == neg[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (r["np"], r["nn"]) == (len(pos), len(neg))
+    assert r["auc"] == pytest.approx(want, abs=1e-12)
