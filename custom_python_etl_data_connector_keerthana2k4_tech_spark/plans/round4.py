@@ -2640,3 +2640,224 @@ def q187_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("np") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-centroid distance matrix (cluster separation audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_centroid_distances",
+    oracle="""
+    WITH kv AS (
+      SELECT label, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xq
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ), c AS (
+      SELECT label, dim, CAST(sum(xq) AS DECIMAL(38,0)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM kv GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS num
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           sqrt(CAST(num AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * n_b * 1000000) AS centroid_dist
+    FROM pairs
+    """,
+)
+def q188_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distances between label centroids of the
+    embedding table — the cluster-separation audit run before trusting
+    labels for supervised training or q136's k-means init (collapsed
+    centroids = mislabeled or duplicated classes). Determinism does
+    the heavy lifting: embeddings quantize to integers (functions/
+    vectors.py's trick), so centroid NUMERATORS are exact decimal
+    sums, and the cross-centroid distance uses the n_b-scaled
+    identity (S_a*n_b - S_b*n_a) to stay in integer space until one
+    sqrt + one division — no double accumulation anywhere, hence
+    engine- and partition-proof. Work scales as |labels| x dims after
+    one (label, dim) aggregation of the exploded vectors; the pair
+    join runs on the centroid frame (k x dims rows), never vectors.
+    The reference has no vector surface (SURVEY §2.2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    kv = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    c = kv.groupBy("label", "dim").agg(
+        F.sum("xq").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = c.select(
+        F.col("label").alias("label_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("s").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    diff = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    pairs = (
+        a.join(
+            b,
+            (a.dim_a == b.dim_b) & (a.label_a < b.label_b),
+        )
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(F.sum(diff * diff).alias("num"))
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.sqrt(F.col("num").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b") * 1000000)
+        ).alias("centroid_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-correct week-over-week change (join-based lag, gap-safe)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_calendar_wow",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(a.week AS TIMESTAMP) AS week,
+           CAST(a.rev AS DOUBLE) AS rev,
+           CAST(b.rev AS DOUBLE) AS prev_rev,
+           CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE) - 1 AS wow
+    FROM wk a LEFT JOIN wk b ON b.week = a.week - INTERVAL 7 DAY
+    """,
+)
+def q189_calendar_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change with a CALENDAR lag: the prior
+    week is joined by exact timestamp arithmetic (week - 7 days), not
+    by row position — so a missing week yields an honest NULL instead
+    of silently comparing against whatever week came before it (the
+    failure mode of positional lag that q163 documents and q158
+    detects; this is the gap-SAFE formulation of the same family).
+    One fact rollup to weeks; the self-join runs on the calendar-
+    sized frame as an equi-join on the computed key — hash-
+    partitionable, unlike a window's global sort. Exact DECIMAL
+    sums; one double division. The reference has no time-series
+    surface (SURVEY §2.2)."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    a = wk.select(F.col("week"), F.col("rev"))
+    b = wk.select(
+        F.col("week").alias("b_week"), F.col("rev").alias("b_rev")
+    )
+    return (
+        a.join(
+            b,
+            F.col("b_week")
+            == F.col("week") - F.expr("INTERVAL 7 DAYS"),
+            "left",
+        )
+        .select(
+            "week",
+            F.col("rev").cast("double").alias("rev"),
+            F.col("b_rev").cast("double").alias("prev_rev"),
+            (
+                F.col("rev").cast("double") / F.col("b_rev").cast("double")
+                - 1
+            ).alias("wow"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm outlier screen (median/MAD in exact integer space)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q190_norm_outliers",
+    oracle="""
+    WITH norms AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS BIGINT) AS nq
+      FROM embeddings
+    ), med AS (SELECT quantile_cont(nq, 0.5) AS m FROM norms),
+    dev AS (
+      SELECT norms.nq, abs(norms.nq - med.m) AS ad FROM norms, med
+    ), mad AS (SELECT quantile_cont(ad, 0.5) AS md FROM dev)
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           (SELECT m FROM med) AS median_normsq,
+           (SELECT md FROM mad) AS mad_normsq,
+           CAST(count(CASE WHEN abs(nq - (SELECT m FROM med))
+                            > (3 * CAST(1.4826 AS DOUBLE))
+                              * (SELECT md FROM mad) THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM norms
+    """,
+)
+def q190_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm sanity screen: quantized squared norms (exact
+    int64 per vector, computed in array order — no shuffle), then a
+    median/MAD robust outlier count — degenerate (near-zero) and
+    exploding norms are the two classic embedding-pipeline bugs, and
+    both hide from mean/stddev screens when frequent (q104's robust-
+    stats argument, applied to the vector table). The norm pass is
+    scan-bandwidth map work; median and MAD are exact interpolated
+    percentiles over the (vecs-count) norm frame; the thresholds
+    broadcast back as 1-row frames. 3*1.4826*MAD approximates 3
+    sigma under normality — pinned double constants both engines.
+    At 100 TB swap exact medians for q67's sketches, same schema.
+    The reference has no vector surface (SURVEY §2.2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    xq = lambda x: F.floor(x.cast("double") * 1000000).cast("long")  # noqa: E731
+    norms = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: xq(x) * xq(x)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nq"),
+    )
+    med = norms.agg(F.percentile("nq", F.lit(0.5)).alias("m"))
+    dev = norms.crossJoin(F.broadcast(med)).select(
+        "nq", "m", F.abs(F.col("nq") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(F.percentile("ad", F.lit(0.5)).alias("md"))
+    j = dev.crossJoin(F.broadcast(mad))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("m").alias("median_normsq"),
+        F.min("md").alias("mad_normsq"),
+        F.count(
+            F.when(
+                F.col("ad") > (F.lit(3) * F.lit(1.4826)) * F.col("md"), 1
+            )
+        ).alias("n_outliers"),
+    )

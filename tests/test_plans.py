@@ -76,6 +76,7 @@ _INTENTIONAL_BNLJ = {
     "q182_negative_sampling",  # one-row max-key broadcast
     "q183_weekday_index",  # one-row overall-baseline broadcast
     "q186_revenue_var",  # one-row VaR-quantile broadcast
+    "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
 }
 
 

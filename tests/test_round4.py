@@ -629,3 +629,52 @@ def test_auc_matches_sklearn_free_reference(spark, sf_dir):
     want = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert (r["np"], r["nn"]) == (len(pos), len(neg))
     assert r["auc"] == pytest.approx(want, abs=1e-12)
+
+
+def test_centroid_distances_match_numpy(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q188_centroid_distances"](spark, sf_dir).collect()
+    src = load(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in src:
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e6)
+        by_label.setdefault(r["label"], []).append(q)
+    cents = {k: np.mean(v, axis=0) / 1e6 for k, v in by_label.items()}
+    assert rows
+    for r in rows:
+        want = float(
+            np.linalg.norm(cents[r["label_a"]] - cents[r["label_b"]])
+        )
+        assert r["centroid_dist"] == pytest.approx(want, rel=1e-9)
+        assert r["label_a"] < r["label_b"]
+    # complete upper triangle
+    k = len(cents)
+    assert len(rows) == k * (k - 1) // 2
+
+
+def test_calendar_wow_null_after_gap(spark, sf_dir):
+    rows = {r["week"]: r for r in _QS["q189_calendar_wow"](spark, sf_dir).collect()}
+    weeks = sorted(rows)
+    import datetime
+
+    n_null = 0
+    for w in weeks:
+        prev = w - datetime.timedelta(days=7)
+        if prev in rows:
+            assert rows[w]["prev_rev"] == pytest.approx(rows[prev]["rev"])
+            assert rows[w]["wow"] == pytest.approx(
+                rows[w]["rev"] / rows[prev]["rev"] - 1
+            )
+        else:
+            assert rows[w]["prev_rev"] is None and rows[w]["wow"] is None
+            n_null += 1
+    assert n_null >= 1  # at least the first week has no predecessor
+
+
+def test_norm_outliers_summary(spark, sf_dir):
+    r = _QS["q190_norm_outliers"](spark, sf_dir).collect()[0]
+    assert r["n_vecs"] == 500
+    assert r["median_normsq"] > 0 and r["mad_normsq"] > 0
+    assert 0 <= r["n_outliers"] < r["n_vecs"] * 0.05  # robust screen is tight
