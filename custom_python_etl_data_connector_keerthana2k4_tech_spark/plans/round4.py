@@ -2861,3 +2861,147 @@ def q190_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), v AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+    ), r AS (
+      SELECT w, n,
+             row_number() OVER (ORDER BY n DESC, w) AS rk,
+             sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             sum(n) OVER () AS tot
+      FROM v
+    ), cp AS (SELECT unnest([10, 25, 50, 100, 250]) AS checkpoint)
+    SELECT cp.checkpoint,
+           CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+           CAST(max(r.cum) AS DOUBLE) / max(r.tot) AS coverage,
+           CAST(count(*) AS BIGINT) AS vocab_used
+    FROM cp JOIN r ON r.rk <= cp.checkpoint
+    GROUP BY 1
+    """,
+)
+def q191_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-N most frequent words cover, at a ladder of candidate
+    vocabulary sizes — THE sizing curve for tokenizer vocabulary and
+    OOV-rate budgeting (q106's encoder consumes the vocab this curve
+    chooses; q82's doc-frequency table is its per-word dual). One
+    token aggregation collapses the corpus to its vocabulary (Zipf
+    head compresses in map-side partials); ranking and the cumulative
+    share run over the vocab frame; the checkpoint ladder joins as a
+    5-row broadcast against rank prefixes (an intentional constant-
+    side nested loop). Exact integer token accounting, one double
+    division per checkpoint. Saturated checkpoints (coverage 1.0 when
+    the ladder passes the whole vocabulary) are the honest report.
+    The reference has no text surface (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("w")
+    )
+    v = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w_ord = Window.orderBy(F.col("n").desc(), F.col("w"))
+    r = v.select(
+        "n",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("n")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    cp = spark.createDataFrame(
+        [(c,) for c in (10, 25, 50, 100, 250)], "checkpoint int"
+    )
+    return (
+        r.join(F.broadcast(cp), r.rk <= cp["checkpoint"])
+        .groupBy("checkpoint")
+        .agg(
+            F.max("cum").cast("long").alias("covered_tokens"),
+            (F.max("cum").cast("double") / F.max("tot")).alias("coverage"),
+            F.count(F.lit(1)).alias("vocab_used"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-1% tail contribution trend (whale dependence per year)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_tail_contribution",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(o_totalprice AS DECIMAL(30,10)) AS price,
+             o_orderkey
+      FROM orders
+    ), r AS (
+      SELECT yr, price,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY price DESC, o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY yr) AS n,
+             sum(price) OVER (PARTITION BY yr) AS tot
+      FROM y
+    )
+    SELECT yr, CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_top,
+           CAST(sum(CASE WHEN rk * 100 <= n THEN price END) AS DOUBLE)
+             / CAST(max(tot) AS DOUBLE) AS top1pct_share
+    FROM r WHERE rk * 100 <= n
+    GROUP BY 1
+    """,
+)
+def q192_tail_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale dependence trend: the revenue share of each year's top 1%
+    of orders — the time-series companion to q135's static Lorenz
+    curve and q155's Pareto cutoff (is concentration GROWING?). The
+    per-year ranking windows share one year-partitioned shuffle; the
+    1% membership test is pure integer arithmetic (rk*100 <= n, no
+    float percentile boundary), and the tail re-accumulates in
+    DECIMAL before the single share division. Ranking is total via
+    the order-key tie-break. Partition-by-year keeps the sort
+    bounded per group at scale — no global order anywhere. The
+    reference has no ranking surface (SURVEY §2.2)."""
+    y = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_totalprice").cast("decimal(30,10)").alias("price"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("yr")
+    r = y.select(
+        "yr",
+        "price",
+        F.row_number()
+        .over(wp.orderBy(F.col("price").desc(), F.col("o_orderkey")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("price").over(wp).alias("tot"),
+    )
+    return (
+        r.filter(F.col("rk") * 100 <= F.col("n"))
+        .groupBy("yr")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_top"),
+            (
+                F.sum("price").cast("double") / F.max("tot").cast("double")
+            ).alias("top1pct_share"),
+        )
+    )

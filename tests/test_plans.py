@@ -77,6 +77,7 @@ _INTENTIONAL_BNLJ = {
     "q183_weekday_index",  # one-row overall-baseline broadcast
     "q186_revenue_var",  # one-row VaR-quantile broadcast
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
+    "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
 }
 
 

@@ -678,3 +678,28 @@ def test_norm_outliers_summary(spark, sf_dir):
     assert r["n_vecs"] == 500
     assert r["median_normsq"] > 0 and r["mad_normsq"] > 0
     assert 0 <= r["n_outliers"] < r["n_vecs"] * 0.05  # robust screen is tight
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = sorted(
+        _QS["q191_vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    assert [r["checkpoint"] for r in rows] == [10, 25, 50, 100, 250]
+    last = 0.0
+    for r in rows:
+        assert r["coverage"] >= last  # monotone non-decreasing
+        last = r["coverage"]
+        assert r["vocab_used"] <= r["checkpoint"]
+        assert 0.0 < r["coverage"] <= 1.0
+    assert rows[-1]["coverage"] == pytest.approx(1.0)  # ladder passes vocab
+
+
+def test_tail_contribution_bounds(spark, sf_dir):
+    rows = _QS["q192_tail_contribution"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_top"] == r["n_orders"] // 100
+        # top 1% of orders must out-earn a uniform 1%
+        assert r["top1pct_share"] > 0.01
+        assert r["top1pct_share"] < 0.5
