@@ -3005,3 +3005,109 @@ def q192_tail_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1pct_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engagement stickiness (DAU/WAU ratio per week)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ), wau AS (
+      SELECT date_trunc('week', ts) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(w.week AS TIMESTAMP) AS week, w.wau,
+           CAST(sum(d.dau) AS BIGINT) AS dau_total,
+           CAST(count(*) AS BIGINT) AS n_days,
+           (CAST(sum(d.dau) AS DOUBLE) / count(*)) / w.wau AS stickiness
+    FROM wau w JOIN dau d ON date_trunc('week', d.day) = w.week
+    GROUP BY 1, 2
+    """,
+)
+def q193_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness per week: average DAU divided by WAU —
+    the product-health ratio (1.0 = everyone active daily) built from
+    two distinct-user rollups at different grains. Exact distincts at
+    both grains (the mergeable-sketch path for 100 TB is q103's HLL
+    union — per-day sketches union into ANY window, replacing both
+    scans with one); the grain join runs on calendar-sized frames.
+    Integer counts, two double divisions, deterministic week
+    bucketing shared with q163/q189. The partial trailing week
+    reports its true (smaller) n_days rather than padding — the
+    honest-edge convention of q158/q189. The reference has no
+    aggregation surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    dau = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    j = wau.join(
+        dau, F.date_trunc("week", F.col("day")) == F.col("week")
+    )
+    return j.groupBy("week", "wau").agg(
+        F.sum("dau").cast("long").alias("dau_total"),
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            (F.sum("dau").cast("double") / F.count(F.lit(1)))
+            / F.col("wau")
+        ).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal integrity audit (cross-table date-order rules)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_temporal_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END)
+                AS BIGINT) AS ship_before_order,
+           CAST(count(CASE WHEN l.l_shipdate > o.o_orderdate
+                                + INTERVAL 180 DAY THEN 1 END)
+                AS BIGINT) AS ship_over_180d,
+           CAST(count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END)
+                AS DOUBLE) / count(*) AS violation_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q194_temporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table temporal integrity: lineitems shipping BEFORE their
+    order date, and ships beyond a 180-day SLA — the causality rules
+    that single-table domain audits (q125) cannot see because the two
+    timestamps live in different tables. One co-partitioned fact-fact
+    join (bucketing makes it exchange-free at 100 TB, q72) feeding
+    conditional counts — the audit costs exactly one join pass
+    however many rules ride it. Pure timestamp comparisons and
+    integer counts; one double division. Honest finding on the
+    fixtures: ~half the synthetic lineitems ship before their order —
+    exactly what a pre-flight audit exists to surface. The
+    reference's validation never crosses records, let alone tables
+    (/root/reference/etl_connector.py:194-203, SURVEY §2.1 R7)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    before = F.col("l_shipdate") < F.col("o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 180 DAYS"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(before, 1)).alias("ship_before_order"),
+        F.count(F.when(late, 1)).alias("ship_over_180d"),
+        (F.count(F.when(before, 1)).cast("double") / F.count(F.lit(1))).alias(
+            "violation_rate"
+        ),
+    )

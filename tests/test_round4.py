@@ -703,3 +703,24 @@ def test_tail_contribution_bounds(spark, sf_dir):
         # top 1% of orders must out-earn a uniform 1%
         assert r["top1pct_share"] > 0.01
         assert r["top1pct_share"] < 0.5
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = _QS["q193_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days"] <= 7
+        # avg DAU can't exceed WAU; stickiness in (0, 1]
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["dau_total"] <= r["wau"] * r["n_days"]
+
+
+def test_temporal_audit_counts(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q194_temporal_audit"](spark, sf_dir).collect()[0]
+    assert r["n_lines"] == load(spark, sf_dir, "lineitem").count()
+    assert 0 <= r["ship_before_order"] <= r["n_lines"]
+    assert r["violation_rate"] == pytest.approx(
+        r["ship_before_order"] / r["n_lines"]
+    )
