@@ -3111,3 +3111,54 @@ def q194_temporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket signatures (grouping by set-valued keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_basket_signatures",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey,
+             list_aggr(CAST(list_sort(list(DISTINCT l_partkey))
+                            AS VARCHAR[]), 'string_agg', ',') AS signature,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS basket_size
+      FROM lineitem GROUP BY 1
+    )
+    SELECT signature, basket_size, CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q195_basket_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-basket dedup: orders collapsed to their canonical part-SET
+    signature (sorted, distinct, joined) and counted — whole-basket
+    repeats are the strongest bot/bulk-order fingerprint, and the
+    technique is q137's canonicalize-then-fingerprint applied to a
+    STRUCTURED set instead of text (the same signature trick dedups
+    shopping carts, API call sets, or feature bundles). One order-key
+    shuffle builds canonical signatures (collect_set + array_sort are
+    per-group, bounded by basket size); the signature aggregation then
+    runs on the one-row-per-order frame. Deterministic by
+    construction: sets sort before serializing, so arrival order
+    never leaks into the key. Support >= 2 bounds output to actual
+    repeats. The reference has no aggregation surface (SURVEY
+    §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("l_partkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("signature"),
+        F.count_distinct("l_partkey").alias("basket_size"),
+    )
+    return (
+        b.groupBy("signature", "basket_size")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -724,3 +724,20 @@ def test_temporal_audit_counts(spark, sf_dir):
     assert r["violation_rate"] == pytest.approx(
         r["ship_before_order"] / r["n_lines"]
     )
+
+
+def test_basket_signatures_are_canonical(spark):
+    # same set, different arrival order and multiplicity -> same signature
+    li = spark.createDataFrame(
+        [(1, 30), (1, 10), (1, 10), (2, 10), (2, 30), (3, 10)],
+        "l_orderkey long, l_partkey long",
+    )
+    li.createOrReplaceTempView("_unused")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        rows = _QS["q195_basket_signatures"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["signature"] == "10,30"
+    assert rows[0]["basket_size"] == 2 and rows[0]["n_orders"] == 2
