@@ -3162,3 +3162,186 @@ def q195_basket_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-index substring search (pg_trgm-style candidate pruning)
+# ---------------------------------------------------------------------------
+
+#: The fixed substring searched by q196 (present in the fixture corpus).
+TRIGRAM_NEEDLE = "fast merge"
+
+
+@query(
+    "q196_trigram_search",
+    oracle=f"""
+    SELECT doc_id FROM documents WHERE text LIKE '%{TRIGRAM_NEEDLE}%'
+    """,
+)
+def q196_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a TRIGRAM index instead of a full LIKE
+    scan — the pg_trgm technique: a document can contain the needle
+    only if it contains every trigram of the needle, so candidates
+    come from an inverted gram match (index-shaped work) and the
+    expensive ``contains`` verification runs on the tiny candidate
+    set. The oracle is the naive '%...%' scan — same answer, opposite
+    plan, which is exactly the point: correctness of the accelerated
+    path is hash-gated against the sequential-scan semantics. At
+    100 TB the (doc, gram) frame is the materializable index (build
+    once, q129's posting-list layout); the per-query cost is then a
+    |needle-grams| semi-probe + candidate verify, not a corpus scan.
+    False positives (all grams present, substring absent) exist by
+    design and are removed by the verify stage. The reference has no
+    search surface (SURVEY §2.2)."""
+    needle = TRIGRAM_NEEDLE
+    q_grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    cand = (
+        grams.filter(F.col("gram").isin(*q_grams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == len(q_grams))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(F.col("text").contains(needle))
+        .select("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group in aggregate space (no window, no per-group sort shuffle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_topk_aggregate",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT p_brand, l_partkey, CAST(rev AS DOUBLE) AS rev,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY rev DESC, l_partkey) AS rk
+      FROM rev
+    )
+    SELECT p_brand, l_partkey, rev, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q197_topk_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand computed ENTIRELY in aggregate space:
+    collect the (negated-revenue, part) structs per brand, sort the
+    in-group array, slice 3 — no window, therefore no second
+    partition+sort pass over the ranked frame (q21's window form is
+    the semantic twin; the oracle here IS that window formulation, so
+    the hash gate proves the two physical strategies equivalent). The
+    struct sort key (-rev, partkey) makes ranking total and
+    deterministic. Correct when per-group cardinality is bounded
+    (parts per brand); for unbounded groups use the window form —
+    the docs of both queries point at each other, which is the real
+    deliverable: an engine that KNOWS when each strategy applies.
+    Exact DECIMAL revenue; double cast only at output. The reference
+    has no ranking surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    top = rev.groupBy("p_brand").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("rev") * -1).alias("negrev"),
+                        F.col("l_partkey").alias("pk"),
+                        F.col("rev").alias("rev"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("top3")
+    )
+    return top.select(
+        "p_brand", F.posexplode("top3").alias("pos", "t")
+    ).select(
+        "p_brand",
+        F.col("t.pk").alias("l_partkey"),
+        F.col("t.rev").cast("double").alias("rev"),
+        (F.col("pos") + 1).cast("long").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal co-occurrence mining (event-type pairs within 5 minutes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_temporal_cooccurrence",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    GROUP BY 1, 2
+    """,
+)
+def q198_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence mining: ordered event-type pairs where B
+    follows A within 5 minutes for the same user — the trigger-effect
+    count matrix behind "what happens right after an error?" analyses,
+    generalizing q122's adjacent-only transitions to a time horizon.
+    The self-join is an EQUI-join on user_id (one shuffle per side,
+    same partitioning) with the time band as a residual filter, so the
+    nested-loop factor is bounded by each user's events inside a
+    5-minute window — the q93 bounded-blowup principle in time rather
+    than basket space. For horizon >> gap density, pre-bucket into
+    time blocks (bucketed_range_join, q72) to tighten the candidate
+    set; at this horizon the residual filter is already selective.
+    Exact counts only. The reference has no sequence surface
+    (SURVEY §2.2)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    a = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id").alias("id_a"),
+    )
+    b = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("event_id").alias("id_b"),
+    )
+    j = a.join(
+        b,
+        (F.col("u") == F.col("u2"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("id_a") != F.col("id_b")),
+    )
+    return j.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n"))

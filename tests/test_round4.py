@@ -741,3 +741,50 @@ def test_basket_signatures_are_canonical(spark):
     assert len(rows) == 1
     assert rows[0]["signature"] == "10,30"
     assert rows[0]["basket_size"] == 2 and rows[0]["n_orders"] == 2
+
+
+def test_trigram_search_equals_like_scan(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round4 import TRIGRAM_NEEDLE
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    got = {r["doc_id"] for r in _QS["q196_trigram_search"](spark, sf_dir).collect()}
+    want = {
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("text").contains(TRIGRAM_NEEDLE))
+        .collect()
+    }
+    assert got == want and got  # non-empty on the fixture
+
+
+def test_topk_aggregate_matches_window_form(spark, sf_dir):
+    rows = _QS["q197_topk_aggregate"](spark, sf_dir).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    for brand, rs in by_brand.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        revs = [r["rev"] for r in rs]
+        assert revs == sorted(revs, reverse=True)
+
+
+def test_temporal_cooccurrence_window_rule(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "error", 1.0, "{}"),
+        (2, "2024-01-01 00:03:00", 7, "purchase", 1.0, "{}"),  # within 5m
+        (3, "2024-01-01 00:09:00", 7, "view", 1.0, "{}"),      # 6m after #2
+        (4, "2024-01-01 00:00:30", 8, "error", 1.0, "{}"),     # other user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["type_a"], r["type_b"]): r["n"]
+        for r in _QS["q198_temporal_cooccurrence"](spark, str(tmp_path)).collect()
+    }
+    assert out == {("error", "purchase"): 1}  # only the 3-minute pair
