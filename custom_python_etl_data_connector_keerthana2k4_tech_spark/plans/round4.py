@@ -3345,3 +3345,141 @@ def q198_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_a") != F.col("id_b")),
     )
     return j.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Item-item neighborhood similarity (collaborative-filtering wedge counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_item_similarity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+      SELECT pa AS src, pb AS dst FROM p UNION ALL SELECT pb, pa FROM p
+    ), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    wedge AS (
+      SELECT e1.src AS a, e2.src AS b, CAST(count(*) AS BIGINT) AS inter
+      FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2
+    )
+    SELECT w.a, w.b, w.inter, da.d AS deg_a, db.d AS deg_b,
+           CAST(w.inter AS DOUBLE) / (da.d + db.d - w.inter) AS jaccard
+    FROM wedge w JOIN deg da ON w.a = da.src JOIN deg db ON w.b = db.src
+    WHERE w.inter >= 2
+    """,
+)
+def q199_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: Jaccard similarity of
+    co-purchase NEIGHBORHOODS (items are similar when bought alongside
+    the same other items — one hop beyond q151's direct pair rules,
+    and the classic "customers also bought" scorer). The graph is
+    q93's supported co-purchase edge list; intersections come from
+    wedge counting (join edge lists on the shared neighbor — q117's
+    triangle machinery pointed at similarity), unions from degrees via
+    inclusion-exclusion, so nothing ever materializes neighbor SETS —
+    the |N(a)|x|N(b)| blowup is replaced by aggregate counts. Wedge
+    fan-out is bounded by per-neighbor degree on an already-thresholded
+    graph; at 100 TB the degree-ordered orientation (q117) caps hub
+    amplification the same way. One double division at the end. The
+    reference has no graph surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    p = copurchase_pairs(items).filter(F.col("n_orders") >= 2)
+    e = p.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).union(
+        p.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("c1"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c2"))
+    wedge = (
+        e1.join(e2, (e1.c1 == e2.c2) & (e1.a < e2.b))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        wedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed popularity (half-life weighting in integer space)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_decayed_popularity",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+    w AS (
+      SELECT l.l_partkey,
+             CAST(floor(1048576 * power(CAST(0.5 AS DOUBLE),
+                  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                       (SELECT anchor FROM mx)) AS DOUBLE) / 365))
+                  AS BIGINT) AS wq
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_partkey, CAST(sum(wq) AS BIGINT) AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_sales
+    FROM w GROUP BY 1
+    """,
+)
+def q200_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity with a one-year half-life: each sale
+    contributes 0.5^(age_years), so recent sales dominate without a
+    hard cutoff — the freshness-weighted ranking signal feeding
+    recommendation and trending surfaces (and, for corpora, the
+    recency weighting of a training-mix). The decay weight QUANTIZES
+    to integers per row (floor(2^20 * decay) — computed per-row from
+    identical operands, then summed as exact int64), which makes the
+    score immune to float summation order across partitions AND
+    engines — the q172/q188 determinism discipline applied to decay
+    curves; half-life multiples even hit IEEE-exact powers. One
+    fact-fact equi-join (bucketing path q72), one aggregation; the
+    anchor date broadcasts as a 1-row frame. The reference has no
+    ranking surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    j = li.join(o, li.l_orderkey == o.o_orderkey).crossJoin(F.broadcast(mx))
+    wq = F.floor(
+        1048576
+        * F.pow(
+            F.lit(0.5),
+            F.datediff(
+                F.col("anchor"), F.col("o_orderdate").cast("date")
+            ).cast("double")
+            / 365,
+        )
+    ).cast("long")
+    return (
+        j.select("l_partkey", wq.alias("wq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("wq").cast("long").alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_sales"),
+        )
+    )

@@ -78,6 +78,7 @@ _INTENTIONAL_BNLJ = {
     "q186_revenue_var",  # one-row VaR-quantile broadcast
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
+    "q200_decayed_popularity",  # one-row anchor-date broadcast
 }
 
 

@@ -788,3 +788,25 @@ def test_temporal_cooccurrence_window_rule(spark, tmp_path):
         for r in _QS["q198_temporal_cooccurrence"](spark, str(tmp_path)).collect()
     }
     assert out == {("error", "purchase"): 1}  # only the 3-minute pair
+
+
+def test_item_similarity_jaccard_identities(spark, sf_dir):
+    rows = _QS["q199_item_similarity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 2 <= r["inter"] <= min(r["deg_a"], r["deg_b"])
+        union = r["deg_a"] + r["deg_b"] - r["inter"]
+        assert r["jaccard"] == pytest.approx(r["inter"] / union)
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_decayed_popularity_semantics(spark, sf_dir):
+    rows = {r["l_partkey"]: r for r in _QS["q200_decayed_popularity"](spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        # score bounded by n_sales * full weight (2^20)
+        assert 0 <= r["decayed_score"] <= r["n_sales"] * 1048576
+    # determinism across partitionings: rerun must be identical
+    again = {r["l_partkey"]: r["decayed_score"] for r in _QS["q200_decayed_popularity"](spark, sf_dir).collect()}
+    assert again == {k: v["decayed_score"] for k, v in rows.items()}
