@@ -810,3 +810,23 @@ def test_decayed_popularity_semantics(spark, sf_dir):
     # determinism across partitionings: rerun must be identical
     again = {r["l_partkey"]: r["decayed_score"] for r in _QS["q200_decayed_popularity"](spark, sf_dir).collect()}
     assert again == {k: v["decayed_score"] for k, v in rows.items()}
+
+
+def test_tpch_q3_shape_is_top10_unshipped(spark, sf_dir):
+    rows = _QS["q201_tpch_q3_shape"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    import datetime
+
+    cutoff = datetime.datetime(1998, 3, 15)
+    for r in rows:
+        assert r["o_orderdate"] < cutoff
+
+
+def test_tpch_q10_shape_top20(spark, sf_dir):
+    rows = _QS["q202_tpch_q10_shape"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["n_items"] >= 1 for r in rows)
