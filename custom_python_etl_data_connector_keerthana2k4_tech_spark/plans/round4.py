@@ -3611,3 +3611,156 @@ def q202_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token exposure score (tail-vocabulary screen per document)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_rare_token_exposure",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+    ), dfr AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), cut AS (SELECT quantile_cont(df, 0.25) AS q25 FROM dfr)
+    SELECT tf.doc_id,
+           CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN dfr.df <= cut.q25 THEN tf.n ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN dfr.df <= cut.q25 THEN tf.n ELSE 0 END)
+                AS DOUBLE) / sum(tf.n) AS rare_share
+    FROM tf JOIN dfr ON tf.w = dfr.w, cut
+    GROUP BY 1
+    """,
+)
+def q203_rare_token_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token exposure per document: the fraction of a document's
+    token mass drawn from the bottom document-frequency quartile of
+    the vocabulary — high scores flag OCR noise, misspellings, and
+    genuinely novel content (which one it is decides keep-vs-drop in
+    curation, so the screen SCORES rather than filters; the inverse of
+    q152's shared-bigram boilerplate test, and the relative-threshold
+    fix for the absolute hapax screen that a closed synthetic
+    vocabulary would leave empty). One (doc, term) aggregation is
+    reused for term frequencies AND the df table (no second corpus
+    pass); the quartile cutoff broadcasts as one row; the enrichment
+    join is keyed on the term. Exact integer token accounting, one
+    double division. The reference has no text surface (SURVEY
+    §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    cut = dfr.agg(F.percentile("df", F.lit(0.25)).alias("q25"))
+    rare = F.when(F.col("df") <= F.col("q25"), F.col("n")).otherwise(0)
+    return (
+        tf.join(dfr, "w")
+        .crossJoin(F.broadcast(cut))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            (F.sum(rare).cast("double") / F.sum("n")).alias("rare_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval (order statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_median_ci",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), r AS (
+      SELECT rev, row_number() OVER (ORDER BY rev) AS rk,
+             count(*) OVER () AS n
+      FROM d
+    ), k AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(floor((max(n) - CAST(1.96 AS DOUBLE) * sqrt(max(n))) / 2)
+                  AS BIGINT) AS k_lo,
+             CAST(ceil(1 + (max(n) + CAST(1.96 AS DOUBLE) * sqrt(max(n)))
+                       / 2) AS BIGINT) AS k_hi
+      FROM r
+    )
+    SELECT k.n,
+           (SELECT quantile_cont(rev, 0.5) FROM d) AS median,
+           (SELECT rev FROM r, k WHERE r.rk = k.k_lo) AS ci_lo,
+           (SELECT rev FROM r, k WHERE r.rk = k.k_hi) AS ci_hi
+    FROM k
+    """,
+)
+def q204_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median of
+    daily revenue, from binomial order statistics: the interval
+    endpoints are the values at ranks n/2 -+ 1.96*sqrt(n)/2 — no
+    normality assumption, no bootstrap resampling (which determinism
+    forbids here), just ranks — the uncertainty companion to q174's
+    proportion intervals, for a location statistic. The fact table
+    collapses to the daily frame; ranking and the two order-statistic
+    probes run on calendar-sized data; rank targets use pinned-double
+    arithmetic with floor/ceil so both engines pick identical ranks.
+    The median itself is the exact interpolated percentile (q35's
+    path). Output is one row. The reference has no statistics surface
+    (SURVEY §2.2)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .select("rev")
+    )
+    r = d.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    z = F.lit(1.96)
+    k = r.agg(
+        F.max("n").cast("long").alias("n"),
+        F.floor((F.max("n") - z * F.sqrt(F.max("n"))) / 2)
+        .cast("long")
+        .alias("k_lo"),
+        F.ceil(1 + (F.max("n") + z * F.sqrt(F.max("n"))) / 2)
+        .cast("long")
+        .alias("k_hi"),
+    )
+    med = d.agg(F.percentile("rev", F.lit(0.5)).alias("median"))
+    lo = (
+        r.join(F.broadcast(k), r.rk == k.k_lo)
+        .select(F.col("rev").alias("ci_lo"))
+    )
+    hi = (
+        r.join(F.broadcast(k), r.rk == k.k_hi)
+        .select(F.col("rev").alias("ci_hi"))
+    )
+    return (
+        k.select("n")
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

@@ -79,6 +79,8 @@ _INTENTIONAL_BNLJ = {
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
     "q200_decayed_popularity",  # one-row anchor-date broadcast
+    "q203_rare_token_exposure",  # one-row df-quartile-cutoff broadcast
+    "q204_median_ci",  # one-row median/CI endpoint broadcasts
 }
 
 

@@ -830,3 +830,19 @@ def test_tpch_q10_shape_top20(spark, sf_dir):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert all(r["n_items"] >= 1 for r in rows)
+
+
+def test_rare_token_exposure_bounds(spark, sf_dir):
+    rows = _QS["q203_rare_token_exposure"](spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_rare"] > 0 for r in rows)  # screen is non-degenerate
+    for r in rows:
+        assert 0 <= r["n_rare"] <= r["n_tokens"]
+        assert r["rare_share"] == pytest.approx(r["n_rare"] / r["n_tokens"])
+
+
+def test_median_ci_brackets_median(spark, sf_dir):
+    r = _QS["q204_median_ci"](spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+    # interval shrinks as sqrt(n): sanity that it's not the whole range
+    assert (r["ci_hi"] - r["ci_lo"]) < r["median"] * 0.5
