@@ -3764,3 +3764,152 @@ def q204_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (quantized LLR accumulation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_sprt",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, n, x,
+             CAST(floor(1000000 *
+               (x * ln(CAST(0.21 AS DOUBLE) / CAST(0.195 AS DOUBLE))
+                + (n - x) * ln(CAST(0.79 AS DOUBLE)
+                               / CAST(0.805 AS DOUBLE)))) AS BIGINT) AS llr_q
+      FROM d
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n, x, llr_q,
+           CAST(sum(llr_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_llr_q,
+           sum(llr_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             >= 2944439 AS accept_h1,
+           sum(llr_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             <= -2944439 AS accept_h0
+    FROM llr
+    """,
+)
+def q205_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    rate — H1: p=0.21 vs H0: p=0.195, alpha=beta=0.05 (boundary
+    ln 19 ~= 2.944, scaled by 1e6) — the always-valid sequential
+    monitor that ends an experiment the moment evidence suffices,
+    where q130's fixed-horizon t-test must wait. Per-day log-
+    likelihood ratios compute from exact counts with pinned-double
+    constants, then QUANTIZE to integer micro-nats before the
+    cumulative window — so the running evidence is an exact int64
+    cumsum, immune to frame-summation order (the q200 discipline
+    applied to inference). One fact aggregation to days; everything
+    after is calendar-sized. Both decision flags stay visible per
+    day — the analyst sees the full evidence path, not just the
+    verdict. The reference has no statistics surface (SURVEY
+    §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("x"),
+    )
+    lr_pos = F.log(F.lit(0.21).cast("double") / F.lit(0.195).cast("double"))
+    lr_neg = F.log(F.lit(0.79).cast("double") / F.lit(0.805).cast("double"))
+    llr_q = F.floor(
+        1000000 * (F.col("x") * lr_pos + (F.col("n") - F.col("x")) * lr_neg)
+    ).cast("long")
+    llr = d.select("day", "n", "x", llr_q.alias("llr_q"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("llr_q").over(w)
+    return llr.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n",
+        "x",
+        "llr_q",
+        cum.cast("long").alias("cum_llr_q"),
+        (cum >= 2944439).alias("accept_h1"),
+        (cum <= -2944439).alias("accept_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offline change-point detection (max mean-shift split via prefix sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_change_point",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT day, cnt,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pre,
+             sum(cnt) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM d
+    ), stat AS (
+      SELECT day, i, n,
+             abs(CAST(pre AS DOUBLE) / i
+                 - CAST(tot - pre AS DOUBLE) / (n - i))
+               * sqrt(CAST(i AS DOUBLE) * (n - i) / n) AS s
+      FROM p WHERE i < n
+    )
+    SELECT CAST(day AS TIMESTAMP) AS split_day, i AS split_index, n, s
+    FROM stat ORDER BY s DESC, day LIMIT 1
+    """,
+)
+def q206_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection: the split day maximizing the
+    scaled before/after mean difference of daily order volume — the
+    first step of binary segmentation (recurse on each side for
+    multiple change points), and the OFFLINE complement to q175's
+    online CUSUM: CUSUM watches the stream, this localizes WHERE a
+    completed history broke. Every candidate split is evaluated from
+    ONE pass of integer prefix sums (the cumulative window over the
+    daily frame — no per-split rescan, the classic prefix-sum trick
+    turning O(n^2) into O(n)); the CUSUM-like scaling sqrt(i(n-i)/n)
+    normalizes edge splits. Statistics are doubles from exact integer
+    operands; the argmax is totally ordered by (s, day). One fact
+    aggregation; calendar-sized everything after. The reference has
+    no time-series surface (SURVEY §2.2)."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("cnt").over(w).alias("pre"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    i, n = F.col("i"), F.col("n")
+    s = F.abs(
+        F.col("pre").cast("double") / i
+        - (F.col("tot") - F.col("pre")).cast("double") / (n - i)
+    ) * F.sqrt(i.cast("double") * (n - i) / n)
+    return (
+        p.filter(i < n)
+        .select(
+            F.col("day").cast("timestamp").alias("split_day"),
+            i.alias("split_index"),
+            "n",
+            s.alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("split_day"))
+        .limit(1)
+    )

@@ -846,3 +846,39 @@ def test_median_ci_brackets_median(spark, sf_dir):
     assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
     # interval shrinks as sqrt(n): sanity that it's not the whole range
     assert (r["ci_hi"] - r["ci_lo"]) < r["median"] * 0.5
+
+
+def test_sprt_cumsum_is_exact(spark, sf_dir):
+    rows = sorted(_QS["q205_sprt"](spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert rows
+    run = 0
+    for r in rows:
+        run += r["llr_q"]
+        assert r["cum_llr_q"] == run  # integer accumulation, bit-exact
+        assert r["accept_h1"] == (run >= 2944439)
+        assert r["accept_h0"] == (run <= -2944439)
+        assert 0 <= r["x"] <= r["n"]
+
+
+def test_change_point_matches_numpy_argmax(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q206_change_point"](spark, sf_dir).collect()[0]
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("day")
+        .collect()
+    )
+    cnt = np.array([x["cnt"] for x in daily], dtype=float)
+    n = len(cnt)
+    pre = np.cumsum(cnt)
+    i = np.arange(1, n)
+    s = np.abs(pre[:-1] / i - (pre[-1] - pre[:-1]) / (n - i)) * np.sqrt(
+        i * (n - i) / n
+    )
+    best = int(np.argmax(s))
+    assert r["split_index"] == best + 1
+    assert r["s"] == pytest.approx(float(s[best]), rel=1e-12)
