@@ -3913,3 +3913,183 @@ def q206_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s").desc(), F.col("split_day"))
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion index (Poisson-ness check of daily arrival counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_dispersion_index",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(s AS DOUBLE) / n AS mean_daily,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+             AS var_daily,
+           ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / (CAST(s AS DOUBLE) / n) AS dispersion
+    FROM m
+    """,
+)
+def q207_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance-to-mean ratio) of daily arrival
+    counts per event type — the Poisson-ness check that decides
+    whether rate alarms (q175/q205 assume near-Poisson stability)
+    need a negative-binomial correction: index >> 1 means bursty
+    arrivals and a naive threshold will page constantly. Two
+    aggregation levels (day collapse, then integer moment sums n,
+    sum, sum-of-squares per type), so variance comes from EXACT
+    integer state via the closed form — no double accumulation, the
+    q120/q121 decimal-moments discipline in pure int64 (daily counts
+    square safely). Output is |event types| rows. The reference has
+    no statistics surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (ss.cast("double") - s.cast("double") * s / n) / (n - 1)
+    mean = s.cast("double") / n
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("dispersion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-consistent sampling (all-or-nothing per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_entity_sample",
+    oracle="""
+    WITH s AS (
+      SELECT user_id FROM events WHERE (user_id * 2654435761) % 100 < 5
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events)
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE) / tot.n_total AS event_frac,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT user_id)
+             AS events_per_user
+    FROM s, tot GROUP BY tot.n_total
+    """,
+)
+def q208_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent sampling: keep ~5% of USERS and every event
+    they have — the sampling mode that session/funnel/cadence analysis
+    (q92, q156, q160, q169) requires, because row-level sampling (q58)
+    shreds exactly the sequences those analyses measure. Membership is
+    the same multiplicative-hash predicate as q58/q184 applied to the
+    ENTITY key, so the sample is reproducible and join-stable across
+    tables sharing the key (sample users once, semi-join any fact).
+    The audit here reports achieved user/event fractions — at scale
+    this query IS the cheap pre-flight before materializing the
+    sample. Filter is pushdown-able scan work; one aggregation.
+    The reference has no sampling surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    s = ev.filter((F.col("user_id") * F.lit(2654435761)) % 100 < 5).select(
+        "user_id"
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .groupBy("n_total")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.count(F.lit(1)).cast("double") / F.col("n_total")).alias(
+                "event_frac"
+            ),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.count_distinct("user_id")
+            ).alias("events_per_user"),
+        )
+        .select("n_users", "n_events", "event_frac", "events_per_user")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (A/B beyond the mean)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_quantile_treatment_effect",
+    oracle="""
+    WITH a AS (
+      SELECT CAST((user_id * 2654435761) % 2 AS BIGINT) AS arm, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_control,
+           CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_treat,
+           quantile_cont(CASE WHEN arm = 1 THEN value END, 0.25)
+             - quantile_cont(CASE WHEN arm = 0 THEN value END, 0.25)
+             AS qte_p25,
+           quantile_cont(CASE WHEN arm = 1 THEN value END, 0.50)
+             - quantile_cont(CASE WHEN arm = 0 THEN value END, 0.50)
+             AS qte_p50,
+           quantile_cont(CASE WHEN arm = 1 THEN value END, 0.75)
+             - quantile_cont(CASE WHEN arm = 0 THEN value END, 0.75)
+             AS qte_p75
+    FROM a
+    """,
+)
+def q209_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects for a deterministic A/B split:
+    the p25/p50/p75 differences of purchase value between arms — the
+    readout that catches effects the mean hides (a treatment that
+    helps small buyers and hurts whales can show a zero average;
+    QTE shows the crossing), extending q130's mean-based t-test and
+    reusing q176's conditional-percentile single-pass shape. Arms
+    come from the q130 multiplicative-hash assignment on the USER key
+    (unit of randomization = entity, q208's consistency argument).
+    Exact interpolated percentiles per arm in one aggregation over
+    the pushed-down purchase scan; output is one row. Near-zero QTEs
+    on the fixtures are the truthful null result. The reference has
+    no experiment surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    a = ev.select(
+        ((F.col("user_id") * F.lit(2654435761)) % 2).cast("long").alias(
+            "arm"
+        ),
+        "value",
+    )
+    va = F.when(F.col("arm") == 0, F.col("value"))
+    vb = F.when(F.col("arm") == 1, F.col("value"))
+    return a.agg(
+        F.count(va).alias("n_control"),
+        F.count(vb).alias("n_treat"),
+        (
+            F.percentile(vb, F.lit(0.25)) - F.percentile(va, F.lit(0.25))
+        ).alias("qte_p25"),
+        (
+            F.percentile(vb, F.lit(0.50)) - F.percentile(va, F.lit(0.50))
+        ).alias("qte_p50"),
+        (
+            F.percentile(vb, F.lit(0.75)) - F.percentile(va, F.lit(0.75))
+        ).alias("qte_p75"),
+    )

@@ -81,6 +81,7 @@ _INTENTIONAL_BNLJ = {
     "q200_decayed_popularity",  # one-row anchor-date broadcast
     "q203_rare_token_exposure",  # one-row df-quartile-cutoff broadcast
     "q204_median_ci",  # one-row median/CI endpoint broadcasts
+    "q208_entity_sample",  # one-row total-count broadcast
 }
 
 

@@ -882,3 +882,53 @@ def test_change_point_matches_numpy_argmax(spark, sf_dir):
     best = int(np.argmax(s))
     assert r["split_index"] == best + 1
     assert r["s"] == pytest.approx(float(s[best]), rel=1e-12)
+
+
+def test_dispersion_index_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = {r["event_type"]: r for r in _QS["q207_dispersion_index"](spark, sf_dir).collect()}
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_type = {}
+    for d in daily:
+        by_type.setdefault(d["event_type"], []).append(d["c"])
+    for t, cs in by_type.items():
+        c = np.array(cs, dtype=float)
+        assert rows[t]["mean_daily"] == pytest.approx(c.mean())
+        assert rows[t]["var_daily"] == pytest.approx(c.var(ddof=1))
+        assert rows[t]["dispersion"] == pytest.approx(c.var(ddof=1) / c.mean())
+
+
+def test_entity_sample_is_all_or_nothing(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q208_entity_sample"](spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    sampled_users = {
+        x["user_id"]
+        for x in ev.filter((F.col("user_id") * 2654435761) % 100 < 5)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert r["n_users"] == len(sampled_users)
+    # every sampled user's FULL event history is in the sample
+    full = ev.groupBy("user_id").count().collect()
+    want_events = sum(x["count"] for x in full if x["user_id"] in sampled_users)
+    assert r["n_events"] == want_events
+
+
+def test_qte_sane(spark, sf_dir):
+    r = _QS["q209_quantile_treatment_effect"](spark, sf_dir).collect()[0]
+    assert r["n_control"] > 0 and r["n_treat"] > 0
+    # deterministic hash arms: near-even split on purchase events
+    total = r["n_control"] + r["n_treat"]
+    assert abs(r["n_control"] - r["n_treat"]) < total * 0.2
+    for q in ("qte_p25", "qte_p50", "qte_p75"):
+        assert r[q] is not None
