@@ -4093,3 +4093,176 @@ def q209_quantile_treatment_effect(
             F.percentile(vb, F.lit(0.75)) - F.percentile(va, F.lit(0.75))
         ).alias("qte_p75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source mirror census (canonical text shared across sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_cross_source_mirrors",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS canon
+      FROM documents
+    ), g AS (
+      SELECT canon, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM c WHERE canon <> '' GROUP BY 1
+    )
+    SELECT n_sources, CAST(count(*) AS BIGINT) AS n_canon_texts,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1
+    """,
+)
+def q210_cross_source_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source mirror census: how many canonical texts appear in
+    1, 2, 3... distinct sources — the mirror-site profile that decides
+    dedup ORDER in a multi-source crawl (dedup within sources first
+    when mirrors are rare, globally when common), completing the dedup
+    family's third axis after within-source impact (q178) and
+    vocabulary overlap (q138). One canonicalize pass (q137's
+    normalization), one (canon -> source count) aggregation, one
+    histogram of that aggregate — each stage collapses before the
+    next shuffles. All-singleton fixtures yield the truthful one-row
+    "no mirrors" census; tests plant cross-source copies to exercise
+    the tail. Exact integer counts only. The reference has no corpus
+    analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    c = docs.select("source", canon.alias("canon")).filter(
+        F.col("canon") != ""
+    )
+    g = c.groupBy("canon").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return g.groupBy("n_sources").agg(
+        F.count(F.lit(1)).alias("n_canon_texts"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freedman-Diaconis auto-binned histogram (self-tuning profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_fd_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.75)
+               - quantile_cont(o_totalprice, 0.25) AS iqr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders
+    ), w AS (
+      SELECT 2 * iqr / pow(CAST(n AS DOUBLE), CAST(1 AS DOUBLE) / 3)
+        AS width
+      FROM q
+    )
+    SELECT CAST(floor(o.o_totalprice / w.width) AS BIGINT) AS bucket,
+           CAST(min(w.width) AS DOUBLE) AS width,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders o, w GROUP BY 1
+    """,
+)
+def q211_fd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-tuning histogram: bin width from the Freedman-Diaconis
+    rule (2*IQR/n^(1/3)) — the robust-to-outliers auto-binning that
+    makes q81's fixed-width histogram parameter-free, for profiling
+    columns you have not seen before (the q97 ingest pre-flight on
+    unknown distributions). Exact interpolated IQR in one pass; the
+    width broadcasts as a 1-row frame; bucketing is a narrow floor-
+    division over the scan (identical double operands both engines);
+    the histogram aggregation map-side combines. Two scans total
+    (quantile pass + binning pass) — the sketch path (q67) fuses to
+    one at scale. The reference has no profiling surface (SURVEY
+    §2.2)."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    q = o.agg(
+        (
+            F.percentile("o_totalprice", F.lit(0.75))
+            - F.percentile("o_totalprice", F.lit(0.25))
+        ).alias("iqr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = q.select(
+        (
+            2
+            * F.col("iqr")
+            / F.pow(F.col("n").cast("double"), F.lit(1).cast("double") / 3)
+        ).alias("width")
+    )
+    return (
+        o.crossJoin(F.broadcast(w))
+        .groupBy(
+            F.floor(F.col("o_totalprice") / F.col("width"))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.min("width").cast("double").alias("width"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning decomposition (first-touch cohort split per day)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_new_vs_returning",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT CAST(e.ts AS DATE) AS day,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END
+               AS is_new
+      FROM events e JOIN first f ON e.user_id = f.user_id
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_new) AS BIGINT) AS new_user_events,
+           CAST(sum(is_new) AS DOUBLE) / count(*) AS new_share
+    FROM j GROUP BY 1
+    """,
+)
+def q212_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition: each day's event volume split
+    by whether the user is on their FIRST active day — the growth-
+    accounting view (is traffic new acquisition or retention?) that
+    q79's cohort retention matrix summarizes from the other side.
+    First-touch days come from one user_id aggregation; the
+    enrichment join back is keyed on the same column, so both passes
+    share a partitioning (co-located under bucketing at scale); the
+    daily rollup is calendar-sized. Day-1 shows new_share 1.0 by
+    construction — the honest cold-start edge. Exact counts, one
+    double division. The reference has no cohort surface (SURVEY
+    §2.2)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    j = ev.join(first, "user_id").select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(
+            F.col("ts").cast("date") == F.col("first_day"), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return j.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_new").cast("long").alias("new_user_events"),
+        (F.sum("is_new").cast("double") / F.count(F.lit(1))).alias(
+            "new_share"
+        ),
+    )

@@ -82,6 +82,7 @@ _INTENTIONAL_BNLJ = {
     "q203_rare_token_exposure",  # one-row df-quartile-cutoff broadcast
     "q204_median_ci",  # one-row median/CI endpoint broadcasts
     "q208_entity_sample",  # one-row total-count broadcast
+    "q211_fd_histogram",  # one-row bin-width broadcast
 }
 
 

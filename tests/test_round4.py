@@ -932,3 +932,44 @@ def test_qte_sane(spark, sf_dir):
     assert abs(r["n_control"] - r["n_treat"]) < total * 0.2
     for q in ("qte_p25", "qte_p50", "qte_p75"):
         assert r[q] is not None
+
+
+def test_cross_source_mirrors_with_planted_copies(spark, tmp_path):
+    docs = [
+        (1, "shared mirror text", "src_a", "en", 18),
+        (2, "Shared MIRROR text!", "src_b", "en", 19),  # canonical twin
+        (3, "shared mirror text", "src_c", "en", 18),   # third source
+        (4, "unique to a", "src_a", "en", 11),
+        (5, "unique to b", "src_b", "en", 11),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["n_sources"]: r for r in _QS["q210_cross_source_mirrors"](spark, str(tmp_path)).collect()}
+    assert out[3]["n_canon_texts"] == 1 and out[3]["n_docs"] == 3
+    assert out[1]["n_canon_texts"] == 2 and out[1]["n_docs"] == 2
+
+
+def test_fd_histogram_covers_everything(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q211_fd_histogram"](spark, sf_dir).collect()
+    total = load(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == total
+    widths = {r["width"] for r in rows}
+    assert len(widths) == 1 and min(widths) > 0
+    # FD rule: bucket count should be sane, not 1 and not n
+    assert 10 < len(rows) < total / 10
+
+
+def test_new_vs_returning_consistency(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = sorted(_QS["q212_new_vs_returning"](spark, sf_dir).collect(), key=lambda r: r["day"])
+    ev = load(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # total new-user events == each user's events on their first day;
+    # every user contributes at least one such event
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["new_user_events"] for r in rows) >= n_users
+    assert rows[0]["new_share"] == 1.0  # cold start: everyone is new
