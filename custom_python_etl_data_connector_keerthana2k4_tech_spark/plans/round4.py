@@ -4266,3 +4266,200 @@ def q212_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the vocabulary (naturalness screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), v AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    r AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w) AS DOUBLE))
+               AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM v
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM r
+    )
+    SELECT k,
+           CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx) END
+             AS zipf_slope,
+           CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+                ELSE (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                     / k END AS intercept
+    FROM m
+    """,
+)
+def q213_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of log-frequency against log-rank over
+    the vocabulary — natural language sits near slope -1, so the
+    fitted exponent is a one-number "does this corpus look organic?"
+    screen (machine-generated or template-heavy corpora flatten it;
+    the fixture's near-uniform synthetic vocabulary honestly fits
+    ~-0.2). Vocabulary collapse first (Zipf head combines map-side);
+    ranking and the log transforms run over the vocab frame; the OLS
+    moments are q120's closed form on that frame. Log-space moment
+    sums are doubles, but over vocabulary cardinality the
+    accumulation error sits ~1e-10 below the 6-decimal hash
+    tolerance. The reference has no text analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("w")
+    )
+    v = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    r = v.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("w")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    denom = k * F.col("sxx") - sx * sx
+    slope = F.when(denom != 0, (k * F.col("sxy") - sx * sy) / denom)
+    return m.select(
+        "k",
+        slope.alias("zipf_slope"),
+        F.when(denom != 0, (sy - slope * sx) / k).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective vocabulary size (exp of unigram entropy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_effective_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), v AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM v)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(-sum((CAST(n AS DOUBLE) / t.tot)
+                     * ln(CAST(n AS DOUBLE) / t.tot)) AS DOUBLE)
+             AS entropy_nats,
+           exp(CAST(-sum((CAST(n AS DOUBLE) / t.tot)
+                         * ln(CAST(n AS DOUBLE) / t.tot)) AS DOUBLE))
+             AS effective_vocab
+    FROM v, t GROUP BY t.tot
+    """,
+)
+def q214_effective_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective vocabulary size: exp(unigram entropy) — the
+    perplexity-style "how many words does this corpus REALLY use"
+    number (equal to vocab_size only for a uniform distribution;
+    far below it for skewed ones), the corpus-level scalar under
+    q191's coverage curve and the unigram floor of q134's bigram LM.
+    One vocabulary aggregation; probabilities are single divisions
+    of exact counts by the broadcast exact total; the entropy sum
+    runs over vocab cardinality where double accumulation error
+    (~1e-10) sits far under hash tolerance. The near-uniform
+    synthetic fixture honestly reports effective ~= actual. The
+    reference has no text analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+            )
+        ).alias("w")
+    )
+    v = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    t = v.agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    j = v.crossJoin(F.broadcast(t))
+    return (
+        j.groupBy("tot")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            (-F.sum(p * F.log(p))).cast("double").alias("entropy_nats"),
+            F.exp((-F.sum(p * F.log(p))).cast("double")).alias(
+                "effective_vocab"
+            ),
+        )
+        .select("vocab_size", "entropy_nats", "effective_vocab")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index per market
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT p_brand,
+             CAST(r AS DOUBLE)
+               / CAST(sum(r) OVER (PARTITION BY p_brand) AS DOUBLE) AS s
+      FROM rev
+    )
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+           sum(s * s) AS hhi
+    FROM sh GROUP BY 1
+    """,
+)
+def q215_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier concentration within
+    each brand's revenue: the sum of squared shares regulators use
+    for market concentration (1/HHI = effective competitor count —
+    the discrete sibling of q214's effective vocabulary, and the
+    scalar summary of q135's Lorenz curve and q155's Pareto cutoff).
+    One fact rollup to (brand, supplier) in exact DECIMAL; shares
+    divide exact sums inside a brand-partitioned window over the
+    dimension-sized frame; the squared-share sum spans ~suppliers-
+    per-brand values, error-free at hash tolerance. The reference
+    has no analytics surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).alias("r")
+        )
+    )
+    s = (
+        F.col("r").cast("double")
+        / F.sum("r").over(Window.partitionBy("p_brand")).cast("double")
+    )
+    sh = rev.select("p_brand", s.alias("s"))
+    return sh.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s") * F.col("s")).alias("hhi"),
+    )

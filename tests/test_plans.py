@@ -83,6 +83,7 @@ _INTENTIONAL_BNLJ = {
     "q204_median_ci",  # one-row median/CI endpoint broadcasts
     "q208_entity_sample",  # one-row total-count broadcast
     "q211_fd_histogram",  # one-row bin-width broadcast
+    "q214_effective_vocab",  # one-row token-total broadcast
 }
 
 

@@ -973,3 +973,40 @@ def test_new_vs_returning_consistency(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["new_user_events"] for r in rows) >= n_users
     assert rows[0]["new_share"] == 1.0  # cold start: everyone is new
+
+
+def test_zipf_fit_on_planted_powerlaw(spark, tmp_path):
+    # Construct a corpus whose rank-frequency is exactly n_r = 2^(10-r):
+    # slope of ln f vs ln r is not -1 exactly, but strictly decreasing fit.
+    words = ["wa", "wb", "wc", "wd", "we", "wf", "wg", "wh"]
+    text = " ".join(
+        " ".join([w] * (2 ** (9 - i))) for i, w in enumerate(words, 1)
+    )
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = _QS["q213_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 8
+    assert r["zipf_slope"] < -1.0  # geometric decay is steeper than zipf
+
+
+def test_effective_vocab_uniform_equals_vocab(spark, tmp_path):
+    # perfectly uniform corpus: effective vocab == vocab size
+    text = " ".join(["alpha beta gamma delta"] * 10)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = _QS["q214_effective_vocab"](spark, str(tmp_path)).collect()[0]
+    assert r["vocab_size"] == 4
+    assert r["effective_vocab"] == pytest.approx(4.0)
+
+
+def test_hhi_bounds_and_inverse(spark, sf_dir):
+    rows = _QS["q215_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-12 <= r["hhi"] <= 1.0
+        # effective competitors <= actual competitors
+        assert 1.0 / r["hhi"] <= r["n_suppliers"] + 1e-9
