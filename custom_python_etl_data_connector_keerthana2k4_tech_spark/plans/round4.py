@@ -4463,3 +4463,166 @@ def q215_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("s") * F.col("s")).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (right-censored time-to-conversion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_kaplan_meier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+             max(ts) AS tmax
+      FROM events GROUP BY 1
+    ), obs AS (
+      SELECT user_id,
+             CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+                  ELSE date_diff('day', t0, tmax) END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u
+    ), risk AS (
+      SELECT t, CAST(count(CASE WHEN ev = 1 THEN 1 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t
+    ), tab AS (
+      SELECT t, d,
+             CAST(sum(leaving) OVER (ORDER BY t DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM risk
+    ), lnq AS (
+      SELECT t, d, n_risk,
+             CAST(floor(1000000000
+                  * ln(1 - CAST(d AS DOUBLE) / n_risk)) AS BIGINT) AS lnterm
+      FROM tab WHERE d > 0 AND d < n_risk
+    )
+    SELECT CAST(t AS BIGINT) AS t, d, n_risk,
+           exp(CAST(sum(lnterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) / 1000000000) AS survival
+    FROM lnq
+    """,
+)
+def q216_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    RIGHT CENSORING: users who never purchase contribute risk time up
+    to their last observed event instead of being dropped — the
+    estimator q156's converted-only latency quantiles cannot replace
+    (ignoring censoring biases time-to-convert optimistic). The
+    at-risk counts come from one reverse cumulative window over the
+    per-day event table; the survival product becomes an exact
+    INTEGER cumsum of nano-quantized log terms re-exponentiated at
+    the end (the q205 quantization discipline applied to products),
+    so the curve is engine- and partition-exact. Event collapse is
+    one user_id aggregation; everything after is duration-
+    cardinality. Times where every remaining subject converts are
+    excluded (survival 0, log undefined) — documented edge. The
+    reference has no statistics surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+        F.max("ts").alias("tmax"),
+    )
+    obs = u.select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.col("tp").cast("date"), F.col("t0").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("tmax").cast("date"), F.col("t0").cast("date"))
+        )
+        .alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    risk = obs.groupBy("t").agg(
+        F.count(F.when(F.col("ev") == 1, 1)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tab = risk.select(
+        "t",
+        "d",
+        F.sum("leaving").over(w_rev).cast("long").alias("n_risk"),
+    )
+    lnq = tab.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk"))
+    ).select(
+        "t",
+        "d",
+        "n_risk",
+        F.floor(
+            1000000000
+            * F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+        )
+        .cast("long")
+        .alias("lnterm"),
+    )
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lnq.select(
+        F.col("t").cast("long").alias("t"),
+        "d",
+        "n_risk",
+        F.exp(
+            F.sum("lnterm").over(w_fwd).cast("double") / 1000000000
+        ).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# State dwell times (seconds spent in each state before the next event)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_state_dwell",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS dwell
+      FROM events
+    )
+    SELECT event_type, CAST(count(dwell) AS BIGINT) AS n,
+           CAST(sum(dwell) AS BIGINT) AS total_s,
+           CAST(sum(dwell) AS DOUBLE) / count(dwell) AS mean_s,
+           quantile_cont(dwell, 0.5) AS median_s
+    FROM s WHERE dwell IS NOT NULL GROUP BY 1
+    """,
+)
+def q217_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State dwell-time accounting: how long users SIT in each event
+    state before their next action (lead-based duration attribution to
+    the state being left) — the time dimension q150's current-state
+    census and q153's transition counts both lack, and together with
+    them the full semi-Markov picture of the event log. One user_id
+    window shuffle derives durations (total ordering via the event-id
+    tie-break; last events have no successor and are excluded —
+    open intervals cannot be attributed); integer second boundaries
+    (q156's truncation argument) feed exact sums and an interpolated
+    exact median per state. The reference has no sequence surface
+    (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dwell"),
+    ).filter(F.col("dwell").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count("dwell").alias("n"),
+        F.sum("dwell").cast("long").alias("total_s"),
+        (F.sum("dwell").cast("double") / F.count("dwell")).alias("mean_s"),
+        F.percentile("dwell", F.lit(0.5)).alias("median_s"),
+    )

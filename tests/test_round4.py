@@ -1010,3 +1010,45 @@ def test_hhi_bounds_and_inverse(spark, sf_dir):
         assert 1.0 / r["n_suppliers"] - 1e-12 <= r["hhi"] <= 1.0
         # effective competitors <= actual competitors
         assert 1.0 / r["hhi"] <= r["n_suppliers"] + 1e-9
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(_QS["q216_kaplan_meier"](spark, sf_dir).collect(), key=lambda r: r["t"])
+    assert rows
+    last = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] <= last + 1e-12  # non-increasing
+        last = r["survival"]
+        assert 0 < r["d"] < r["n_risk"]
+    # n_risk is non-increasing over time
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_kaplan_meier_censoring_matters(spark, sf_dir):
+    # KM survival at a given t must be >= the naive converted-only CDF
+    # complement computed from the same data (censoring removes subjects
+    # from the denominator instead of counting them as converted).
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = sorted(_QS["q216_kaplan_meier"](spark, sf_dir).collect(), key=lambda r: r["t"])
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    cum_d = 0
+    for r in rows:
+        cum_d += r["d"]
+        naive_surv = 1 - cum_d / n_users
+        assert r["survival"] >= naive_surv - 1e-9
+
+
+def test_state_dwell_conservation(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q217_state_dwell"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every non-terminal event contributes exactly one dwell
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    for r in rows:
+        assert r["median_s"] <= r["mean_s"] * 3
+        assert r["total_s"] >= r["n"]  # at least ~1s dwells on average
