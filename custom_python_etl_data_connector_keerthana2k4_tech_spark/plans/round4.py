@@ -4626,3 +4626,166 @@ def q217_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dwell").cast("double") / F.count("dwell")).alias("mean_s"),
         F.percentile("dwell", F.lit(0.5)).alias("median_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per cohort user by quarter offset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, date_trunc('quarter', min(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), sz AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort,
+             CAST((extract(year FROM o.o_orderdate)
+                   - extract(year FROM f.cohort)) * 4
+                  + (extract(quarter FROM o.o_orderdate)
+                     - extract(quarter FROM f.cohort)) AS BIGINT)
+               AS offset_q,
+             sum(CAST(o.o_totalprice AS DECIMAL(30,10))) AS r
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(rev.cohort AS TIMESTAMP) AS cohort, offset_q,
+           sz.cohort_users,
+           CAST(sum(rev.r) OVER (PARTITION BY rev.cohort ORDER BY offset_q
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / sz.cohort_users
+             AS cum_ltv
+    FROM rev JOIN sz ON rev.cohort = sz.cohort
+    """,
+)
+def q218_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per cohort
+    member by quarters-since-acquisition — the revenue companion to
+    q79's count-based retention triangle, and the curve whose
+    flattening point prices customer acquisition. First-touch cohorts
+    come from one customer aggregation; the enrichment join back is
+    keyed on the customer (co-partitioned); quarter offsets use
+    explicit year*4+quarter arithmetic pinned IDENTICALLY on both
+    engines (no engine-specific quarter-diff semantics); revenue
+    accumulates in DECIMAL through the cohort-partitioned cumulative
+    window over the cohort x offset frame, with one double division
+    by the broadcast cohort size. The reference has no cohort
+    surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("quarter", F.min("o_orderdate")).alias("cohort")
+    )
+    sz = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort")) * 4
+        + (F.quarter("o_orderdate") - F.quarter("cohort"))
+    ).cast("long")
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", offset.alias("offset_q"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("r")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sz, "cohort")
+        .select(
+            F.col("cohort").cast("timestamp").alias("cohort"),
+            "offset_q",
+            "cohort_users",
+            (
+                F.sum("r").over(w).cast("double") / F.col("cohort_users")
+            ).alias("cum_ltv"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase ladder (2nd-order conversion within k days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_repeat_ladder",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), fs AS (
+      SELECT a.o_custkey,
+             date_diff('day', a.o_orderdate, b.o_orderdate) AS gap
+      FROM (SELECT * FROM r WHERE rn = 1) a
+      LEFT JOIN (SELECT * FROM r WHERE rn = 2) b
+        ON a.o_custkey = b.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_first_buyers,
+           CAST(count(gap) AS BIGINT) AS n_repeat_ever,
+           CAST(count(CASE WHEN gap <= 30 THEN 1 END) AS DOUBLE)
+             / count(*) AS repeat_30d,
+           CAST(count(CASE WHEN gap <= 90 THEN 1 END) AS DOUBLE)
+             / count(*) AS repeat_90d,
+           CAST(count(CASE WHEN gap <= 365 THEN 1 END) AS DOUBLE)
+             / count(*) AS repeat_365d
+    FROM fs
+    """,
+)
+def q219_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase ladder: of all first-time buyers, the share who
+    place a SECOND order within 30/90/365 days — the single most-
+    watched retention number in commerce, and the discrete companion
+    to q216's continuous survival curve (same question, fixed
+    horizons, no censoring subtlety inside the observation window).
+    One customer-partitioned ranking window isolates first and second
+    orders; the self-join runs on the customer-dimension frames;
+    integer day gaps feed conditional counts and three exact-count
+    divisions. LEFT join keeps never-repeating buyers in every
+    denominator — the honest base. The reference has no cohort
+    surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    a = r.filter(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("k1"), F.col("o_orderdate").alias("d1")
+    )
+    b = r.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("k2"), F.col("o_orderdate").alias("d2")
+    )
+    fs = a.join(b, a.k1 == b.k2, "left").select(
+        F.datediff(F.col("d2").cast("date"), F.col("d1").cast("date")).alias(
+            "gap"
+        )
+    )
+    return fs.agg(
+        F.count(F.lit(1)).alias("n_first_buyers"),
+        F.count("gap").alias("n_repeat_ever"),
+        (
+            F.count(F.when(F.col("gap") <= 30, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_30d"),
+        (
+            F.count(F.when(F.col("gap") <= 90, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_90d"),
+        (
+            F.count(F.when(F.col("gap") <= 365, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_365d"),
+    )

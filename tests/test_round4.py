@@ -1052,3 +1052,25 @@ def test_state_dwell_conservation(spark, sf_dir):
     for r in rows:
         assert r["median_s"] <= r["mean_s"] * 3
         assert r["total_s"] >= r["n"]  # at least ~1s dwells on average
+
+
+def test_cohort_ltv_monotone_per_cohort(spark, sf_dir):
+    import collections
+
+    rows = _QS["q218_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append(r)
+    for cohort, rs in by_cohort.items():
+        rs = sorted(rs, key=lambda r: r["offset_q"])
+        assert rs[0]["offset_q"] == 0  # acquisition quarter present
+        ltv = [r["cum_ltv"] for r in rs]
+        assert ltv == sorted(ltv)  # cumulative: non-decreasing
+        assert all(r["cohort_users"] == rs[0]["cohort_users"] for r in rs)
+
+
+def test_repeat_ladder_ordering(spark, sf_dir):
+    r = _QS["q219_repeat_ladder"](spark, sf_dir).collect()[0]
+    assert 0 < r["repeat_30d"] <= r["repeat_90d"] <= r["repeat_365d"] <= 1
+    assert r["n_repeat_ever"] <= r["n_first_buyers"]
+    assert r["repeat_365d"] <= r["n_repeat_ever"] / r["n_first_buyers"] + 1e-12
