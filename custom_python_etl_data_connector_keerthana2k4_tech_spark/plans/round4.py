@@ -4789,3 +4789,141 @@ def q219_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("repeat_365d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (running-peak windows over a metric series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_max_drawdown",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+      FROM orders GROUP BY 1
+    ), dd AS (
+      SELECT week, rev,
+             max(rev) OVER (ORDER BY week ROWS UNBOUNDED PRECEDING) AS peak
+      FROM wk
+    )
+    SELECT CAST(week AS TIMESTAMP) AS trough_week,
+           CAST(rev AS DOUBLE) AS trough_rev,
+           CAST(peak AS DOUBLE) AS peak_rev,
+           CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE) AS drawdown
+    FROM dd ORDER BY drawdown DESC, week LIMIT 1
+    """,
+)
+def q220_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of weekly revenue: the deepest percentage
+    fall from any prior peak — finance's worst-case-decline statistic
+    applied to an operational metric (the pessimist's counterpart to
+    q186's VaR: VaR bounds a typical bad week, drawdown measures the
+    worst slide from strength; for data pipelines the same statistic
+    flags ingest-volume collapses q158 would miss when days still
+    trickle non-zero rows). One fact rollup; the running peak is a
+    cumulative MAX window in exact DECIMAL over the weekly frame
+    (max, unlike sum, is order-free anyway — doubly safe); the
+    argmax row is totally ordered by (drawdown, week). Honest edge:
+    a trailing partial week can be the trough — real dashboards
+    exclude it upstream. The reference has no time-series surface
+    (SURVEY §2.2)."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev")
+        )
+    )
+    w = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = wk.select(
+        "week", "rev", F.max("rev").over(w).alias("peak")
+    )
+    return (
+        dd.select(
+            F.col("week").cast("timestamp").alias("trough_week"),
+            F.col("rev").cast("double").alias("trough_rev"),
+            F.col("peak").cast("double").alias("peak_rev"),
+            (
+                (F.col("peak") - F.col("rev")).cast("double")
+                / F.col("peak").cast("double")
+            ).alias("drawdown"),
+        )
+        .orderBy(F.col("drawdown").desc(), F.col("trough_week"))
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-change audit (unit-price level shifts per part over months)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q221_price_change_audit",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS mon,
+             CAST(min(l_extendedprice / l_quantity) AS DOUBLE) AS unit_price
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    ), ch AS (
+      SELECT l_partkey, mon, unit_price,
+             lag(unit_price) OVER (PARTITION BY l_partkey ORDER BY mon)
+               AS prev
+      FROM m
+    )
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_months,
+           CAST(count(CASE WHEN prev IS NOT NULL AND unit_price <> prev
+                           THEN 1 END) AS BIGINT) AS n_changes,
+           CAST(max(abs(unit_price - prev) / prev) AS DOUBLE)
+             AS max_rel_jump
+    FROM ch GROUP BY 1
+    HAVING max(abs(unit_price - prev) / prev) IS NOT NULL
+    """,
+)
+def q221_price_change_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-level change audit: per part, how often the monthly
+    minimum unit price moves and the largest relative jump — the
+    repricing/mis-entry screen run before any price-sensitive
+    analysis (a 10x unit-price jump is usually a decimal slip; q177's
+    decomposition assumes this audit passed). Monthly floor prices
+    come from one (part, month) aggregation — the min of identically-
+    computed per-row divisions is order-free and engine-exact; the
+    month-over-month lag runs per part over the part x month frame;
+    relative jumps are single divisions of those exact values.
+    Parts observed in only one month drop out via the HAVING (no
+    comparison exists) — honest scoping. The reference has no audit
+    surface beyond per-record nulls (SURVEY §2.1 R7)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    m = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("double")
+        .alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("mon")
+    ch = m.select(
+        "l_partkey",
+        "unit_price",
+        F.lag("unit_price").over(w).alias("prev"),
+    )
+    jump = F.abs(F.col("unit_price") - F.col("prev")) / F.col("prev")
+    return (
+        ch.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.count(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("unit_price") != F.col("prev")),
+                    1,
+                )
+            ).alias("n_changes"),
+            F.max(jump).cast("double").alias("max_rel_jump"),
+        )
+        .filter(F.col("max_rel_jump").isNotNull())
+    )

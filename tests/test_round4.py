@@ -1074,3 +1074,33 @@ def test_repeat_ladder_ordering(spark, sf_dir):
     assert 0 < r["repeat_30d"] <= r["repeat_90d"] <= r["repeat_365d"] <= 1
     assert r["n_repeat_ever"] <= r["n_first_buyers"]
     assert r["repeat_365d"] <= r["n_repeat_ever"] / r["n_first_buyers"] + 1e-12
+
+
+def test_max_drawdown_is_true_max(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q220_max_drawdown"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["drawdown"] < 1.0
+    assert r["trough_rev"] <= r["peak_rev"]
+    # brute-force check against the weekly series
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("week")
+        .collect()
+    )
+    peak, best = 0.0, 0.0
+    for row in wk:
+        peak = max(peak, row["rev"])
+        best = max(best, (peak - row["rev"]) / peak)
+    assert r["drawdown"] == pytest.approx(best, rel=1e-9)
+
+
+def test_price_change_audit_bounds(spark, sf_dir):
+    rows = _QS["q221_price_change_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_months"] >= 2  # HAVING guarantees a comparison existed
+        assert 0 <= r["n_changes"] <= r["n_months"] - 1
+        assert r["max_rel_jump"] >= 0.0
