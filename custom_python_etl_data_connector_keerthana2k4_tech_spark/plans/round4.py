@@ -4927,3 +4927,126 @@ def q221_price_change_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_rel_jump").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check (A/B assignment health)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_srm_check",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST((user_id * 2654435761) % 2 AS BIGINT) AS arm
+      FROM events
+    ), c AS (
+      SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1
+      FROM a
+    )
+    SELECT n0, n1,
+           CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1) AS srm_chi2,
+           CAST(n0 - n1 AS DOUBLE) * (n0 - n1) / (n0 + n1) > 3.841
+             AS srm_flag
+    FROM c
+    """,
+)
+def q222_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: chi-square of realized arm sizes
+    against the designed 50/50 split, AT THE USER LEVEL (the unit of
+    randomization — counting events here is the classic SRM
+    unit-of-analysis bug) — the assignment-health gate every
+    experiment readout (q130/q209) must pass first, because a biased
+    split invalidates all downstream inference. One distinct-user
+    pass; the statistic is exact-integer arithmetic with one double
+    division; 3.841 is the chi-square(1) 95% critical value, pinned.
+    A clean deterministic hash shows chi2 = 0 — the truthful healthy
+    report. The reference has no experiment surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % 2).cast("long").alias(
+            "arm"
+        ),
+    ).distinct()
+    c = a.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return c.select(
+        "n0",
+        "n1",
+        chi2.alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect (experiment power pre-flight)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_mde",
+    oracle="""
+    WITH a AS (
+      SELECT CAST((user_id * 2654435761) % 2 AS BIGINT) AS arm, event_type
+      FROM events
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS x
+      FROM a WHERE arm = 0
+    )
+    SELECT n, x, CAST(x AS DOUBLE) / n AS p_base,
+           (CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+             * sqrt(2 * (CAST(x AS DOUBLE) / n)
+                    * (1 - CAST(x AS DOUBLE) / n) / n) AS mde_abs,
+           ((CAST(1.96 AS DOUBLE) + CAST(0.842 AS DOUBLE))
+             * sqrt(2 * (CAST(x AS DOUBLE) / n)
+                    * (1 - CAST(x AS DOUBLE) / n) / n))
+             / (CAST(x AS DOUBLE) / n) AS mde_rel
+    FROM c
+    """,
+)
+def q223_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the control arm's current sample:
+    the smallest absolute/relative lift on the purchase-rate metric a
+     50/50 test can detect with alpha=0.05 (two-sided, z=1.96) and 80%
+    power (z=0.842) — the pre-flight that stops underpowered
+    experiments BEFORE they run, completing the experimentation kit
+    (q222 checks assignment, q130/q209 read effects, this sizes
+    them). One pushed-down conditional-count pass over the control
+    arm; the formula is pinned-double algebra on exact counts with an
+    IEEE-exact sqrt. At 100 TB event volume the answer costs one
+    aggregate — rerun per metric candidate. The reference has no
+    experiment surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        ((F.col("user_id") * F.lit(2654435761)) % 2).cast("long").alias(
+            "arm"
+        ),
+        "event_type",
+    ).filter(F.col("arm") == 0)
+    c = a.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("x"),
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    mde = (F.lit(1.96) + F.lit(0.842)) * F.sqrt(
+        2 * p * (1 - p) / F.col("n")
+    )
+    return c.select(
+        "n",
+        "x",
+        p.alias("p_base"),
+        mde.alias("mde_abs"),
+        (mde / p).alias("mde_rel"),
+    )

@@ -1104,3 +1104,26 @@ def test_price_change_audit_bounds(spark, sf_dir):
         assert r["n_months"] >= 2  # HAVING guarantees a comparison existed
         assert 0 <= r["n_changes"] <= r["n_months"] - 1
         assert r["max_rel_jump"] >= 0.0
+
+
+def test_srm_clean_on_deterministic_hash(spark, sf_dir):
+    r = _QS["q222_srm_check"](spark, sf_dir).collect()[0]
+    assert r["n0"] > 0 and r["n1"] > 0
+    assert r["srm_chi2"] == pytest.approx(
+        (r["n0"] - r["n1"]) ** 2 / (r["n0"] + r["n1"])
+    )
+    assert r["srm_flag"] == (r["srm_chi2"] > 3.841)
+
+
+def test_mde_shrinks_with_n(spark, sf_dir):
+    import math
+
+    r = _QS["q223_mde"](spark, sf_dir).collect()[0]
+    assert 0.0 < r["p_base"] < 1.0
+    want = (1.96 + 0.842) * math.sqrt(
+        2 * r["p_base"] * (1 - r["p_base"]) / r["n"]
+    )
+    assert r["mde_abs"] == pytest.approx(want)
+    assert r["mde_rel"] == pytest.approx(want / r["p_base"])
+    # detectable effect must be a small fraction of the base rate here
+    assert r["mde_rel"] < 0.5
