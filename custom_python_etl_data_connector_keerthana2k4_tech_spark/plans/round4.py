@@ -5050,3 +5050,184 @@ def q223_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_abs"),
         (mde / p).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shewhart control chart (3-sigma limits from a baseline window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_control_chart",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(1000000 *
+               (CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                / count(*))) AS BIGINT) AS mu_q
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(mu_q AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(mu_q AS DECIMAL(38,0)) * mu_q) AS DOUBLE) AS ss
+      FROM (SELECT mu_q FROM d ORDER BY day LIMIT 14)
+    ), lim AS (
+      SELECT s / k AS center_q,
+             sqrt((ss - s * s / k) / (k - 1)) AS sigma_q
+      FROM base
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           d.mu_q / CAST(1000000 AS DOUBLE) AS mu,
+           lim.center_q / 1000000 AS center,
+           (lim.center_q - 3 * lim.sigma_q) / 1000000 AS lcl,
+           (lim.center_q + 3 * lim.sigma_q) / 1000000 AS ucl,
+           d.mu_q < lim.center_q - 3 * lim.sigma_q
+             OR d.mu_q > lim.center_q + 3 * lim.sigma_q AS out_of_control
+    FROM d, lim
+    """,
+)
+def q224_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-chart: every day's mean event value against 3-sigma
+    control limits estimated from the first-14-day baseline — the SPC
+    chart that catches SUDDEN shifts, paired with q175's CUSUM which
+    catches slow drift (the two are the canonical monitoring
+    complement: Shewhart for shocks, CUSUM for creep). Daily means
+    quantize to exact integer micro-units before the baseline moment
+    sums (DECIMAL(38,0) squares — the q181 discipline), so center and
+    sigma derive from exact state; limits broadcast as one row; flags
+    compare exact integers against identically-computed double
+    bounds. One fact aggregation; everything after is calendar-sized.
+    The baseline window is ordered-LIMIT deterministic. The reference
+    counts records, never distributions (SURVEY §2.1 R11)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.floor(
+            1000000
+            * (
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("mu_q")
+    )
+    mu_dec = F.col("mu_q").cast("decimal(38,0)")
+    base = (
+        d.orderBy("day")
+        .limit(14)
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(mu_dec).cast("double").alias("s"),
+            F.sum(mu_dec * F.col("mu_q")).cast("double").alias("ss"),
+        )
+    )
+    lim = base.select(
+        (F.col("s") / F.col("k")).alias("center_q"),
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("k"))
+            / (F.col("k") - 1)
+        ).alias("sigma_q"),
+    )
+    j = d.crossJoin(F.broadcast(lim))
+    lo = F.col("center_q") - 3 * F.col("sigma_q")
+    hi = F.col("center_q") + 3 * F.col("sigma_q")
+    return j.select(
+        F.col("day").cast("timestamp").alias("day"),
+        (F.col("mu_q") / F.lit(1000000).cast("double")).alias("mu"),
+        (F.col("center_q") / 1000000).alias("center"),
+        (lo / 1000000).alias("lcl"),
+        (hi / 1000000).alias("ucl"),
+        ((F.col("mu_q") < lo) | (F.col("mu_q") > hi)).alias(
+            "out_of_control"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekend effect (Welch's t on calendar-split daily revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q225_weekend_effect",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(extract(dow FROM o_orderdate) AS BIGINT) IN (0, 6)
+               AS is_weekend,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) * 100
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT is_weekend, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c) AS DOUBLE)
+               AS ss
+      FROM d GROUP BY 1
+    ), w AS (
+      SELECT max(CASE WHEN is_weekend THEN n END) AS n1,
+             max(CASE WHEN is_weekend THEN s END) AS s1,
+             max(CASE WHEN is_weekend THEN ss END) AS ss1,
+             max(CASE WHEN NOT is_weekend THEN n END) AS n0,
+             max(CASE WHEN NOT is_weekend THEN s END) AS s0,
+             max(CASE WHEN NOT is_weekend THEN ss END) AS ss0
+      FROM m
+    )
+    SELECT n1, n0,
+           s1 / n1 / 100 AS mean_weekend,
+           s0 / n0 / 100 AS mean_weekday,
+           (s1 / n1 - s0 / n0)
+             / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                    + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) AS welch_t
+    FROM w
+    """,
+)
+def q225_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect test: Welch's t on daily revenue split weekend
+    vs weekday — q183's seasonality index SHOWS the day-of-week
+    pattern; this says whether the weekend component of it is
+    statistically real (q130's unequal-variance t machinery applied
+    to a calendar split instead of hashed arms; dow numbering pinned
+    0=Sunday as in q183). Daily totals quantize to exact cents; group
+    moments accumulate in DECIMAL(38,0); the t statistic is pinned-
+    double algebra over those exact sums (scale-invariant, reported
+    means rescaled to currency). One fact rollup, then constant-sized
+    state. The reference has no statistics surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        ((F.dayofweek("o_orderdate") - 1).cast("long")).isin(0, 6).alias(
+            "is_weekend"
+        ),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    rc = F.col("rev_c").cast("decimal(38,0)")
+    m = d.groupBy("is_weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rc).cast("double").alias("s"),
+        F.sum(rc * F.col("rev_c")).cast("double").alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("is_weekend"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("is_weekend"), F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("is_weekend"), F.col("ss"))).alias("ss1"),
+        F.max(F.when(~F.col("is_weekend"), F.col("n"))).alias("n0"),
+        F.max(F.when(~F.col("is_weekend"), F.col("s"))).alias("s0"),
+        F.max(F.when(~F.col("is_weekend"), F.col("ss"))).alias("ss0"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n0, s0, ss0 = F.col("n0"), F.col("s0"), F.col("ss0")
+    t = (s1 / n1 - s0 / n0) / F.sqrt(
+        ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+        + ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0
+    )
+    return w.select(
+        "n1",
+        "n0",
+        (s1 / n1 / 100).alias("mean_weekend"),
+        (s0 / n0 / 100).alias("mean_weekday"),
+        t.alias("welch_t"),
+    )

@@ -84,6 +84,7 @@ _INTENTIONAL_BNLJ = {
     "q208_entity_sample",  # one-row total-count broadcast
     "q211_fd_histogram",  # one-row bin-width broadcast
     "q214_effective_vocab",  # one-row token-total broadcast
+    "q224_control_chart",  # one-row control-limits broadcast
 }
 
 

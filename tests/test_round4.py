@@ -1127,3 +1127,38 @@ def test_mde_shrinks_with_n(spark, sf_dir):
     assert r["mde_rel"] == pytest.approx(want / r["p_base"])
     # detectable effect must be a small fraction of the base rate here
     assert r["mde_rel"] < 0.5
+
+
+def test_control_chart_baseline_inside_limits(spark, sf_dir):
+    rows = sorted(_QS["q224_control_chart"](spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert rows
+    # constant limits across the chart
+    assert len({(r["lcl"], r["ucl"]) for r in rows}) == 1
+    for r in rows:
+        assert r["lcl"] < r["center"] < r["ucl"]
+        if r["out_of_control"]:
+            assert r["mu"] < r["lcl"] + 1e-6 or r["mu"] > r["ucl"] - 1e-6
+    # baseline days (first 14) should rarely breach their own limits
+    breaches = sum(1 for r in rows[:14] if r["out_of_control"])
+    assert breaches <= 1
+
+
+def test_weekend_effect_against_numpy(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q225_weekend_effect"](spark, sf_dir).collect()[0]
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"), F.min(F.dayofweek("o_orderdate") - 1).alias("dow"))
+        .collect()
+    )
+    we = np.array([x["rev"] for x in daily if x["dow"] in (0, 6)])
+    wd = np.array([x["rev"] for x in daily if x["dow"] not in (0, 6)])
+    assert (r["n1"], r["n0"]) == (len(we), len(wd))
+    assert r["mean_weekend"] == pytest.approx(we.mean(), rel=1e-6)
+    want_t = (we.mean() - wd.mean()) / np.sqrt(
+        we.var(ddof=1) / len(we) + wd.var(ddof=1) / len(wd)
+    )
+    assert r["welch_t"] == pytest.approx(float(want_t), rel=1e-4)
