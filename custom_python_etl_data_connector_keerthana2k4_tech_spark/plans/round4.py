@@ -5231,3 +5231,135 @@ def q225_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s0 / n0 / 100).alias("mean_weekday"),
         t.alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-overflow profile (truncation-rate forecast per source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_context_overflow",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                                  x -> x <> '')) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(toks, 0.5) AS p50_tokens,
+           quantile_cont(toks, 0.95) AS p95_tokens,
+           CAST(count(CASE WHEN toks > 32 THEN 1 END) AS DOUBLE)
+             / count(*) AS over_32,
+           CAST(count(CASE WHEN toks > 64 THEN 1 END) AS DOUBLE)
+             / count(*) AS over_64
+    FROM t GROUP BY 1
+    """,
+)
+def q226_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-overflow profile: per-source token-length percentiles
+    and the share of documents exceeding candidate context windows —
+    the truncation-rate forecast that decides chunking strategy
+    (q131) and window size BEFORE a training run silently drops
+    document tails. Token counting is a shuffle-free array
+    expression (q161's zero-Exchange argument); the per-source
+    reduction carries exact counts and interpolated exact
+    percentiles in one pass; thresholds are integers, so overflow
+    shares are exact-count divisions. Window-size candidates (32/64)
+    sit inside the fixture's length distribution by design — at
+    production scale the same ladder reads 2k/8k/32k. The reference
+    has no text surface (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+        )
+    ).cast("long")
+    t = docs.select("source", toks.alias("toks"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("toks", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("toks", F.lit(0.95)).alias("p95_tokens"),
+        (
+            F.count(F.when(F.col("toks") > 32, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("over_32"),
+        (
+            F.count(F.when(F.col("toks") > 64, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("over_64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend extraction via centered moving average (decomposition step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_trend_decomposition",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) * 100
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), ma AS (
+      SELECT week, rev_c,
+             CAST(count(*) OVER win AS BIGINT) AS w_n,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))) OVER win AS DOUBLE)
+               AS w_s
+      FROM wk WINDOW win AS (ORDER BY week
+                             ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT CAST(week AS TIMESTAMP) AS week,
+           rev_c / CAST(100 AS DOUBLE) AS rev,
+           (w_s / w_n) / 100 AS trend,
+           (rev_c - w_s / w_n) / CAST(100 AS DOUBLE) AS residual
+    FROM ma WHERE w_n = 13
+    """,
+)
+def q227_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition step: weekly revenue split into a
+    centered 13-week moving-average trend and the residual around it
+    — the smoother that q183's weekday indexing and q127's seasonal
+    screens assume has already removed the trend (full pipeline:
+    de-trend here, index seasonality, alarm on what remains via
+    q175/q224). The CENTERED frame (6 preceding + 6 following) is
+    the textbook choice that one-sided trailing averages bias late;
+    revenue rides in exact cents through the DECIMAL window sums,
+    with the trend one double division per row. Edge weeks without a
+    full 13-week frame are excluded (honest undefined trend, the
+    q189 convention). One fact rollup; the window runs over the
+    weekly frame. The reference has no time-series surface (SURVEY
+    §2.2)."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    win = Window.orderBy("week").rowsBetween(-6, 6)
+    ma = wk.select(
+        "week",
+        "rev_c",
+        F.count(F.lit(1)).over(win).alias("w_n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)"))
+        .over(win)
+        .cast("double")
+        .alias("w_s"),
+    )
+    trend_c = F.col("w_s") / F.col("w_n")
+    return ma.filter(F.col("w_n") == 13).select(
+        F.col("week").cast("timestamp").alias("week"),
+        (F.col("rev_c") / F.lit(100).cast("double")).alias("rev"),
+        (trend_c / 100).alias("trend"),
+        ((F.col("rev_c") - trend_c) / F.lit(100).cast("double")).alias(
+            "residual"
+        ),
+    )

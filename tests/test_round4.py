@@ -1162,3 +1162,24 @@ def test_weekend_effect_against_numpy(spark, sf_dir):
         we.var(ddof=1) / len(we) + wd.var(ddof=1) / len(wd)
     )
     assert r["welch_t"] == pytest.approx(float(want_t), rel=1e-4)
+
+
+def test_context_overflow_monotone_thresholds(spark, sf_dir):
+    rows = _QS["q226_context_overflow"](spark, sf_dir).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert 0.0 <= r["over_64"] <= r["over_32"] <= 1.0
+        assert r["p50_tokens"] <= r["p95_tokens"]
+
+
+def test_trend_decomposition_identity(spark, sf_dir):
+    rows = _QS["q227_trend_decomposition"](spark, sf_dir).collect()
+    assert rows
+    import statistics
+
+    for r in rows:
+        assert r["rev"] == pytest.approx(r["trend"] + r["residual"], abs=1e-6)
+    # smoothing: trend variance well below raw variance
+    revs = [r["rev"] for r in rows]
+    trends = [r["trend"] for r in rows]
+    assert statistics.pvariance(trends) < statistics.pvariance(revs)
