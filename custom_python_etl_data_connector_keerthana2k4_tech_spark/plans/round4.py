@@ -5363,3 +5363,121 @@ def q227_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-tail CCDF ladder (scaling diagnostic at power-of-two thresholds)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_ccdf_ladder",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM c),
+    cp AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS threshold)
+    SELECT cp.threshold,
+           CAST(count(CASE WHEN c.n >= cp.threshold THEN 1 END) AS BIGINT)
+             AS n_at_or_above,
+           CAST(count(CASE WHEN c.n >= cp.threshold THEN 1 END) AS DOUBLE)
+             / t.n_parts AS ccdf
+    FROM cp, c, t GROUP BY 1, t.n_parts
+    """,
+)
+def q228_ccdf_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complementary-CDF ladder: the share of parts with at least
+    2^k sales, at a doubling threshold ladder — straight lines on
+    this log-log readout diagnose power-law tails (q213's Zipf fit
+    for a FREQUENCY table rather than text), and the curve's knee is
+    where q166's skew-profile decisions (salting, AQE splits)
+    actually bite. One per-key aggregation; the 7-row threshold
+    ladder and 1-row total broadcast against it (intentional
+    constant-side nested loop, q191's pattern); all shares are
+    exact-count divisions. Integer thresholds dodge every float
+    boundary. The reference has no profiling surface (SURVEY
+    §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    c = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.count(F.lit(1)).alias("n_parts"))
+    cp = spark.createDataFrame(
+        [(x,) for x in (1, 2, 4, 8, 16, 32, 64)], "threshold int"
+    )
+    return (
+        c.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(t))
+        .groupBy("threshold", "n_parts")
+        .agg(
+            F.count(F.when(F.col("n") >= F.col("threshold"), 1)).alias(
+                "n_at_or_above"
+            ),
+            (
+                F.count(F.when(F.col("n") >= F.col("threshold"), 1)).cast(
+                    "double"
+                )
+                / F.col("n_parts")
+            ).alias("ccdf"),
+        )
+        .select("threshold", "n_at_or_above", "ccdf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount dose-response curve (level-wise means with standard errors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_discount_response",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    )
+    SELECT discount_pct, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(q) AS DOUBLE) / count(*) AS mean_qty,
+           sqrt((CAST(sum(q * q) AS DOUBLE)
+                 - CAST(sum(q) AS DOUBLE) * sum(q) / count(*))
+                / (count(*) - 1) / count(*)) AS sem_qty
+    FROM b GROUP BY 1
+    """,
+)
+def q229_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount dose-response: mean quantity purchased at each
+    discount level, with standard errors — the observational
+    elasticity readout (does deeper discounting move volume?) whose
+    per-level means + SEMs feed q130-style pairwise tests between
+    any two doses. Discount levels are integral percents recovered
+    exactly (TPC-H discounts are hundredths; quantities integral),
+    so level bucketing has no float boundaries, and the moment sums
+    (n, sum, sum-of-squares) are exact int64 per level — q207's
+    closed-form variance discipline. One aggregation pass; output is
+    |levels| rows. IEEE-exact sqrt. Flat fixtures report honest
+    near-zero response. The reference has no analytics surface
+    (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_discount", "l_quantity")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias(
+            "discount_pct"
+        ),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    m = b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    return m.select(
+        "discount_pct",
+        "n",
+        (sq.cast("double") / n).alias("mean_qty"),
+        F.sqrt(
+            (sqq.cast("double") - sq.cast("double") * sq / n)
+            / (n - 1)
+            / n
+        ).alias("sem_qty"),
+    )

@@ -85,6 +85,7 @@ _INTENTIONAL_BNLJ = {
     "q211_fd_histogram",  # one-row bin-width broadcast
     "q214_effective_vocab",  # one-row token-total broadcast
     "q224_control_chart",  # one-row control-limits broadcast
+    "q228_ccdf_ladder",  # 7-row threshold ladder + 1-row total broadcast
 }
 
 

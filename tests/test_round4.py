@@ -1183,3 +1183,21 @@ def test_trend_decomposition_identity(spark, sf_dir):
     revs = [r["rev"] for r in rows]
     trends = [r["trend"] for r in rows]
     assert statistics.pvariance(trends) < statistics.pvariance(revs)
+
+
+def test_ccdf_ladder_monotone(spark, sf_dir):
+    rows = sorted(_QS["q228_ccdf_ladder"](spark, sf_dir).collect(), key=lambda r: r["threshold"])
+    assert [r["threshold"] for r in rows] == [1, 2, 4, 8, 16, 32, 64]
+    assert rows[0]["ccdf"] == 1.0  # every part has >= 1 sale
+    ccdf = [r["ccdf"] for r in rows]
+    assert ccdf == sorted(ccdf, reverse=True)
+
+
+def test_discount_response_levels(spark, sf_dir):
+    rows = _QS["q229_discount_response"](spark, sf_dir).collect()
+    levels = sorted(r["discount_pct"] for r in rows)
+    assert levels == list(range(0, 11))  # TPC-H: 0..10 percent
+    for r in rows:
+        assert r["sem_qty"] > 0
+        # quantity uniform in 1..50: mean near 25.5, sem tiny
+        assert 24 < r["mean_qty"] < 27
