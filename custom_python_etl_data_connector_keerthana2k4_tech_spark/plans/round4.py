@@ -5481,3 +5481,128 @@ def q229_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n
         ).alias("sem_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling percentile bands (fan-chart envelope via frame percentiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q230_percentile_bands",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(week AS TIMESTAMP) AS week, rev,
+           quantile_cont(rev, 0.10) OVER win AS band_lo,
+           quantile_cont(rev, 0.50) OVER win AS band_mid,
+           quantile_cont(rev, 0.90) OVER win AS band_hi,
+           CAST(count(*) OVER win AS BIGINT) AS w_n
+    FROM wk WINDOW win AS (ORDER BY week
+                           ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q230_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling percentile envelope: each week's revenue against the
+    p10/p50/p90 band of its trailing 13-week window — the fan-chart
+    data behind "is this week unusual GIVEN recent volatility?",
+    upgrading q224's fixed baseline limits to an adaptive envelope
+    (and the non-parametric sibling of Bollinger-style mean+-sigma
+    bands). The mechanism is EXACT percentile aggregates evaluated
+    over sliding row frames — a window capability none of the
+    cumulative-sum queries exercise — on the weekly frame, where the
+    13-row frames make per-frame sort cost trivial; at high frame
+    cardinality the mergeable-sketch window (q67) replaces it. Warm-
+    up weeks keep their honest short-frame bands with w_n exposing
+    the support. Interpolation arithmetic is identical cross-engine
+    on exact-sum-derived doubles. The reference has no window
+    surface (SURVEY §2.2)."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("week"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    win = Window.orderBy("week").rowsBetween(-12, Window.currentRow)
+    return wk.select(
+        F.col("week").cast("timestamp").alias("week"),
+        "rev",
+        F.percentile("rev", F.lit(0.10)).over(win).alias("band_lo"),
+        F.percentile("rev", F.lit(0.50)).over(win).alias("band_mid"),
+        F.percentile("rev", F.lit(0.90)).over(win).alias("band_hi"),
+        F.count(F.lit(1)).over(win).alias("w_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected-cell completeness audit (dimension grid vs observed cells)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q231_missing_cells",
+    oracle="""
+    WITH grid AS (
+      SELECT r.r_name, p.pri
+      FROM region r CROSS JOIN
+           (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+    ), obs AS (
+      SELECT DISTINCT rg.r_name, o.o_orderpriority AS pri
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region rg ON n.n_regionkey = rg.r_regionkey
+    )
+    SELECT g.r_name, g.pri, obs.r_name IS NOT NULL AS observed
+    FROM grid g LEFT JOIN obs
+      ON g.r_name = obs.r_name AND g.pri = obs.pri
+    """,
+)
+def q231_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-cell completeness: the full region x priority grid
+    LEFT-joined against observed combinations, flagging cells with no
+    orders at all — the "which strata are EMPTY" audit that
+    aggregation queries silently skip (a GROUP BY only shows cells
+    that exist; q158 finds holes in time, this finds holes in
+    dimension space — both matter before training-mix math like q100
+    trusts the strata list). The grid is a deliberate cross join of
+    two TINY dimension sets (the one place a cartesian is correct —
+    contrast the q93/q198 bounded-blowup arguments); observed cells
+    collapse through the broadcast star join before the DISTINCT.
+    Fully-covered fixtures report all-true flags — the honest pass.
+    The reference has no audit surface (SURVEY §2.2)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    pri = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+    )
+    grid = r.crossJoin(F.broadcast(pri))
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+        .select(
+            F.col("r_name").alias("obs_name"),
+            F.col("o_orderpriority").alias("obs_pri"),
+        )
+        .distinct()
+    )
+    return grid.join(
+        obs,
+        (grid.r_name == obs.obs_name) & (grid.pri == obs.obs_pri),
+        "left",
+    ).select(
+        "r_name", "pri", F.col("obs_name").isNotNull().alias("observed")
+    )

@@ -86,6 +86,7 @@ _INTENTIONAL_BNLJ = {
     "q214_effective_vocab",  # one-row token-total broadcast
     "q224_control_chart",  # one-row control-limits broadcast
     "q228_ccdf_ladder",  # 7-row threshold ladder + 1-row total broadcast
+    "q231_missing_cells",  # deliberate 5x5 dimension-grid cross join
 }
 
 

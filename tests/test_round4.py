@@ -1201,3 +1201,24 @@ def test_discount_response_levels(spark, sf_dir):
         assert r["sem_qty"] > 0
         # quantity uniform in 1..50: mean near 25.5, sem tiny
         assert 24 < r["mean_qty"] < 27
+
+
+def test_percentile_bands_contain_median(spark, sf_dir):
+    rows = sorted(_QS["q230_percentile_bands"](spark, sf_dir).collect(), key=lambda r: r["week"])
+    assert rows
+    for r in rows:
+        assert r["band_lo"] <= r["band_mid"] <= r["band_hi"]
+        assert 1 <= r["w_n"] <= 13
+        # the band is built FROM the trailing window including this week,
+        # so rev must lie within [min, max] of that window — bands at 10/90
+        # may exclude it, but the mid-band of a 1-week frame equals rev
+        if r["w_n"] == 1:
+            assert r["band_mid"] == pytest.approx(r["rev"])
+    assert rows[-1]["w_n"] == 13
+
+
+def test_missing_cells_grid_complete(spark, sf_dir):
+    rows = _QS["q231_missing_cells"](spark, sf_dir).collect()
+    assert len(rows) == 25  # 5 regions x 5 priorities
+    # fixtures cover every cell; the audit's pass state is all-observed
+    assert all(r["observed"] for r in rows)
