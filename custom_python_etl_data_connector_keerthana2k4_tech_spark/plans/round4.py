@@ -5606,3 +5606,183 @@ def q231_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "r_name", "pri", F.col("obs_name").isNotNull().alias("observed")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite health index (multi-metric z-score blend per day)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q232_health_index",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) * 100
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS DOUBLE) AS sn,
+             CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE) AS snn,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c) AS DOUBLE)
+               AS srr
+      FROM d
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           ((d.n - m.sn / m.k)
+              / sqrt((m.snn - m.sn * m.sn / m.k) / (m.k - 1))
+            + (d.rev_c - m.sr / m.k)
+              / sqrt((m.srr - m.sr * m.sr / m.k) / (m.k - 1))) / 2
+             AS health_z
+    FROM d, m
+    """,
+)
+def q232_health_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite daily health index: order count and revenue each
+    standardized against their own full-history mean/std (exact
+    integer moments, q224's discipline), then averaged into one
+    z-scale number per day — the metric-tree flattening every ops
+    dashboard does so a single pager threshold can watch N metrics
+    (the multivariate generalization of q91's per-group z-scores;
+    feed it to q175/q224 for drift/shock detection on the composite).
+    One fact rollup; one exact global-moment row broadcast back over
+    the calendar frame; pinned-double algebra with IEEE sqrt.
+    Weights here are equal — the query shape admits any fixed weight
+    vector. The reference has no monitoring surface (SURVEY §2.1
+    R11)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    rd = F.col("rev_c").cast("decimal(38,0)")
+    m = d.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(nd * F.col("n")).cast("double").alias("snn"),
+        F.sum(rd).cast("double").alias("sr"),
+        F.sum(rd * F.col("rev_c")).cast("double").alias("srr"),
+    )
+    j = d.crossJoin(F.broadcast(m))
+    k = F.col("k")
+    z_n = (F.col("n") - F.col("sn") / k) / F.sqrt(
+        (F.col("snn") - F.col("sn") * F.col("sn") / k) / (k - 1)
+    )
+    z_r = (F.col("rev_c") - F.col("sr") / k) / F.sqrt(
+        (F.col("srr") - F.col("sr") * F.col("sr") / k) / (k - 1)
+    )
+    return j.select(
+        F.col("day").cast("timestamp").alias("day"),
+        ((z_n + z_r) / 2).alias("health_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error of a ratio metric (block deletion over days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q233_jackknife_aov",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) * 100
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS tot_n,
+             CAST(sum(CAST(rev_c AS DECIMAL(38,0))) AS BIGINT) AS tot_r
+      FROM d
+    ), loo AS (
+      SELECT d.day,
+             (CAST(t.tot_r - d.rev_c AS DOUBLE) / (t.tot_n - d.n)) / 100
+               AS aov_i,
+             t.k, t.tot_n, t.tot_r
+      FROM d, t
+    ), mj AS (
+      SELECT CAST(sum(aov_i) AS DOUBLE) / max(k) AS mean_loo,
+             max(k) AS k, max(tot_n) AS tot_n, max(tot_r) AS tot_r
+      FROM loo
+    )
+    SELECT CAST(mj.tot_r AS DOUBLE) / mj.tot_n / 100 AS aov,
+           mj.k,
+           sqrt((mj.k - 1) / CAST(mj.k AS DOUBLE)
+                * (SELECT sum((aov_i - mj.mean_loo)
+                              * (aov_i - mj.mean_loo)) FROM loo))
+             AS jackknife_se
+    FROM mj
+    """,
+)
+def q233_jackknife_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife standard error for average order
+    value — the resampling-free uncertainty estimate for RATIO
+    metrics, whose variance no closed form gives when numerator and
+    denominator covary (the experimentation-platform standard for
+    per-user/per-day ratio metrics; q174/q204 cover proportions and
+    medians, this covers ratios). Each leave-one-day-out replicate
+    is pure arithmetic on broadcast exact totals minus that day's
+    exact block sums — NO rescan per replicate, so all k replicates
+    cost one pass over the daily frame. Pseudovalue spread
+    accumulates over calendar cardinality, far under hash tolerance.
+    Deterministic blocks (days), not random resamples — by design,
+    for exactly the reproducibility reasons q58 hashes instead of
+    sampling. The reference has no statistics surface (SURVEY
+    §2.2)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(30,10)")) * 100)
+        .cast("long")
+        .alias("rev_c"),
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("tot_n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).cast("long").alias(
+            "tot_r"
+        ),
+    )
+    loo = d.crossJoin(F.broadcast(t)).select(
+        (
+            (
+                (F.col("tot_r") - F.col("rev_c")).cast("double")
+                / (F.col("tot_n") - F.col("n"))
+            )
+            / 100
+        ).alias("aov_i"),
+        "k",
+        "tot_n",
+        "tot_r",
+    )
+    mj = loo.agg(
+        (F.sum("aov_i").cast("double") / F.max("k")).alias("mean_loo"),
+        F.max("k").alias("k"),
+        F.max("tot_n").alias("tot_n"),
+        F.max("tot_r").alias("tot_r"),
+    )
+    dev = loo.crossJoin(F.broadcast(mj.select("mean_loo"))).agg(
+        F.sum(
+            (F.col("aov_i") - F.col("mean_loo"))
+            * (F.col("aov_i") - F.col("mean_loo"))
+        ).alias("ssq")
+    )
+    return (
+        mj.crossJoin(F.broadcast(dev))
+        .select(
+            (F.col("tot_r").cast("double") / F.col("tot_n") / 100).alias(
+                "aov"
+            ),
+            "k",
+            F.sqrt(
+                (F.col("k") - 1) / F.col("k").cast("double") * F.col("ssq")
+            ).alias("jackknife_se"),
+        )
+    )

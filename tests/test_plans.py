@@ -87,6 +87,8 @@ _INTENTIONAL_BNLJ = {
     "q224_control_chart",  # one-row control-limits broadcast
     "q228_ccdf_ladder",  # 7-row threshold ladder + 1-row total broadcast
     "q231_missing_cells",  # deliberate 5x5 dimension-grid cross join
+    "q232_health_index",  # one-row global-moments broadcast
+    "q233_jackknife_aov",  # one-row totals/pseudo-mean broadcasts
 }
 
 

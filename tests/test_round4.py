@@ -1222,3 +1222,27 @@ def test_missing_cells_grid_complete(spark, sf_dir):
     assert len(rows) == 25  # 5 regions x 5 priorities
     # fixtures cover every cell; the audit's pass state is all-observed
     assert all(r["observed"] for r in rows)
+
+
+def test_health_index_is_standardized(spark, sf_dir):
+    import statistics
+
+    rows = _QS["q232_health_index"](spark, sf_dir).collect()
+    zs = [r["health_z"] for r in rows]
+    # mean ~0 by construction; spread bounded by component correlation
+    assert abs(statistics.fmean(zs)) < 1e-9
+    assert 0.3 < statistics.pstdev(zs) <= 1.0 + 1e-9
+
+
+def test_jackknife_se_close_to_delta_method(spark, sf_dir):
+    import numpy as np
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    r = _QS["q233_jackknife_aov"](spark, sf_dir).collect()[0]
+    assert r["jackknife_se"] > 0
+    o = load(spark, sf_dir, "orders").select("o_totalprice").collect()
+    vals = np.array([x["o_totalprice"] for x in o])
+    assert r["aov"] == pytest.approx(vals.mean(), rel=1e-9)
+    # against naive iid SE of the mean: same order of magnitude
+    naive = vals.std(ddof=1) / np.sqrt(len(vals))
+    assert 0.2 * naive < r["jackknife_se"] < 5 * naive
