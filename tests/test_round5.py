@@ -1,0 +1,171 @@
+"""Round-5 operator semantics: TPC-H shape plan guards, Mann-Whitney and
+Spearman on hand-computed inputs, largest-remainder allocation invariants,
+planted split contamination, and join-cardinality forecast vs the actual
+join (oracle hash-matches are in tests/test_oracle.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import queries
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round5 import ALLOCATION_BUDGET
+
+_QS = queries()
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        _QS[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["q234_promo_revenue_share", "q236_bracket_revenue"]
+)
+def test_tpch_shapes_broadcast_part_dim(spark, sf_dir, name):
+    p = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in p, f"{name} must broadcast the part dim"
+    assert "CartesianProduct" not in p
+
+
+def test_q235_rollup_before_joins(spark, sf_dir):
+    # The HAVING cut must run on the order-grain rollup, upstream of both
+    # joins — the plan that moves only qualifying orders at 100 TB.
+    p = _plan(spark, sf_dir, "q235_large_volume_orders")
+    assert p.count("HashAggregate") >= 2  # partial + final quantity rollup
+    assert "CartesianProduct" not in p
+
+
+def test_mann_whitney_hand_case(spark, tmp_path):
+    # URGENT prices {1,2,3} all below LOW prices {4,5,6}: U = 0 and the
+    # untied z = (0 - 4.5) / sqrt(3*3*7/12) = -1.9639...
+    import datetime
+
+    rows = [
+        (i + 1, 1, "O", float(v), datetime.datetime(2000, 1, 1), pri)
+        for i, (v, pri) in enumerate(
+            [
+                (1, "1-URGENT"),
+                (2, "1-URGENT"),
+                (3, "1-URGENT"),
+                (4, "5-LOW"),
+                (5, "5-LOW"),
+                (6, "5-LOW"),
+                (99, "3-MEDIUM"),  # excluded group
+            ]
+        )
+    ]
+    spark.createDataFrame(rows, _ORDERS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    r = _QS["q237_mann_whitney_u"](spark, str(tmp_path)).collect()[0]
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["u_stat"] == 0.0
+    assert r["z"] == pytest.approx(-4.5 / (3 * 3 * 7 / 12) ** 0.5)
+
+
+def test_spearman_perfect_monotone(spark, tmp_path):
+    # qty and price perfectly monotone within 'A' (rho=1), perfectly
+    # anti-monotone within 'R' (rho=-1) — outlier-proof by construction
+    # (the last 'A' pair is a wild outlier yet rho stays exactly 1).
+    import datetime
+
+    ts = datetime.datetime(2000, 1, 1)
+    rows = [
+        (1, 1, 1, i, float(i), price, 0.0, 0.0, flag, "O", ts)
+        for flag, pairs in (
+            ("A", [(1, 10.0), (2, 20.0), (3, 30.0), (4, 1e9)]),
+            ("R", [(1, 40.0), (2, 30.0), (3, 20.0), (4, 10.0)]),
+        )
+        for i, price in pairs
+    ]
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rho = {
+        r["grp"]: r["spearman_rho"]
+        for r in _QS["q238_spearman_corr"](spark, str(tmp_path)).collect()
+    }
+    assert rho["A"] == pytest.approx(1.0)
+    assert rho["R"] == pytest.approx(-1.0)
+
+
+def test_allocation_sums_exactly_to_budget(spark, sf_dir):
+    rows = _QS["q239_budget_allocation"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["alloc_units"] for r in rows)
+    assert total == ALLOCATION_BUDGET  # exact, the method's whole point
+    # Hamilton allocations never stray more than 1 unit from the quota floor
+    rev_total = sum(r["rev_cents"] for r in rows)
+    for r in rows:
+        floor_units = ALLOCATION_BUDGET * r["rev_cents"] // rev_total
+        assert r["alloc_units"] in (floor_units, floor_units + 1)
+
+
+def test_split_contamination_planted_leak(spark, tmp_path):
+    # Hash split: doc_ids 1,2 -> train; 3,8 -> val ((id*2654435761)%100).
+    # Doc 3 is a reformatted copy of doc 1 (same canonical form) -> leaked;
+    # doc 8 is unique -> clean. Expect exactly half the val docs leaked.
+    docs = [
+        (1, "hello world", "en", "web", 11),
+        (2, "other text", "en", "web", 10),
+        (3, "Hello,   WORLD!", "en", "web", 15),
+        (8, "unique content here", "en", "web", 19),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = _QS["q240_split_contamination"](spark, str(tmp_path)).collect()[0]
+    assert r["n_canon_leaked"] == 1
+    assert r["n_val_docs_leaked"] == 1
+    assert r["n_val_docs"] == 2
+    assert r["leak_frac"] == pytest.approx(0.5)
+
+
+def test_join_forecast_matches_actual_join(spark, tmp_path):
+    # Forecast must equal the true equi-join cardinality, and the hottest
+    # key must be the one contributing the most output rows.
+    import datetime
+
+    ts = datetime.datetime(2000, 1, 1)
+    orders = [
+        (i + 1, ck, "O", 1.0, ts, "1-URGENT")
+        for i, ck in enumerate([1, 1, 1, 2, 7])
+    ]
+    events = [
+        (i + 1, ts, uk, "view", 0.0, "{}")
+        for i, uk in enumerate([1, 1, 2, 2, 3])
+    ]
+    spark.createDataFrame(orders, _ORDERS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = _QS["q241_join_cardinality_forecast"](spark, str(tmp_path)).collect()[
+        0
+    ]
+    o = spark.read.parquet(str(tmp_path / "orders.parquet"))
+    e = spark.read.parquet(str(tmp_path / "events.parquet"))
+    actual = o.join(e, o.o_custkey == e.user_id).count()
+    assert r["predicted_rows"] == actual == 8
+    assert r["n_matched_keys"] == 2
+    assert r["max_key_rows"] == 6 and r["hottest_key"] == 1
+    assert r["top_key_share"] == pytest.approx(6 / 8)
