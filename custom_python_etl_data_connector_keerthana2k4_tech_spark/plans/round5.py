@@ -656,3 +656,308 @@ def q241_join_cardinality_forecast(
         .cast("long")
         .alias("hottest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within-nation decomposition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_theil_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+               AS DECIMAL(38,10)) AS rev_dec
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey, c_nationkey
+    ), g_all AS (
+      SELECT CAST(sum(rev_dec) AS DOUBLE) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM cust
+    ), nat AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(rev_dec) AS DOUBLE) / count(*) AS mu_g
+      FROM cust GROUP BY 1
+    ), terms AS (
+      SELECT c.c_nationkey,
+             CAST(round((CAST(c.rev_dec AS DOUBLE) / nat.mu_g)
+                        * ln(CAST(c.rev_dec AS DOUBLE) / nat.mu_g)
+                        * 1e9) AS BIGINT) AS q
+      FROM cust c JOIN nat ON c.c_nationkey = nat.c_nationkey
+    )
+    SELECT n.n_name, nat.n_cust, nat.mu_g AS mean_rev,
+           CAST(sum(terms.q) AS DOUBLE) / 1e9 / nat.n_cust AS theil_within,
+           (CAST(nat.n_cust AS DOUBLE) / g_all.n_total) * (nat.mu_g / g_all.mu)
+             * ln(nat.mu_g / g_all.mu) AS between_term
+    FROM terms JOIN nat ON terms.c_nationkey = nat.c_nationkey
+               JOIN nation n ON nat.c_nationkey = n.n_nationkey, g_all
+    GROUP BY n.n_name, nat.n_cust, nat.mu_g, g_all.n_total, g_all.mu
+    """,
+)
+def q242_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer revenue, decomposed into
+    within-nation and between-nation components (total Theil =
+    sum of (n_g/N)(mu_g/mu) * theil_within_g + sum of between_term —
+    the additive decomposition Gini famously lacks, making this the
+    data-mix concentration screen you can attribute: q135 says HOW
+    unequal, this says WHERE). The x*ln(x) terms are quantized to
+    exact nano-integers before summation (q216's trick), so the
+    per-nation sums are order-independent BIGINTs and both engines
+    agree bit-for-bit; means come from exact DECIMAL rollups with one
+    double division each. Plan: one fact rollup to customer grain,
+    one nation-grain rollup, then a broadcast enrichment join back —
+    the raw table is scanned once. The reference has no aggregation
+    surface (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("decimal(38,10)")
+            .alias("rev_dec")
+        )
+    )
+    glob = cust.agg(
+        (F.sum("rev_dec").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    nat = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.sum("rev_dec").cast("double") / F.count(F.lit(1))).alias("mu_g"),
+    )
+    x_over_mu = F.col("rev_dec").cast("double") / F.col("mu_g")
+    terms = cust.join(F.broadcast(nat), "c_nationkey").select(
+        "c_nationkey",
+        F.round(x_over_mu * F.log(x_over_mu) * F.lit(1e9))
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        terms.groupBy("c_nationkey")
+        .agg(F.sum("q").alias("qsum"))
+        .join(F.broadcast(nat), "c_nationkey")
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "n_name",
+            "n_cust",
+            F.col("mu_g").alias("mean_rev"),
+            (F.col("qsum").cast("double") / 1e9 / F.col("n_cust")).alias(
+                "theil_within"
+            ),
+            (
+                (F.col("n_cust").cast("double") / F.col("n_total"))
+                * (F.col("mu_g") / F.col("mu"))
+                * F.log(F.col("mu_g") / F.col("mu"))
+            ).alias("between_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component of the embedding corpus (power iteration)
+# ---------------------------------------------------------------------------
+
+
+@query("q243_pca_top_component", oracle=None)  # matrix algebra — rows-only
+def q243_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the corpus' top principal axis —
+    the one-dimensional summary that drives embedding drift monitors,
+    whitening, and the coarse axis for IVF-style partitioning (q47/
+    q48's bucketers). One-pass distributed Gram accumulation per
+    operators/pca.py: each Arrow batch contributes a d x d partial
+    (NumPy matmul in mapInPandas), the driver sums d^2 doubles and
+    eigensolves 64x64 — exact after a single scan, where power
+    iteration would pay a scan per step and stall on the corpus'
+    tiny eigengap. Projection is a codegen column expression.
+    Verified against a full NumPy eigensolver twin in
+    tests/test_pca.py, the same exact-twin gating as k-means (q136)
+    and PageRank (q126). The reference has no vector surface
+    (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pca import (
+        top_principal_component,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    _, scored = top_principal_component(emb, "embedding", dim=64)
+    return scored.select("vec_id", "label", "pc1_score")
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition screen (looping/templated text detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_intra_doc_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM d WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup_share,
+           CAST(max(cnt) AS BIGINT) AS top_bigram_count
+    FROM bc GROUP BY 1
+    """,
+)
+def q244_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition screen: per document, the share of
+    bigram OCCURRENCES that are repeats of an earlier bigram in the
+    same document, plus the hottest bigram's count — the standard
+    looping-text / boilerplate-within-page quality rule (Gopher-style
+    repetition filters) that q152's cross-document screen cannot see
+    (a doc can be unique corpus-wide yet internally degenerate). Same
+    shuffle-free ``transform(sequence(...))`` bigram extraction as
+    q134/q152; both aggregations are keyed on doc_id, so the work is
+    embarrassingly parallel per document and at 100 TB this is one
+    doc-keyed pass with map-side partial counts. Ratios are single
+    double divisions of exact BIGINTs. The reference has no text
+    analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    bc = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg.w1", "bg.w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (1.0 - F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias(
+            "dup_share"
+        ),
+        F.max("cnt").alias("top_bigram_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend one-step-ahead backtest (level+trend recursion)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+@query(
+    "q245_holt_trend_backtest",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+               AS mu
+      FROM events GROUP BY 1
+    ), seq AS (
+      SELECT day, mu, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ), walk AS (
+      SELECT rn, day, mu, mu AS lvl, CAST(0 AS DOUBLE) AS trend,
+             mu AS forecast
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.mu,
+             {HOLT_ALPHA} * s.mu
+               + {1 - HOLT_ALPHA} * (w.lvl + w.trend),
+             {HOLT_BETA} * (({HOLT_ALPHA} * s.mu
+                             + {1 - HOLT_ALPHA} * (w.lvl + w.trend)) - w.lvl)
+               + {1 - HOLT_BETA} * w.trend,
+             w.lvl + w.trend
+      FROM seq s JOIN walk w ON s.rn = w.rn + 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, mu, lvl, trend, forecast,
+           abs(mu - forecast) AS abs_err
+    FROM walk
+    """,
+)
+def q245_holt_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over the daily
+    event-value mean, backtested one-step-ahead: level and trend
+    recursions (l_t = a*x_t + (1-a)(l+b); b_t = beta*(l_t - l) +
+    (1-beta)*b) with forecast_t = l_(t-1) + b_(t-1) — the
+    trend-following upgrade of q108's flat EWMA, and the simplest
+    forecaster that beats q163's seasonal-naive on trending series.
+    Like q175's CUSUM, the recursion is irreducibly sequential, so it
+    runs in applyInPandas over the DAILY frame (calendar-sized
+    regardless of fact volume; the 100 TB work is the one exact
+    per-day DECIMAL rollup feeding it), and the DuckDB oracle replays
+    the identical double recursion as a recursive CTE — a full
+    value-hash gate on a stateful operator. Level init = first
+    observation, trend init = 0, both engines. The reference has no
+    forecasting surface (SURVEY §2.2)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl = trend = None
+        out = []
+        for mu in pdf["mu"]:
+            mu = float(mu)
+            if lvl is None:
+                lvl, trend, fc = mu, 0.0, mu
+            else:
+                fc = lvl + trend
+                new_lvl = HOLT_ALPHA * mu + (1 - HOLT_ALPHA) * (lvl + trend)
+                trend = HOLT_BETA * (new_lvl - lvl) + (1 - HOLT_BETA) * trend
+                lvl = new_lvl
+            out.append((lvl, trend, fc))
+        pdf["lvl"] = [t[0] for t in out]
+        pdf["trend"] = [t[1] for t in out]
+        pdf["forecast"] = [t[2] for t in out]
+        pdf["abs_err"] = (pdf["mu"] - pdf["forecast"]).abs()
+        return pdf[["day", "mu", "lvl", "trend", "forecast", "abs_err"]]
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda key, pdf: holt(pdf),
+            schema=(
+                "day date, mu double, lvl double, trend double, "
+                "forecast double, abs_err double"
+            ),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "mu",
+            "lvl",
+            "trend",
+            "forecast",
+            "abs_err",
+        )
+    )

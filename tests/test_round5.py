@@ -169,3 +169,77 @@ def test_join_forecast_matches_actual_join(spark, tmp_path):
     assert r["n_matched_keys"] == 2
     assert r["max_key_rows"] == 6 and r["hottest_key"] == 1
     assert r["top_key_share"] == pytest.approx(6 / 8)
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    # Total Theil over all customers must equal the weighted within sum
+    # plus the between terms (the decomposition's defining identity).
+    rows = _QS["q242_theil_decomposition"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n_cust"] for r in rows)
+    mu = sum(r["n_cust"] * r["mean_rev"] for r in rows) / n_total
+    within = sum(
+        (r["n_cust"] / n_total) * (r["mean_rev"] / mu) * r["theil_within"]
+        for r in rows
+    )
+    between = sum(r["between_term"] for r in rows)
+    import math
+
+    # recompute total Theil directly from the same customer grain
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+    import pyspark.sql.functions as F
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .toPandas()
+    )
+    x = cust["x"].to_numpy()
+    r = x / x.mean()
+    total = float((r * __import__("numpy").log(r)).mean())
+    assert within + between == pytest.approx(total, rel=1e-6)
+    assert between >= -1e-12  # between-groups Theil is non-negative
+
+
+def test_repetition_screen_flags_looping_text(spark, tmp_path):
+    looping = "spam ham " * 50  # one bigram repeated -> dup_share ~ 1
+    unique = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(1, looping, "en", "web", len(looping)),
+            (2, unique, "en", "web", len(unique))]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in _QS["q244_intra_doc_repetition"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["dup_share"] > 0.95
+    assert out[1]["top_bigram_count"] == 50  # "spam ham" x50
+    assert out[2]["dup_share"] == 0.0
+    assert out[2]["n_bigrams"] == out[2]["n_distinct"] == 7
+
+
+def test_holt_recursion_python_twin(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round5 import HOLT_ALPHA, HOLT_BETA
+
+    rows = sorted(
+        _QS["q245_holt_trend_backtest"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    lvl = trend = None
+    for r in rows:
+        mu = r["mu"]
+        if lvl is None:
+            lvl, trend, fc = mu, 0.0, mu
+        else:
+            fc = lvl + trend
+            new_lvl = HOLT_ALPHA * mu + (1 - HOLT_ALPHA) * (lvl + trend)
+            trend = HOLT_BETA * (new_lvl - lvl) + (1 - HOLT_BETA) * trend
+            lvl = new_lvl
+        assert r["forecast"] == pytest.approx(fc, rel=1e-12)
+        assert r["lvl"] == pytest.approx(lvl, rel=1e-12)
+        assert r["trend"] == pytest.approx(trend, rel=1e-9, abs=1e-12)
