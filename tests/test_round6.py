@@ -1,0 +1,126 @@
+"""Round-6 operator semantics: Kruskal-Wallis hand case, Theil-Sen
+robustness to planted outliers, LM-score fluency ordering, temperature-mix
+allocation invariants (oracle hash-matches are in tests/test_oracle.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import queries
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round6 import MIX_TOKEN_BUDGET
+
+_QS = queries()
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_kruskal_wallis_hand_case(spark, tmp_path):
+    # Two groups {1,2,3} and {4,5,6}: H = 12/(6*7)*(36/3 + 225/3) - 21
+    # = 27/7 = 3.857142... (equals the Mann-Whitney z^2 for 2 groups).
+    rows = [
+        (i + 1, 1, "O", float(v), datetime.datetime(2000, 1, 1), pri)
+        for i, (v, pri) in enumerate(
+            [(1, "1-URGENT"), (2, "1-URGENT"), (3, "1-URGENT"),
+             (4, "5-LOW"), (5, "5-LOW"), (6, "5-LOW")]
+        )
+    ]
+    spark.createDataFrame(rows, _ORDERS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    r = _QS["q246_kruskal_wallis"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["k"]) == (6, 2)
+    assert r["h_stat"] == pytest.approx(27 / 7, rel=1e-6)
+    assert r["h_corrected"] == pytest.approx(27 / 7, rel=1e-6)  # no ties
+
+
+def test_theil_sen_ignores_outlier_week(spark, tmp_path):
+    # Nation 0: weekly revenue grows exactly 700 cents/day (49.0/week),
+    # except ONE wild outlier week. OLS would be dragged; the pairwise-
+    # slope median must stay exactly 7.00 $/day = 700 cents/day.
+    nat = [(0, "NATION_0", 0)]
+    cust = [(1, "c", 0, 0.0, "BUILDING")]
+    orders = []
+    for w in range(10):
+        amt = 100.0 + 49.0 * w
+        if w == 5:
+            amt = 100000.0  # outlier week
+        orders.append(
+            (w + 1, 1, "O", amt,
+             datetime.datetime(1995, 1, 2) + datetime.timedelta(weeks=w),
+             "1-URGENT")
+        )
+    spark.createDataFrame(nat, "n_nationkey int, n_name string, n_regionkey int").write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(cust, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string").write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(orders, _ORDERS_SCHEMA).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = _QS["q247_theil_sen_slope"](spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 45
+    assert r["sen_slope_cents_per_day"] == pytest.approx(700.0, rel=1e-9)
+
+
+def test_lm_score_ranks_fluent_above_gibberish(spark, tmp_path):
+    # 20 copies of a fluent sentence make its bigrams high-probability;
+    # one gibberish doc of unique bigrams must score strictly lower.
+    fluent = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, fluent, "en", "web", len(fluent)) for i in range(20)]
+    docs.append((99, "zq xv qj wk vb nm pl dt", "en", "web", 23))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in _QS["q248_lm_quality_score"](spark, str(tmp_path)).collect()
+    }
+    assert out[0] > out[99]
+    assert all(v < 0 for v in out.values())  # log-probs are negative
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    rows = _QS["q249_temperature_mix"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["token_quota"] for r in rows) == MIX_TOKEN_BUDGET
+    # temperature < 1 compresses: the largest source's quota share must
+    # not exceed its document share, the smallest's must not fall below.
+    tot_docs = sum(r["n_docs"] for r in rows)
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    if big["n_docs"] != small["n_docs"]:
+        assert big["token_quota"] / MIX_TOKEN_BUDGET <= big["n_docs"] / tot_docs + 1e-9
+        assert small["token_quota"] / MIX_TOKEN_BUDGET >= small["n_docs"] / tot_docs - 1e-9
+    # monotone: more docs never means a smaller quota
+    by_docs = sorted(rows, key=lambda r: (r["n_docs"], r["source"]))
+    for a, b in zip(by_docs, by_docs[1:]):
+        if b["n_docs"] > a["n_docs"]:
+            assert b["token_quota"] >= a["token_quota"]
+
+
+def test_market_share_bounds(spark, sf_dir):
+    rows = _QS["q250_market_share"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
+
+
+def test_idle_rich_excludes_buyers(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    out = _QS["q251_idle_rich_customers"](spark, sf_dir)
+    n_out = sum(r["n_customers"] for r in out.collect())
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(F.sum("c_acctbal") / F.count(F.lit(1))).collect()[0][0]
+    manual = (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .count()
+    )
+    assert n_out == manual
