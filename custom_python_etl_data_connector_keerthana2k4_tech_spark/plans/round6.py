@@ -556,3 +556,316 @@ def q251_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function + Ljung-Box statistic of the daily series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 10
+
+
+@query(
+    "q252_acf_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+                        / count(*) * 1e9) AS BIGINT) AS mq
+      FROM events GROUP BY 1
+    ), seq AS (
+      SELECT row_number() OVER (ORDER BY day) AS rn, mq FROM daily
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mq) AS BIGINT) AS smq
+      FROM seq
+    ), dev AS (
+      SELECT rn,
+             CAST(mq AS DOUBLE) / 1e9
+               - CAST(smq AS DOUBLE) / 1e9 / n AS d
+      FROM seq, stats
+    ), den AS (
+      SELECT CAST(sum(CAST(round(d * d * 1e6) AS BIGINT)) AS BIGINT) AS dq
+      FROM dev
+    ), lags AS (
+      SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k
+    ), num AS (
+      SELECT lags.k,
+             CAST(sum(CAST(round(a.d * b.d * 1e6) AS BIGINT)) AS BIGINT)
+               AS nq
+      FROM lags JOIN dev a ON TRUE JOIN dev b ON a.rn = b.rn + lags.k
+      GROUP BY 1
+    ), acf AS (
+      SELECT num.k,
+             CAST(num.nq AS DOUBLE) / den.dq AS r
+      FROM num, den
+    )
+    SELECT k, r AS acf,
+           (SELECT CAST(n AS DOUBLE) * (n + 2) FROM stats)
+             * sum(r * r / ((SELECT n FROM stats) - k))
+                 OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ljung_box_q
+    FROM acf
+    """,
+)
+def q252_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-value mean at lags 1..10 plus
+    the cumulative Ljung-Box Q statistic — the is-there-any-serial-
+    structure screen that decides whether q245's Holt smoothing or
+    q163's seasonal-naive is even warranted. Deviations come from
+    nano-quantized daily means (exact integers; q242's trick) and
+    every lag-product is micro-quantized before summation, so
+    numerator and denominator are order-independent BIGINTs with one
+    double division per lag; the Ljung-Box running sum is an ordered
+    10-row window (same accumulation order both engines). The lag
+    join runs on the DAY-grain frame — calendar-sized forever — via
+    an exploded lag dimension, so the fact table is scanned once for
+    the daily rollup and never again. The reference has no
+    time-series surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"), "mq"
+    )
+    stats = seq.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mq").cast("long").alias("smq")
+    )
+    dev = seq.crossJoin(F.broadcast(stats)).select(
+        "rn",
+        (
+            F.col("mq").cast("double") / 1e9
+            - F.col("smq").cast("double") / 1e9 / F.col("n")
+        ).alias("d"),
+    )
+    den = dev.agg(
+        F.sum(F.round(F.col("d") * F.col("d") * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("dq")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = dev.alias("a")
+    b = dev.alias("b")
+    num = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("a.rn") == F.col("b.rn") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(F.col("a.d") * F.col("b.d") * F.lit(1e6)).cast("long")
+            )
+            .cast("long")
+            .alias("nq")
+        )
+    )
+    acf = num.crossJoin(F.broadcast(den)).select(
+        "k", (F.col("nq").cast("double") / F.col("dq")).alias("r")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return acf.crossJoin(F.broadcast(stats)).select(
+        "k",
+        F.col("r").alias("acf"),
+        (
+            F.col("n").cast("double")
+            * (F.col("n") + 2)
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("k"))
+            ).over(w)
+        ).alias("ljung_box_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events since last purchase (conditional window reset feature)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q253_events_since_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type,
+           CAST(rn - max(CASE WHEN event_type = 'purchase' THEN rn END)
+                  OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - 1 AS BIGINT) AS events_since_purchase
+    FROM seq
+    """,
+)
+def q253_events_since_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events this user has generated since their
+    last purchase (NULL before the first purchase) — the classic
+    counter-that-resets-on-an-event feature (recency pressure,
+    re-engagement triggers) that plain running windows can't express
+    but a conditional running MAX over the row index can: rn minus
+    the latest prior purchase's rn, minus one. ONE shuffle on
+    user_id serves both windows (same partitioning, same ordering —
+    Catalyst fuses them into a single sort), then everything is a
+    linear in-partition scan. The frame excludes the current row, so
+    a purchase itself reports the count since the PREVIOUS purchase
+    — the usual inter-purchase gap semantics (companion to q169's
+    aggregate cadence view, but at event grain as a feature column).
+    The reference has no window surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wseq).alias("rn"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return seq.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (
+            F.col("rn")
+            - F.max(
+                F.when(F.col("event_type") == "purchase", F.col("rn"))
+            ).over(wprev)
+            - 1
+        )
+        .cast("long")
+        .alias("events_since_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph modularity of the brand partition over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_brand_modularity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges) e
+      GROUP BY 1
+    ), within AS (
+      SELECT pu.p_brand, CAST(count(*) AS BIGINT) AS n_within
+      FROM edges JOIN part pu ON edges.u = pu.p_partkey
+                 JOIN part pv ON edges.v = pv.p_partkey
+      WHERE pu.p_brand = pv.p_brand
+      GROUP BY 1
+    ), dsum AS (
+      SELECT p.p_brand, CAST(sum(deg.degree) AS BIGINT) AS degree_sum
+      FROM deg JOIN part p ON deg.node = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT dsum.p_brand,
+           CAST(coalesce(within.n_within, 0) AS BIGINT) AS n_within,
+           dsum.degree_sum,
+           CAST(coalesce(within.n_within, 0) AS DOUBLE) / m.n_edges
+             - (CAST(dsum.degree_sum AS DOUBLE) / (2 * m.n_edges))
+               * (CAST(dsum.degree_sum AS DOUBLE) / (2 * m.n_edges))
+             AS modularity_term
+    FROM dsum LEFT JOIN within ON dsum.p_brand = within.p_brand, m
+    """,
+)
+def q254_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the co-purchase
+    graph: per brand, the within-community edge share minus the
+    expected share under the degree-preserving null — summed over
+    brands this is Q, the did-my-communities-mean-anything score for
+    any partition (here: does brand structure show up in what's
+    bought together?). Builds on q93's bounded pair expansion and
+    q149's degree profile: edges and degrees are aggregate-space
+    frames, brands ride in via broadcast part-dimension joins, and
+    every term is an exact BIGINT count until the two final double
+    divisions. At 100 TB the only raw-data pass is the distinct
+    (order, part) projection. The reference has no graph surface
+    (SURVEY §2.2)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pu = p.select(
+        F.col("p_partkey").alias("u"), F.col("p_brand").alias("brand_u")
+    )
+    pv = p.select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand_v")
+    )
+    within = (
+        edges.join(F.broadcast(pu), "u")
+        .join(F.broadcast(pv), "v")
+        .filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+    dsum = (
+        deg.join(
+            F.broadcast(p), F.col("node") == F.col("p_partkey")
+        )
+        .groupBy("p_brand")
+        .agg(F.sum("degree").cast("long").alias("degree_sum"))
+    )
+    half = F.col("degree_sum").cast("double") / (2 * F.col("n_edges"))
+    return (
+        dsum.join(within, "p_brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_brand",
+            F.coalesce(F.col("n_within"), F.lit(0))
+            .cast("long")
+            .alias("n_within"),
+            "degree_sum",
+            (
+                F.coalesce(F.col("n_within"), F.lit(0)).cast("double")
+                / F.col("n_edges")
+                - half * half
+            ).alias("modularity_term"),
+        )
+    )

@@ -389,3 +389,43 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_scd2(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment of an event stream against an SCD Type-2
+    dimension: each event joins the dimension row whose validity interval
+    ``[valid_from, valid_to)`` contains the EVENT time — never the current
+    row, so replays and late events get the attributes that were true when
+    the event happened (the batch formulation is q128's interval as-of
+    join; the dimension build is q116's).
+
+    Works identically on a streaming `events` frame: Spark supports
+    stream-static joins with arbitrary conditions, and because the static
+    side is re-read per micro-batch, publishing a new dimension snapshot
+    is picked up without restarting the query. The half-open interval
+    guarantees each event matches AT MOST ONE dimension row (SCD2
+    invariant: intervals per key tile the timeline without overlap), so
+    the join never amplifies the stream. An open current row
+    (``valid_to IS NULL``) matches everything at-or-after its
+    ``valid_from``. At 100 TB the dimension is the broadcast side; the
+    stream is never shuffled at all.
+    """
+    d = dim
+    if dim_key == key:
+        d = d.withColumnRenamed(dim_key, f"_dim_{dim_key}")
+        dim_key = f"_dim_{dim_key}"
+    cond = (
+        (events[key] == d[dim_key])
+        & (events[ts_col] >= d[valid_from])
+        & (d[valid_to].isNull() | (events[ts_col] < d[valid_to]))
+    )
+    return events.join(F.broadcast(d), cond, how).drop(dim_key)

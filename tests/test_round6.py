@@ -124,3 +124,45 @@ def test_idle_rich_excludes_buyers(spark, sf_dir):
         .count()
     )
     assert n_out == manual
+
+
+def test_acf_bounds_and_ljung_box_monotone(spark, sf_dir):
+    rows = sorted(
+        _QS["q252_acf_ljung_box"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+    qs = [r["ljung_box_q"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(qs, qs[1:]))  # cumulative
+
+
+def test_events_since_purchase_hand_case(spark, tmp_path):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0), 1, "view", 0.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 1), 1, "purchase", 0.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 2), 1, "view", 0.0, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 3), 1, "click", 0.0, "{}"),
+        (5, datetime.datetime(2024, 1, 1, 4), 1, "purchase", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r["events_since_purchase"]
+        for r in _QS["q253_events_since_purchase"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # before first purchase -> NULL; purchase row counts since PREVIOUS one
+    assert out == {1: None, 2: None, 3: 0, 4: 1, 5: 2}
+
+
+def test_modularity_total_in_valid_range(spark, sf_dir):
+    rows = _QS["q254_brand_modularity"](spark, sf_dir).collect()
+    assert rows
+    q = sum(r["modularity_term"] for r in rows)
+    assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9  # Newman modularity bounds

@@ -506,3 +506,59 @@ def test_jsonl_deadletter_split(spark, tmp_path):
         read_jsonl_with_deadletter(
             spark, str(p), StructType(list(schema.fields) + [StructField("_corrupt_record", StringType())])
         )
+
+
+def test_scd2_enrichment_stream_matches_batch(spark, tmp_path):
+    """Stream-static SCD2 as-of enrichment: events pick up the dimension
+    attributes valid at EVENT time, identically in batch and streaming."""
+    import datetime
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import enrich_scd2
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", at(0), at(5)),
+            (1, "gold", at(5), None),  # upgraded at hour 5, current row
+            (2, "silver", at(0), None),
+        ],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    events = [
+        (1, at(1), 1, "view", 1.0, "{}"),   # -> bronze
+        (2, at(5), 1, "view", 1.0, "{}"),   # boundary: [from, to) -> gold
+        (3, at(9), 1, "view", 1.0, "{}"),   # -> gold (open row)
+        (4, at(2), 2, "view", 1.0, "{}"),   # -> silver
+        (5, at(3), 7, "view", 1.0, "{}"),   # no dim row -> null tier
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(events, EVENTS_DDL).write.mode("overwrite").parquet(src)
+
+    batch = {
+        r["event_id"]: r["tier"]
+        for r in enrich_scd2(
+            spark.read.parquet(src), dim
+        ).select("event_id", "tier").collect()
+    }
+    assert batch == {1: "bronze", 2: "gold", 3: "gold", 4: "silver", 5: None}
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    out = enrich_scd2(stream, dim).select("event_id", "tier")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_parity")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("select * from scd2_parity").collect()
+    }
+    assert streamed == batch
