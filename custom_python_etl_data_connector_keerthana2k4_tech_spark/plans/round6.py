@@ -869,3 +869,188 @@ def q254_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-part return rates
+# ---------------------------------------------------------------------------
+
+SHRINKAGE_PSEUDO_COUNT = 50
+
+
+@query(
+    "q255_shrunk_return_rates",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+               AS r_tot,
+             CAST(count(*) AS BIGINT) AS n_tot
+      FROM lineitem
+    ), p AS (
+      SELECT l_partkey,
+             CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+               AS r,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, r, n,
+           CAST(r AS DOUBLE) / n AS raw_rate,
+           (r + {SHRINKAGE_PSEUDO_COUNT}
+              * (CAST(r_tot AS DOUBLE) / n_tot))
+             / (n + {SHRINKAGE_PSEUDO_COUNT}) AS shrunk_rate
+    FROM p, g
+    """,
+)
+def q255_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates toward the
+    corpus rate: shrunk = (r + m*p0) / (n + m) with m=50 pseudo-
+    observations — the estimator that stops a part with 1 return in
+    2 sales from topping the 'worst parts' report above one with 300
+    in 1000 (the cold-start fix q168's raw deciles and q174's Wilson
+    bounds both need upstream; Wilson widens the interval, shrinkage
+    moves the point estimate). One aggregation pass builds both the
+    part-grain counts and (reusing the same scan) the 1-row global
+    prior, which rides in as a broadcast; the estimate is pure
+    arithmetic on exact BIGINTs with textually identical double
+    expressions on both engines. At 100 TB: one map-side-combined
+    rollup, nothing else. The reference has no aggregation surface
+    (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    g = li.agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r_tot"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    p = li.groupBy("l_partkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = F.lit(SHRINKAGE_PSEUDO_COUNT)
+    return p.crossJoin(F.broadcast(g)).select(
+        "l_partkey",
+        "r",
+        "n",
+        (F.col("r").cast("double") / F.col("n")).alias("raw_rate"),
+        (
+            (
+                F.col("r")
+                + m * (F.col("r_tot").cast("double") / F.col("n_tot"))
+            )
+            / (F.col("n") + m)
+        ).alias("shrunk_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Double-charge screen (same customer, same amount, within 24h)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_double_charge_screen",
+    oracle="""
+    SELECT a.o_orderkey AS k1, b.o_orderkey AS k2, a.o_custkey,
+           a.o_totalprice,
+           CAST(abs(date_diff('second', a.o_orderdate, b.o_orderdate))
+             AS BIGINT) AS gap_seconds
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_totalprice = b.o_totalprice
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('second', a.o_orderdate, b.o_orderdate)) <= 86400
+    """,
+)
+def q256_double_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-transaction audit: pairs of DISTINCT orders from the
+    same customer for the EXACT same amount within 24 hours — the
+    double-charge / double-submit screen every billing pipeline runs
+    (the fraud-shaped sibling of q42's exact content dedup: here the
+    'fingerprint' is the business key (customer, amount) and time
+    proximity is part of the predicate, so it's a self-join, not a
+    distinct). The join key is the composite (custkey, totalprice) —
+    equality on both makes this a hash equi-join whose per-key fan-out
+    is the customer's repeat count of one exact amount (tiny), with
+    the 24h band as a cheap post-filter; nothing quadratic in the
+    table. k1 < k2 canonicalizes pairs. At 100 TB this is one
+    self-shuffle on the composite key, skew-safe because exact-amount
+    repeats are rare by construction. The reference dedups by id
+    equality only (etl_connector.py:181, SURVEY R8)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    gap = F.abs(
+        F.col("b.o_orderdate").cast("long")
+        - F.col("a.o_orderdate").cast("long")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(gap <= 86400)
+        .select(
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_totalprice").alias("o_totalprice"),
+            gap.cast("long").alias("gap_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly load profile with peak-to-mean ratios
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_hourly_load_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_of_day, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)
+             AS share,
+           CAST(n * 24 AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)
+             AS load_index,
+           CAST(max(n) OVER (PARTITION BY event_type) * 24 AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type) AS peak_to_mean
+    FROM h
+    """,
+)
+def q257_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load curve per event type: each hour's share, its
+    load index (share x 24; 1.0 = flat traffic), and the type's
+    peak-to-mean ratio — the capacity-planning companion to q183's
+    weekday seasonality (that one answers WHICH DAY, this one answers
+    WHEN in the day and HOW SPIKY; peak_to_mean is what you provision
+    autoscaling against). One aggregation collapses the fact table to
+    a (type x 24)-row frame; the share/peak windows run over those
+    tiny partitions. Exact BIGINT counts, three double divisions of
+    the same integer quantities. The reference has no aggregation
+    surface (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+        ((F.col("n") * 24).cast("double") / F.sum("n").over(w)).alias(
+            "load_index"
+        ),
+        (
+            (F.max("n").over(w) * 24).cast("double") / F.sum("n").over(w)
+        ).alias("peak_to_mean"),
+    )

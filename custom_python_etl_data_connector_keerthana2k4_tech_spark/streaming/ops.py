@@ -429,3 +429,75 @@ def enrich_scd2(
         & (d[valid_to].isNull() | (events[ts_col] < d[valid_to]))
     )
     return events.join(F.broadcast(d), cond, how).drop(dim_key)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    capacity: int = 8,
+    n_buckets: int = 4,
+):
+    """Streaming heavy hitters via SpaceSaving state per hash bucket —
+    the continuous twin of batch q102's approx_top_k sketch: track the
+    most frequent items of an unbounded stream in bounded memory
+    (capacity counters per bucket), with SpaceSaving's guarantees that
+    (a) estimates never undercount (count_est >= true count), (b) any
+    item with true frequency > N/capacity is guaranteed tracked, and
+    (c) with capacity >= distinct items the counts are EXACT.
+
+    Items are sharded to ``n_buckets`` state partitions by a
+    deterministic JVM-side hash (built-in ``crc32``, no Python UDF in
+    the row path), so every item consistently lands in one
+    bucket's counter set and the bucket states merge trivially at read
+    time (union of candidate rows, one final top-k). Each micro-batch is
+    pre-aggregated to exact per-item counts in pandas before touching
+    the state, so state work is O(distinct-per-batch), not O(rows).
+    Emits each bucket's full candidate set per batch (append mode): the
+    latest batch's rows are the live sketch. State per bucket is two
+    parallel arrays (items, counts) — bounded forever.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucket = F.pmod(
+        F.crc32(F.encode(F.col(item_col), "UTF-8")), F.lit(n_buckets)
+    ).cast("int")
+
+    def update(key, pdfs, state: GroupState):
+        items, counts = (
+            ([], []) if not state.exists else
+            (list(state.get[0]), list(state.get[1]))
+        )
+        tracked = dict(zip(items, counts))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for item, c in batch.groupby(item_col).size().items():
+            c = int(c)
+            if item in tracked:
+                tracked[item] += c
+            elif len(tracked) < capacity:
+                tracked[item] = c
+            else:  # SpaceSaving eviction: inherit the min counter
+                victim = min(tracked, key=lambda k: (tracked[k], k))
+                tracked[item] = tracked.pop(victim) + c
+        out_items = sorted(tracked, key=lambda k: (-tracked[k], k))
+        state.update(
+            (out_items, [int(tracked[k]) for k in out_items])
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(out_items),
+                "item": out_items,
+                "count_est": [int(tracked[k]) for k in out_items],
+            }
+        )
+
+    return (
+        events.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="bucket int, item string, count_est long",
+            stateStructType="items array<string>, counts array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

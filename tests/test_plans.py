@@ -128,3 +128,28 @@ def test_decontamination_broadcasts_benchmark_grams(plans):
     whole exploded-gram corpus at 100 TB."""
     p = plans("q84_decontamination")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p[:2000]
+
+
+def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """A date-partitioned layout must prune directories at plan time: the
+    scan's PartitionFilters carries the predicate and only matching
+    partitions are read — the layout q77-style rollups and incremental
+    ingest rely on at 100 TB."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "events_by_day")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(src)
+    days = sorted(r["day"] for r in spark.read.parquet(src).select("day").distinct().collect())
+    assert len(days) >= 3
+    cut = days[len(days) // 2]
+
+    df = spark.read.parquet(src).filter(F.col("day") == F.lit(cut))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\n\]]*)", plan)
+    assert m and "day" in m.group(1), plan[:2000]
+    # row parity with an unpartitioned filter on the same data
+    expect = ev.filter(F.col("day") == F.lit(cut)).count()
+    assert df.count() == expect > 0

@@ -562,3 +562,85 @@ def test_scd2_enrichment_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from scd2_parity").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
+    """Two micro-batches; capacity >= distinct items -> SpaceSaving counts
+    are exactly the batch groupBy counts, accumulated across batches."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    sink = str(tmp_path / "hh_sink")
+    ck = str(tmp_path / "hh_ck")
+    base = dt.datetime(2024, 4, 1)
+
+    def add_file(rows):
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    add_file(
+        [(i, base, 1, t, 0.0, "{}")
+         for i, t in enumerate(["a", "a", "b", "c", "a"])]
+    )
+    add_file(
+        [(10 + i, base, 1, t, 0.0, "{}")
+         for i, t in enumerate(["b", "a", "d", "b"])]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_heavy_hitters(stream, capacity=8)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # keep only each bucket's LAST emission: rows whose counts are maximal
+    out = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in out:
+        latest[r["item"]] = max(latest.get(r["item"], 0), r["count_est"])
+    assert latest == {"a": 4, "b": 3, "c": 1, "d": 1}
+
+
+def test_streaming_heavy_hitters_never_undercounts(spark, tmp_path):
+    """Capacity pressure (capacity=2, one bucket): estimates may inflate
+    but can never undercount, and the true heavy item must surface."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh2_src")
+    sink = str(tmp_path / "hh2_sink")
+    ck = str(tmp_path / "hh2_ck")
+    base = dt.datetime(2024, 4, 1)
+    types = ["hot"] * 10 + ["w1", "w2", "w3", "w4", "hot", "hot"]
+    spark.createDataFrame(
+        [(i, base, 1, t, 0.0, "{}") for i, t in enumerate(types)], EVENTS_DDL
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    q = (
+        streaming_heavy_hitters(stream, capacity=2, n_buckets=1)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["item"]: r["count_est"] for r in spark.read.parquet(sink).collect()}
+    true = {t: types.count(t) for t in set(types)}
+    assert "hot" in rows and rows["hot"] >= true["hot"]
+    for item, est in rows.items():
+        assert est >= true[item]  # SpaceSaving never undercounts
