@@ -1054,3 +1054,328 @@ def q257_hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n").over(w) * 24).cast("double") / F.sum("n").over(w)
         ).alias("peak_to_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution, exact micro-credits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_position_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT event_id AS tid, user_id, ts AS tts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), joined AS (
+      SELECT p.pid, t.tid, t.event_type,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY t.tts, t.tid) AS pos,
+             count(*) OVER (PARTITION BY p.pid) AS n
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tts < p.pts
+       AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN pos = 1 OR pos = n THEN 400000
+               ELSE 200000 // (n - 2)
+                    + CASE WHEN pos - 1 <= 200000 % (n - 2)
+                           THEN 1 ELSE 0 END
+             END AS credit_micro
+      FROM joined
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+           CAST(sum(credit_micro) AS DOUBLE) / 1e6 AS purchases_attributed
+    FROM credited GROUP BY 1
+    """,
+)
+def q258_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase
+    splits ONE unit of credit over its preceding 7 days of touches —
+    40% to the first touch, 40% to the last, 20% across the middles —
+    the multi-touch upgrade of q140's last-touch rule. Credit lives in
+    exact integer micro-units, with the middle share apportioned by
+    the largest-remainder trick (q239): floor division plus +1 for
+    the first ``rem`` middles, so every purchase's credits sum to
+    EXACTLY 1,000,000 micro-units (conservation testable, no float
+    drift, engine-exact). The touch join is user-keyed with a 7-day
+    band (q198's shape); position windows run per purchase. At 100 TB
+    one shuffle on user_id feeds the join, one on purchase id feeds
+    the windows. The reference has no attribution surface
+    (SURVEY §2.2)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wpos = Window.partitionBy("pid").orderBy("tts", "tid")
+    wall = Window.partitionBy("pid")
+    ranked = joined.select(
+        "event_type",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    n, pos = F.col("n"), F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(1000000))
+        .when(n == 2, F.lit(500000))
+        .when((pos == 1) | (pos == n), F.lit(400000))
+        .otherwise(
+            F.expr("200000 div (n - 2)")
+            + F.when(pos - 1 <= 200000 % (n - 2), 1).otherwise(0)
+        )
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_micro").cast("long").alias("credit_micro_total"),
+            (F.sum("credit_micro").cast("double") / 1e6).alias(
+                "purchases_attributed"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (cumulative distinct vs cumulative tokens)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+               AS w
+      FROM documents
+    ), doc_tok AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1
+    ), first_seen AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY 1
+    ), new_per_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1
+    ), curve AS (
+      SELECT dt.doc_id,
+             sum(dt.n_toks) OVER (ORDER BY dt.doc_id) AS cum_tokens,
+             sum(coalesce(np.n_new, 0)) OVER (ORDER BY dt.doc_id)
+               AS cum_vocab
+      FROM doc_tok dt LEFT JOIN new_per_doc np ON dt.doc_id = np.doc_id
+    ), pts AS (
+      SELECT doc_id,
+             CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST(cum_vocab AS BIGINT) AS cum_vocab,
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+               AS lx,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e9) AS BIGINT)
+               AS ly
+      FROM curve
+    ), fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(
+               (CAST(lx AS DOUBLE) / 1e9) * (CAST(ly AS DOUBLE) / 1e9)
+               * 1e6) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(round(
+               (CAST(lx AS DOUBLE) / 1e9) * (CAST(lx AS DOUBLE) / 1e9)
+               * 1e6) AS BIGINT)) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+           / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+             - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+             AS heaps_beta
+    FROM fit
+    """,
+)
+def q259_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent of the corpus: fit V = K * N^beta on the
+    log-log vocabulary-growth curve (cumulative distinct tokens vs
+    cumulative token count in doc-id order) — the companion to q213's
+    Zipf fit and the number behind q191's tokenizer sizing: beta near
+    0.5 says vocabulary keeps growing like sqrt(N), so doubling the
+    corpus keeps minting new tokens. The curve needs NO re-scanning
+    per point: each token's FIRST document (one min-aggregation)
+    scatters vocabulary increments to the doc where they happen, and
+    two ordered window sums build the whole curve — q88's cumulative-
+    distinct trick. Log points are nano-quantized, their OLS moments
+    micro-quantized (q213's fit discipline), so the regression is
+    order-independent and engine-exact. The reference has no text
+    analytics (SURVEY §2.2)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_per_doc = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wcum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = (
+        doc_tok.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(wcum).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wcum)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * F.lit(1e9))
+        .cast("long")
+        .alias("ly"),
+    )
+    lxd = F.col("lx").cast("double") / 1e9
+    lyd = F.col("ly").cast("double") / 1e9
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.round(lxd * lyd * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.round(lxd * lxd * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double") / 1e9
+    syd = F.col("sy").cast("double") / 1e9
+    sxyd = F.col("sxy").cast("double") / 1e6
+    sxxd = F.col("sxx").cast("double") / 1e6
+    return fit.select(
+        "n",
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias(
+            "heaps_beta"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach (friends-of-friends) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_two_hop_reach",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), two_hop AS (
+      SELECT DISTINCT e1.u, e2.v AS w
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+      WHERE e1.u <> e2.v
+    ), strict AS (
+      SELECT t.u, t.w FROM two_hop t
+      LEFT JOIN und d ON t.u = d.u AND t.w = d.v
+      WHERE d.u IS NULL
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1
+    )
+    SELECT deg.u AS part, deg.degree,
+           CAST(coalesce(s.n2, 0) AS BIGINT) AS two_hop_only
+    FROM deg LEFT JOIN (
+      SELECT u, CAST(count(*) AS BIGINT) AS n2 FROM strict GROUP BY 1
+    ) s ON deg.u = s.u
+    """,
+)
+def q260_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends reach per part: how many parts are exactly
+    TWO co-purchase hops away (reachable through a shared neighbor
+    but not directly connected) — the recommendation-candidate pool
+    size, and the graph-expansion profile that decides whether a
+    2-hop recommender is even tractable (completes q149's degree
+    profile / q117's triangles / q126's PageRank). The wedge join
+    (edges x edges on the middle node) is the declared scale cost —
+    identical to q117's, where degree-ordered orientation caps hub
+    fan-out; here the distinct collapses wedges to endpoint pairs
+    immediately, the direct-edge anti-join leaves strictly-2-hop
+    pairs, and all frames stay in aggregate space (node/edge grain,
+    never raw rows). Exact BIGINT counts throughout. The reference
+    has no graph surface (SURVEY §2.2)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .filter(F.col("e1.u") != F.col("e2.v"))
+        .select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
+        .distinct()
+    )
+    strict = two_hop.join(
+        und.select(F.col("u").alias("du"), F.col("v").alias("dv")),
+        (F.col("u") == F.col("du")) & (F.col("w") == F.col("dv")),
+        "left_anti",
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    n2 = strict.groupBy("u").agg(F.count(F.lit(1)).alias("n2"))
+    return deg.join(n2, "u", "left").select(
+        F.col("u").alias("part"),
+        "degree",
+        F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("two_hop_only"),
+    )

@@ -153,3 +153,32 @@ def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # row parity with an unpartitioned filter on the same data
     expect = ev.filter(F.col("day") == F.lit(cut)).count()
     assert df.count() == expect > 0
+
+
+# Queries whose *construction* runs driver-side jobs (iterative algorithms,
+# HTTP-stub sources) — excluded from the whole-surface plan sweep to keep it
+# fast; each has its own dedicated tests.
+_CONSTRUCTION_HEAVY = {
+    "q52_rest_pipeline",
+    "q101_recursive_reachability",
+    "q126_pagerank",
+    "q136_kmeans_embeddings",
+    "q173_kcore",
+    "q243_pca_top_component",
+}
+
+
+def test_no_query_plan_degenerates_to_cartesian(spark, sf_dir):
+    """Whole-surface plan hygiene: no registered query may plan a
+    CartesianProduct (a shuffled cartesian is never acceptable; 1-row
+    broadcast totals plan as BroadcastNestedLoopJoin, which is fine and
+    separately whitelisted above)."""
+    qs = registry.queries()
+    offenders = []
+    for name in sorted(qs):
+        if name in _CONSTRUCTION_HEAVY:
+            continue
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

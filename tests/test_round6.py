@@ -166,3 +166,64 @@ def test_modularity_total_in_valid_range(spark, sf_dir):
     assert rows
     q = sum(r["modularity_term"] for r in rows)
     assert -0.5 - 1e-9 <= q <= 1.0 + 1e-9  # Newman modularity bounds
+
+
+def test_attribution_credit_is_conserved(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+    rows = _QS["q258_position_attribution"](spark, sf_dir).collect()
+    assert rows
+    total_micro = sum(r["credit_micro_total"] for r in rows)
+    # every attributed purchase contributes exactly 1,000,000 micro-units
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("tts")
+    )
+    n_attributed = (
+        p.join(
+            t,
+            (F.col("p_user") == F.col("t_user"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+            "left_semi",
+        ).count()
+    )
+    assert total_micro == n_attributed * 1_000_000
+
+
+def test_heaps_beta_plausible(spark, sf_dir):
+    r = _QS["q259_heaps_law"](spark, sf_dir).collect()[0]
+    assert 0.0 < r["heaps_beta"] < 1.0  # sublinear vocabulary growth
+
+
+def test_two_hop_excludes_direct_neighbors(spark, tmp_path):
+    # path graph via orders: parts {1,2} {2,3} {3,4} co-purchased.
+    # From 1: neighbors={2}, two-hop-only={3}. From 2: nb={1,3}, 2hop={4}.
+    import datetime
+
+    ts = datetime.datetime(2000, 1, 1)
+    rows = []
+    for ok, (pa, pb) in enumerate([(1, 2), (2, 3), (3, 4)], start=1):
+        for ln, pk in enumerate([pa, pb], start=1):
+            rows.append((ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", ts))
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = {
+        r["part"]: (r["degree"], r["two_hop_only"])
+        for r in _QS["q260_two_hop_reach"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (1, 1), 2: (2, 1), 3: (2, 1), 4: (1, 1)}
