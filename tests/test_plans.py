@@ -76,6 +76,19 @@ _INTENTIONAL_BNLJ = {
     "q182_negative_sampling",  # one-row max-key broadcast
     "q183_weekday_index",  # one-row overall-baseline broadcast
     "q186_revenue_var",  # one-row VaR-quantile broadcast
+    "q237_mann_whitney_u",  # one-row tie-term broadcast
+    "q239_budget_allocation",  # one-row budget-total broadcast
+    "q242_theil_decomposition",  # one-row grand-mean broadcast
+    "q246_kruskal_wallis",  # one-row tie-correction broadcast
+    "q248_lm_quality_score",  # one-row corpus-total broadcast
+    "q249_temperature_mix",  # one-row quota-denominator broadcast
+    "q251_idle_rich_customers",  # one-row scalar-subquery avg broadcast
+    "q252_acf_ljung_box",  # one-row series-moment broadcast
+    "q254_brand_modularity",  # one-row edge-total broadcast
+    "q255_shrunk_return_rates",  # one-row prior-strength broadcast
+    "q261_cohens_kappa",  # one-row marginal-total broadcast
+    "q263_markov_entropy_rate",  # one-row normalizer broadcast
+    "q264_lead_lag_ccf",  # one-row series-moment broadcast
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
     "q200_decayed_popularity",  # one-row anchor-date broadcast
