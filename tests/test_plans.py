@@ -89,6 +89,7 @@ _INTENTIONAL_BNLJ = {
     "q261_cohens_kappa",  # one-row marginal-total broadcast
     "q263_markov_entropy_rate",  # one-row normalizer broadcast
     "q264_lead_lag_ccf",  # one-row series-moment broadcast
+    "q274_cramers_v",  # category-grid cross of two margin frames
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
     "q200_decayed_popularity",  # one-row anchor-date broadcast
