@@ -63,6 +63,7 @@ def test_dimension_joins_broadcast(plans, name):
 # vector, a band dimension), so the nested loop is O(rows x small-constant)
 # — the correct plan, unlike a shuffled cartesian.
 _INTENTIONAL_BNLJ = {
+    "q280_tpch_q11_important_parts",  # one-row value-threshold broadcast (Q11 scalar subquery)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
     "q139_equifreq_bins",  # one-row decile-cutoff vector broadcast
     "q142_bigram_pmi",  # one-row corpus-total broadcast
