@@ -64,6 +64,8 @@ def test_dimension_joins_broadcast(plans, name):
 # — the correct plan, unlike a shuffled cartesian.
 _INTENTIONAL_BNLJ = {
     "q280_tpch_q11_important_parts",  # one-row value-threshold broadcast (Q11 scalar subquery)
+    "q286_js_divergence",  # source x lang margin-grid cross (dimension-bounded)
+    "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
     "q139_equifreq_bins",  # one-row decile-cutoff vector broadcast
     "q142_bigram_pmi",  # one-row corpus-total broadcast
