@@ -67,7 +67,6 @@ _INTENTIONAL_BNLJ = {
     "q286_js_divergence",  # source x lang margin-grid cross (dimension-bounded)
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
-    "q139_equifreq_bins",  # one-row decile-cutoff vector broadcast
     "q142_bigram_pmi",  # one-row corpus-total broadcast
     "q143_band_lookup",  # 4-row interval band dimension broadcast
     "q151_association_rules",  # one-row basket-total broadcast
