@@ -65,6 +65,8 @@ def test_dimension_joins_broadcast(plans, name):
 _INTENTIONAL_BNLJ = {
     "q280_tpch_q11_important_parts",  # one-row value-threshold broadcast (Q11 scalar subquery)
     "q286_js_divergence",  # source x lang margin-grid cross (dimension-bounded)
+    "q294_psi_drift",  # one-row bin-totals broadcast (PSI denominators)
+    "q298_hurst_exponent",  # 4-row block-size ladder broadcast over day frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
     "q142_bigram_pmi",  # one-row corpus-total broadcast
