@@ -644,3 +644,87 @@ def test_streaming_heavy_hitters_never_undercounts(spark, tmp_path):
     assert "hot" in rows and rows["hot"] >= true["hot"]
     for item, est in rows.items():
         assert est >= true[item]  # SpaceSaving never undercounts
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, events_dir, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: unmatched left rows are
+    held in state while they could still match, then emitted null-padded
+    once the watermark passes their window. A far-future sentinel file in
+    a second run advances the watermark past every real row, so the final
+    sink must equal the batch left-outer join."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import stream_stream_join
+
+    src = str(tmp_path / "lo_src")
+    sink = str(tmp_path / "lo_sink")
+    ck = str(tmp_path / "lo_ck")
+    os.makedirs(src, exist_ok=True)
+    real = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("ts") < "2024-01-08")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    real.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def split(df):
+        # sentinels (event_id >= 10**9) must flow THROUGH these filters —
+        # a watermark only advances on rows that reach its operator
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        buys = df.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90)
+        ).select("event_id", "ts", "user_id", "value")
+        return clicks, buys
+
+    def run():
+        s = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        joined = stream_stream_join(
+            *split(s),
+            key="user_id",
+            max_delay="1 hour",
+            watermark="2 hours",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # sentinel in BOTH roles, 30 days later: pushes the watermark far past
+    # every real row so all pending unmatched lefts are evicted + emitted
+    # two sentinel runs: the watermark computed from batch N's data only
+    # evicts state in batch N+1, so a second even-later sentinel batch
+    # flushes everything the first one unlocked
+    for i, far in enumerate([dt.datetime(2024, 3, 1), dt.datetime(2024, 4, 1)]):
+        sentinel = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, far, 999999, "click", 1.0, "{}"),
+                (10**9 + 2 * i + 1, far, 999999, "purchase", 99.0, "{}"),
+            ],
+            EVENTS_DDL,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        run()
+
+    got = (
+        spark.read.parquet(sink)
+        .filter(F.col("event_id") < 10**9)
+        .drop("r_event_id", "r_ts")
+    )
+    want = stream_stream_join(
+        *split(real),
+        key="user_id",
+        max_delay="1 hour",
+        watermark="2 hours",
+        how="left_outer",
+    ).drop("r_event_id", "r_ts")
+    assert _rows(got) == _rows(want)
+    # the outer semantics actually exercised: some rows matched, some not
+    assert got.filter(F.col("r_value").isNull()).count() > 0
+    assert got.filter(F.col("r_value").isNotNull()).count() > 0
