@@ -70,6 +70,7 @@ _INTENTIONAL_BNLJ = {
     "q300_dft_weekly_power",  # one-row series-mean broadcast
     "q306_term_dispersion",  # top-20-term x source margin-grid cross
     "q307_rich_club",  # 3-row degree-threshold ladder broadcast
+    "q311_neyman_allocation",  # one-row weight-total + base-seat broadcasts
     "q301_ar1_backtest",  # one-row (phi, mu) fit broadcast into test frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
