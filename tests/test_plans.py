@@ -73,6 +73,8 @@ _INTENTIONAL_BNLJ = {
     "q311_neyman_allocation",  # one-row weight-total + base-seat broadcasts
     "q316_durbin_watson",  # one-row series-mean broadcast
     "q318_distinctive_terms",  # one-row corpus-total broadcast
+    "q324_tail_dependence",  # one-row percentile-threshold broadcast
+    "q326_oov_rate",  # one-row test-count x unseen-count scalar crosses
     "q301_ar1_backtest",  # one-row (phi, mu) fit broadcast into test frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
