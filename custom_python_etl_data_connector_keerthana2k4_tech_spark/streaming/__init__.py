@@ -11,6 +11,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops impo
     stream_stream_join,
     streaming_cusum,
     streaming_ewma,
+    sessionize_with_timeout,
     streaming_heavy_hitters,
     windowed_counts,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "stream_stream_join",
     "streaming_cusum",
     "streaming_ewma",
+    "sessionize_with_timeout",
     "streaming_heavy_hitters",
     "windowed_counts",
 ]

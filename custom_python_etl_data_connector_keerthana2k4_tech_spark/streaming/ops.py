@@ -501,3 +501,97 @@ def streaming_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_with_timeout(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Timeout-driven sessionization (``applyInPandasWithState`` +
+    ``GroupStateTimeout.EventTimeTimeout``): per-key sessions close either
+    when a later event arrives past the gap (emitted immediately) or when
+    the WATERMARK passes session_end + gap with no successor — the
+    idle-timeout path that ``session_window`` aggregation cannot decorate
+    with custom per-session logic.
+
+    Emits one final row per closed session: (key, session_start,
+    session_end, n_events, total_value). Open sessions live in the state
+    store (two timestamps + two numbers per key), are recovered from the
+    checkpoint on restart, and each key's state is colocated by the
+    groupBy shuffle — the same horizontal-scaling contract as every other
+    stateful operator here. Batch parity: the gap-rule window
+    sessionization (q92/q160) over the same rows produces the same
+    sessions; tests/test_streaming.py pins it.
+
+    The reference processes records strictly one-at-a-time with no state
+    across records (/root/reference/etl_connector.py:219-226); sessions
+    are north-star extension surface (SURVEY §2.3).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            s, e, n, tot = state.get
+            state.remove()
+            out.append((key[0], s, e, n, tot))
+        else:
+            if state.exists:
+                s, e, n, tot = state.get
+            else:
+                s = e = None
+                n, tot = 0, 0.0
+            rows = []
+            for pdf in pdfs:
+                ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+                rows.extend(zip(ts_us, pdf[value_col].tolist()))
+            rows.sort()
+            for t, v in rows:
+                if n == 0:
+                    s = e = t
+                    n, tot = 1, float(v)
+                elif t - e <= gap_us:
+                    e = max(e, t)
+                    n += 1
+                    tot += float(v)
+                else:
+                    out.append((key[0], s, e, n, tot))
+                    s = e = t
+                    n, tot = 1, float(v)
+            if n > 0:
+                state.update((s, e, n, tot))
+                state.setTimeoutTimestamp((e + gap_us) // 1000)
+        import pandas as _pd
+
+        yield _pd.DataFrame(
+            out,
+            columns=[key_col, "start_us", "end_us", "n_events", "total_value"],
+        )
+
+    closed = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{key_col} long, start_us long, end_us long, "
+                "n_events long, total_value double"
+            ),
+            stateStructType="s long, e long, n long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return closed.select(
+        key_col,
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )

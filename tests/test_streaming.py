@@ -728,3 +728,61 @@ def test_stream_stream_left_outer_emits_unmatched(spark, events_dir, tmp_path):
     # the outer semantics actually exercised: some rows matched, some not
     assert got.filter(F.col("r_value").isNull()).count() > 0
     assert got.filter(F.col("r_value").isNotNull()).count() > 0
+
+
+def test_sessionize_with_timeout_matches_batch_gap_rule(spark, tmp_path):
+    """Timeout-driven stateful sessionization: sessions close in-stream
+    when a successor arrives past the gap, and via EventTimeTimeout when
+    the watermark passes an idle session. Emitted sessions must equal the
+    batch gap-rule sessionization of the same rows."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming import sessionize_with_timeout
+
+    src = str(tmp_path / "sw_src")
+    sink = str(tmp_path / "sw_sink")
+    ck = str(tmp_path / "sw_ck")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    mins = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: two sessions separated by a 90-minute hole
+        (1, base, 1, "a", 1.0, "{}"),
+        (2, base + 5 * mins, 1, "a", 2.0, "{}"),
+        (3, base + 95 * mins, 1, "a", 3.0, "{}"),
+        (4, base + 100 * mins, 1, "a", 4.0, "{}"),
+        # user 2: one session
+        (5, base, 2, "a", 10.0, "{}"),
+        (6, base + 20 * mins, 2, "a", 20.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+        q = (
+            sessionize_with_timeout(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    # two sentinel batches push the watermark far past every session's
+    # idle deadline (watermark lags one batch; see left-outer join test)
+    for i, far in enumerate([base + dt.timedelta(days=10), base + dt.timedelta(days=20)]):
+        spark.createDataFrame(
+            [(100 + i, far, 999, "a", 0.0, "{}")], EVENTS_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.read.parquet(sink).filter(F.col("user_id") < 999).collect()
+    )
+    want = [
+        (1, base, base + 5 * mins, 2, 3.0),
+        (1, base + 95 * mins, base + 100 * mins, 2, 7.0),
+        (2, base, base + 20 * mins, 2, 30.0),
+    ]
+    assert got == want
