@@ -122,3 +122,98 @@ def compact_parquet(
     stats["files_after"] = len(after)
     stats["compacted"] = True
     return stats
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Atomic-handoff export: size-aware parquet write + a `_MANIFEST.json`
+    recording every data file with its byte size plus the total row count
+    and an order-invariant content checksum.
+
+    Downstream consumers read the manifest FIRST and only the files it
+    names — the publish/subscribe contract that makes a directory handoff
+    exactly-once: a partially-written or concurrently-rewritten directory
+    never matches its manifest, and a re-run that produces identical data
+    produces an identical checksum (idempotent publish). This is the
+    file-system analogue of the reference's idempotent keyed upsert
+    (R8, /root/reference/etl_connector.py:167-191) for whole-table
+    exports, and the poor-engine's slice of what table formats
+    (Delta/Iceberg) do with their commit logs.
+
+    The checksum is the engine's order-invariant table fingerprint (XOR of
+    per-row hashes — same construction as q89's cross-engine checksum), so
+    it is stable under row order, partitioning, and file layout. Returns
+    the manifest dict (also written as JSON next to the data).
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_parts = write_sized_parquet(
+        df, path, target_file_bytes=target_file_bytes, partition_by=partition_by
+    )
+    written = spark.read.parquet(path)
+    agg = (
+        written.select(F.xxhash64(*sorted(written.columns)).alias("h"))
+        .agg(F.bit_xor("h").alias("checksum"), F.count("*").alias("n_rows"))
+        .collect()[0]
+    )
+    fs, hpath, files = _list_parquet_files(spark, path)
+    manifest = {
+        "format": "parquet",
+        "n_rows": int(agg["n_rows"]),
+        "checksum": str(int(agg["checksum"] or 0)),
+        "partitions_written": n_parts,
+        "files": sorted(
+            ({"name": name, "bytes": int(size)} for name, size in files),
+            key=lambda f: f["name"],
+        ),
+    }
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    jvm = spark._jvm
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(manifest_path), True)
+    out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    out.close()
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> tuple[bool, dict]:
+    """Re-derive (row count, checksum, file census) for a directory and
+    compare against its `_MANIFEST.json`. Returns (ok, details)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/_MANIFEST.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+        )  # java 9+ InputStream API present on Java 17
+    finally:
+        stream.close()
+    manifest = json.loads(raw.decode())
+    _, _, files = _list_parquet_files(spark, path)
+    actual_files = sorted(
+        ({"name": n, "bytes": int(s)} for n, s in files), key=lambda f: f["name"]
+    )
+    df = spark.read.parquet(path)
+    agg = (
+        df.select(F.xxhash64(*sorted(df.columns)).alias("h"))
+        .agg(F.bit_xor("h").alias("checksum"), F.count("*").alias("n_rows"))
+        .collect()[0]
+    )
+    details = {
+        "rows_match": int(agg["n_rows"]) == manifest["n_rows"],
+        "checksum_match": str(int(agg["checksum"] or 0)) == manifest["checksum"],
+        "files_match": actual_files == manifest["files"],
+    }
+    return all(details.values()), details
