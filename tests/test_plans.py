@@ -78,6 +78,7 @@ _INTENTIONAL_BNLJ = {
     "q328_mean_excess_ladder",  # 3-row percentile-threshold ladder broadcast
     "q329_capture_recapture",  # one-row source-pair + overlap scalar crosses
     "q330_shift_share",  # one-row grand-totals broadcast
+    "q334_sign_reversal_screen",  # one-row overall-slope broadcast
     "q301_ar1_backtest",  # one-row (phi, mu) fit broadcast into test frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
