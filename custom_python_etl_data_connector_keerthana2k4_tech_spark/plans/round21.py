@@ -1,0 +1,219 @@
+"""Round-21 additions: inverse-propensity weighting (stratified
+Horvitz-Thompson treatment effect), the Laspeyres/Paasche/Fisher price
+index triplet (basket-weighted inflation between two years), and
+tokenizer fertility per language (tokens-per-word, the
+tokenizer-evaluation metric that decides whether a vocabulary serves a
+language or fragments it).
+
+The reference computes none of these (complete operator surface:
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All three are
+oracle-paired (DuckDB) and auto-gated by tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DSUM, dsum
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Stratified IPW (Horvitz-Thompson) treatment-effect estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q337_ipw_estimate",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(hour(ts) AS INT) AS h,
+             CAST(((user_id * 2654435761) % 4294967296) // 2147483648
+                  AS BIGINT) AS t,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), strata AS (
+      SELECT h, count(*) AS n,
+             sum(t) AS nt,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS ct,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS cc
+      FROM tagged GROUP BY 1
+    ), terms AS (
+      SELECT n, nt,
+             CAST(ct AS DOUBLE) * n / nt AS treated_term,
+             CAST(cc AS DOUBLE) * n / (n - nt) AS control_term
+      FROM strata WHERE nt > 0 AND nt < n
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_used,
+           CAST(count(*) AS BIGINT) AS k_strata,
+           (sum(treated_term) - sum(control_term)) / sum(n) AS ate_ipw
+    FROM terms
+    """,
+)
+def q337_ipw_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect with hour-of-day
+    strata: each stratum's propensity is its OBSERVED treated share, and
+    the Horvitz-Thompson terms c_T * n/n_T and c_C * n/n_C reweight both
+    arms back to the full population — the estimator that stays honest
+    when exposure correlates with a covariate, completing the causal kit
+    (balance q305, MH q315, DiD q333). Strata with a degenerate
+    propensity (0 or 1) are excluded, and the query reports how many
+    survived. Scale: one conditional pass to 24 integer strata; every
+    weight is an exact rational of cell counts. Reference has no
+    statistics (SURVEY §2.2)."""
+    tagged = load(spark, sf_dir, "events").select(
+        F.hour("ts").cast("int").alias("h"),
+        F.floor(
+            F.pmod(F.col("user_id") * 2654435761, F.lit(4294967296)) / F.lit(2147483648)
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    strata = tagged.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("cc"),
+    )
+    terms = strata.filter((F.col("nt") > 0) & (F.col("nt") < F.col("n"))).select(
+        "n",
+        (F.col("ct").cast("double") * F.col("n") / F.col("nt")).alias("treated_term"),
+        (F.col("cc").cast("double") * F.col("n") / (F.col("n") - F.col("nt"))).alias(
+            "control_term"
+        ),
+    )
+    return terms.agg(
+        F.sum("n").cast("long").alias("n_used"),
+        F.count("*").cast("long").alias("k_strata"),
+        ((F.sum("treated_term") - F.sum("control_term")) / F.sum("n")).alias("ate_ipw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indexes, 1996 -> 1997
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q338_fisher_price_index",
+    oracle=f"""
+    WITH cell AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             {DSUM('l_extendedprice')} AS spend,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), both_years AS (
+      SELECT a.l_partkey,
+             a.spend / a.qty AS p96, a.qty AS q96,
+             b.spend / b.qty AS p97, b.qty AS q97
+      FROM (SELECT * FROM cell WHERE yr = 1996) a
+      JOIN (SELECT * FROM cell WHERE yr = 1997) b USING (l_partkey)
+    ), idx AS (
+      SELECT {DSUM('p97 * q96')} / {DSUM('p96 * q96')} AS laspeyres,
+             {DSUM('p97 * q97')} / {DSUM('p96 * q97')} AS paasche,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM both_years
+    )
+    SELECT n_parts, laspeyres, paasche,
+           sqrt(laspeyres * paasche) AS fisher
+    FROM idx
+    """,
+)
+def q338_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic price-index triplet between 1996 and 1997 over parts
+    traded in BOTH years: Laspeyres (base-year basket), Paasche
+    (current-year basket), and their geometric mean Fisher — the
+    substitution-bias-bracketing inflation measure that q177's
+    volume/price bridge reports only one side of. Scale: the fact
+    collapses to (part, year) decimal spend/quantity cells with both
+    year predicates pushed to the scan; the two-year join runs on the
+    part-grain aggregate; index sums accumulate in decimal so both
+    engines divide identical numbers. Reference has no joins
+    (SURVEY §2.2)."""
+    cell = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(
+            dsum("l_extendedprice").alias("spend"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    a = cell.filter(F.col("yr") == 1996).select(
+        "l_partkey",
+        (F.col("spend") / F.col("qty")).alias("p96"),
+        F.col("qty").alias("q96"),
+    )
+    b = cell.filter(F.col("yr") == 1997).select(
+        F.col("l_partkey").alias("pk97"),
+        (F.col("spend") / F.col("qty")).alias("p97"),
+        F.col("qty").alias("q97"),
+    )
+    both = a.join(b, F.col("l_partkey") == F.col("pk97"))
+    idx = both.agg(
+        (dsum(F.col("p97") * F.col("q96")) / dsum(F.col("p96") * F.col("q96"))).alias(
+            "laspeyres"
+        ),
+        (dsum(F.col("p97") * F.col("q97")) / dsum(F.col("p96") * F.col("q97"))).alias(
+            "paasche"
+        ),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    return idx.select(
+        "n_parts",
+        "laspeyres",
+        "paasche",
+        F.sqrt(F.col("laspeyres") * F.col("paasche")).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language (tokens per whitespace word)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q339_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             length(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS words,
+             length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(tokens) AS DOUBLE) / sum(words) AS fertility
+    FROM d GROUP BY 1
+    """,
+)
+def q339_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens emitted by the BPE-ish
+    regex tokenizer (letter runs / digit runs / single punctuation —
+    q106's pre-tokenization) per whitespace word. Fertility near 1 means
+    the vocabulary serves the language; high fertility means its text
+    fragments into many tokens — the metric that exposes tokenizer bias
+    across languages and forecasts per-language context-window costs
+    (with q226's overflow profile). Scale: two narrow regexp counts per
+    document, one small-group aggregate of exact integers — shuffle
+    carries three numbers per doc. Reference has no text surface
+    (SURVEY §2.2)."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("words"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias("tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("tokens").cast("long").alias("n_tokens"),
+        (F.sum("tokens").cast("double") / F.sum("words")).alias("fertility"),
+    )
