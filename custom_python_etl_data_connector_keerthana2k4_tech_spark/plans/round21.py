@@ -217,3 +217,39 @@ def q339_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("long").alias("n_tokens"),
         (F.sum("tokens").cast("double") / F.sum("words")).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-component Gaussian-mixture fit of the event-value distribution
+# ---------------------------------------------------------------------------
+
+
+@query("q340_value_mixture_fit", oracle=None)
+def q340_value_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture over event values via
+    distributed EM (operators/mixture.py): weights, means, variances and
+    the final log-likelihood, components ordered by mean — the soft
+    regime-separation that k-means (q136) answers only with hard
+    assignments. Iterative and hence not SQL-expressible: registered
+    rows-only, with EM semantics pinned against a NumPy twin and planted
+    mixtures in tests/test_mixture.py (same gate pattern as
+    q126 PageRank / q136 k-means). Scale: each EM iteration is ONE
+    map-side-combinable aggregate (six decimal sufficient statistics);
+    driver state is the 6 parameters. Reference has no ML surface
+    (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.mixture import gaussian_mixture_1d
+
+    fit = gaussian_mixture_1d(load(spark, sf_dir, "events").select("value"), "value", n_iter=10)
+    rows = [
+        (
+            int(k + 1),
+            float(fit["weight"][k]),
+            float(fit["mean"][k]),
+            float(fit["var"][k]),
+            int(fit["n"]),
+        )
+        for k in range(2)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, weight double, mean double, variance double, n long"
+    )
