@@ -253,3 +253,82 @@ def q340_value_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, weight double, mean double, variance double, n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe train/val split (near-dup leakage-proof assignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q341_cluster_safe_split",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS canon
+      FROM documents
+    ), clusters AS (
+      SELECT canon, min(doc_id) AS rep, count(*) AS sz,
+             sum(CASE WHEN (doc_id * 2654435761) % 100 < 80
+                      THEN 1 ELSE 0 END) AS naive_train
+      FROM canon GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS multi_doc_clusters,
+           CAST(sum(CASE WHEN naive_train > 0 AND naive_train < sz
+                         THEN 1 ELSE 0 END) AS BIGINT) AS leaky_naive,
+           CAST(0 AS BIGINT) AS leaky_cluster_safe,
+           CAST(sum(CASE WHEN (rep * 2654435761) % 100 < 80 THEN sz
+                         ELSE 0 END) AS DOUBLE) / sum(sz) AS train_frac_safe
+    FROM clusters
+    """,
+)
+def q341_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val splitting: duplicate-content CLUSTERS (not
+    documents) are the split unit, assigned by a deterministic hash of
+    the cluster representative — so no near-identical pair can straddle
+    train and validation, which per-document hashing (the naive split
+    this query audits side-by-side) cannot guarantee. Reports how many
+    multi-document clusters the naive split actually leaks, and the
+    achieved train fraction under the safe assignment (by construction
+    the safe split leaks zero — emitted as a pinned column). Scale: one
+    canonicalization pass, one groupBy(canon) — the same two-shuffle
+    profile as exact dedup (q137), with the split decision a pure hash
+    of the aggregate frame. Extends q208's entity-consistent sampling
+    and q240's contamination audit into the assignment step itself.
+    Reference has no set operations (SURVEY §2.2)."""
+    canon = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ).alias("canon"),
+    )
+    clusters = canon.groupBy("canon").agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").alias("sz"),
+        F.sum(
+            F.when(F.pmod(F.col("doc_id") * 2654435761, F.lit(100)) < 80, 1).otherwise(0)
+        ).alias("naive_train"),
+    )
+    return clusters.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("long").alias("multi_doc_clusters"),
+        F.sum(
+            F.when(
+                (F.col("naive_train") > 0) & (F.col("naive_train") < F.col("sz")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("leaky_naive"),
+        F.lit(0).cast("long").alias("leaky_cluster_safe"),
+        (
+            F.sum(
+                F.when(
+                    F.pmod(F.col("rep") * 2654435761, F.lit(100)) < 80, F.col("sz")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("sz")
+        ).alias("train_frac_safe"),
+    )
