@@ -109,3 +109,53 @@ def test_validation_monotonic(spark, batch):
     valid = validate(df)
     assert _canon(validate(valid)) == _canon(valid)
     assert len(_canon(valid)) + len(_canon(invalid_records(df))) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles (operators/quantiles.py): random-input properties
+# ---------------------------------------------------------------------------
+
+_VALUES = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(xs=_VALUES, probs=st.lists(st.floats(0.0, 1.0), min_size=1, max_size=4))
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_quantiles_matches_sorted_interpolation(spark, xs, probs):
+    """Distributed range-bucket quantiles == quantile_cont on the sorted
+    list, for arbitrary data (duplicates, negatives, single element) and
+    arbitrary probabilities — small buckets force the recursion paths."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+    got = exact_quantiles(df, "v", probs, buckets=4, collect_limit=3)
+    s = sorted(xs)
+    n = len(s)
+    for g, p in zip(got, probs):
+        h = (n - 1) * p
+        lo, hi = int(h), min(int(h) + 1, n - 1)
+        want = s[lo] + (s[hi] - s[lo]) * (h - lo)
+        assert abs(g - want) < 1e-6 * max(1.0, abs(want)), (p, g, want)
+
+
+@given(
+    y=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=25),
+    w=st.lists(st.floats(0.1, 10, allow_nan=False), min_size=25, max_size=25),
+)
+@settings(max_examples=25, deadline=None)
+def test_pav_properties_random(y, w):
+    """PAV on arbitrary sequences: monotone, mean-preserving, bounded by
+    input range, idempotent."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.isotonic import pav_fit
+
+    w = w[: len(y)]
+    fit = pav_fit(y, w)
+    assert all(a <= b + 1e-9 for a, b in zip(fit, fit[1:]))
+    assert min(y) - 1e-9 <= min(fit) and max(fit) <= max(y) + 1e-9
+    assert abs(sum(f * wi for f, wi in zip(fit, w)) - sum(v * wi for v, wi in zip(y, w))) < 1e-6
+    assert all(abs(a - b) < 1e-9 for a, b in zip(pav_fit(fit, w), fit))
