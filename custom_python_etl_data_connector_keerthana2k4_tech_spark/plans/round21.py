@@ -332,3 +332,47 @@ def q341_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("sz")
         ).alias("train_frac_safe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window sequence feature (last-3 event types as an ordered list)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q342_trailing_sequence_feature",
+    oracle="""
+    SELECT event_id,
+           array_to_string(
+             list(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             '>') AS last3
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q342_trailing_sequence_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-sequence feature: for every event, the ordered last-3
+    event types of that user as one encoded string — the sliding-context
+    feature sequence models and next-event predictors (q297) train on,
+    materialized relationally instead of in a Python loop. Scale: one
+    user-keyed ordered window with a ROWS frame; collect_list over a
+    bounded frame keeps per-row state at 3 elements, and the encode is
+    codegen string concat — no UDF, no per-user re-sort beyond the single
+    shuffle. Deterministic ordering via the (ts, event_id) tie-break.
+    Reference has no windows (SURVEY §2.2)."""
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            F.array_join(F.collect_list("event_type").over(w), ">").alias("last3"),
+        )
+    )
