@@ -376,3 +376,82 @@ def q342_trailing_sequence_feature(spark: SparkSession, sf_dir: str) -> DataFram
             F.array_join(F.collect_list("event_type").over(w), ">").alias("last3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall threshold sweep with cost-optimal operating point
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q343_pr_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT ((user_id * 2654435761) % 1000) / 1000.0 AS score,
+             CASE WHEN event_type = 'purchase' AND value > 90
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ), th AS (
+      SELECT unnest(generate_series(1, 9)) / 10.0 AS t
+    ), sweep AS (
+      SELECT t,
+             sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM scored CROSS JOIN th GROUP BY t
+    )
+    SELECT t,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CAST(fp + 5 * fn AS BIGINT) AS expected_cost,
+           CAST(row_number() OVER (ORDER BY fp + 5 * fn ASC, t ASC) = 1
+                AS BOOLEAN) AS cost_optimal
+    FROM sweep
+    """,
+)
+def q343_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall sweep over nine decision thresholds of the hash
+    score against rare high-value purchases, plus the cost-optimal
+    operating point under an asymmetric 1:5 FP:FN cost — the
+    imbalanced-data evaluation that ROC AUC (q187) flatters and the
+    reliability bins (q290) don't price: choosing WHERE to cut is a
+    decision problem, and this query solves it in the same pass that
+    draws the curve. Scale: one conditional pass per (threshold x
+    outcome) cell via a broadcast 9-row threshold ladder; all confusion
+    counts exact BIGINTs; the argmin is a deterministic rank. Reference
+    has no statistics (SURVEY §2.2)."""
+    scored = load(spark, sf_dir, "events").select(
+        (F.pmod(F.col("user_id") * 2654435761, F.lit(1000)) / 1000.0).alias("score"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("t"))
+    sweep = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    cost = F.col("fp") + 5 * F.col("fn")
+    return sweep.select(
+        "t",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        cost.cast("long").alias("expected_cost"),
+        (F.row_number().over(W.orderBy(F.asc(cost), F.asc("t"))) == 1).alias("cost_optimal"),
+    )

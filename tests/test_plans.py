@@ -79,6 +79,7 @@ _INTENTIONAL_BNLJ = {
     "q329_capture_recapture",  # one-row source-pair + overlap scalar crosses
     "q330_shift_share",  # one-row grand-totals broadcast
     "q334_sign_reversal_screen",  # one-row overall-slope broadcast
+    "q343_pr_threshold_sweep",  # 9-row threshold ladder broadcast
     "q301_ar1_backtest",  # one-row (phi, mu) fit broadcast into test frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
