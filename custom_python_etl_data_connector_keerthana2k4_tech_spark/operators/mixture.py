@@ -47,8 +47,12 @@ def gaussian_mixture_1d(
     """
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import exact_quantiles
 
-    data = df.select(F.col(col).cast("double").alias("x")).filter(
-        F.col("x").isNotNull()
+    # every EM iteration re-aggregates this one column; persist so the
+    # source is scanned once, not once per iteration + quantile pass
+    data = (
+        df.select(F.col(col).cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .persist()
     )
     q1, q3 = exact_quantiles(data, "x", [0.25, 0.75])
     stats = data.agg(
@@ -93,6 +97,7 @@ def gaussian_mixture_1d(
         w = [s1 / n, s2 / n]
         loglik = float(agg["ll"])
 
+    data.unpersist()
     order = sorted(range(2), key=lambda i: mu[i])
     return {
         "weight": [w[i] for i in order],
