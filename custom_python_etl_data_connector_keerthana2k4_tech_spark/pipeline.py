@@ -137,13 +137,24 @@ def run_batch(
     there instead of only being counted — the dead-letter upgrade of the
     reference's log-and-skip (:199-202, 221-223): at scale you audit and
     replay skipped records, you don't grep logs for them.
+
+    Run accounting uses ``DataFrame.observe``: the counters ride the
+    upsert write's own execution instead of costing two extra count()
+    passes over the transformed frame — at 100 TB those free-rider
+    metrics are the difference between one scan and three. (The reference
+    pays its counter per record in the same loop that writes,
+    etl_connector.py:226 — observe is the distributed equivalent.)
     """
+    from pyspark.sql import Observation
+
     transformed = transform_pulses(raw_df, cfg, run_ts=run_ts)
-    valid = validate(transformed)
-    n_valid = valid.count()
-    n_total = transformed.count()
-    if quarantine_path is not None and n_total > n_valid:
-        invalid_records(transformed).write.mode("append").parquet(quarantine_path)
+    obs = Observation("run_accounting")
+    observed = transformed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(valid_predicate().cast("long")).alias("n_valid"),
+    )
+    valid = observed.filter(valid_predicate())
     upsert_parquet(
         spark,
         valid,
@@ -151,6 +162,11 @@ def run_batch(
         key="pulse_id",
         order_by=["ingestion_timestamp"],
     )
+    metrics = obs.get
+    n_total = int(metrics["n_total"])
+    n_valid = int(metrics["n_valid"] or 0)
+    if quarantine_path is not None and n_total > n_valid:
+        invalid_records(transformed).write.mode("append").parquet(quarantine_path)
     return {
         "records_seen": n_total,
         "records_upserted": n_valid,
