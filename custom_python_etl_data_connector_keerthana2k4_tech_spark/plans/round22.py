@@ -35,14 +35,17 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
     ), f AS (
       SELECT tri, count(*) AS c FROM g GROUP BY 1
     )
-    SELECT CAST(sum(c) AS BIGINT) AS n_trigrams,
+    SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_trigrams,
            CAST(count(*) AS BIGINT) AS vocab_size,
            CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
            CAST(count(*) FILTER (c = 2) AS BIGINT) AS n_dis,
-           CAST(count(*) FILTER (c = 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-             AS p_unseen,
-           2.0 * CAST(count(*) FILTER (c = 2) AS DOUBLE)
-               / CAST(count(*) FILTER (c = 1) AS DOUBLE) AS r_star_hapax
+           CASE WHEN coalesce(sum(c), 0) = 0 THEN NULL
+                ELSE CAST(count(*) FILTER (c = 1) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) END AS p_unseen,
+           CASE WHEN count(*) FILTER (c = 1) = 0 THEN NULL
+                ELSE 2.0 * CAST(count(*) FILTER (c = 2) AS DOUBLE)
+                     / CAST(count(*) FILTER (c = 1) AS DOUBLE) END
+             AS r_star_hapax
     FROM f
     """,
 )
@@ -77,15 +80,22 @@ def q344_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     f = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
-    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    # coalesce the conditional sums to 0 so an empty corpus matches the
+    # oracle's count(*) FILTER semantics (0, not NULL), and NULL-guard the
+    # ratios so the zero-hapax / zero-trigram cases are NULL in BOTH
+    # engines (DuckDB's ieee division would otherwise yield Infinity).
+    n1 = F.coalesce(F.sum(F.when(F.col("c") == 1, 1).otherwise(0)), F.lit(0))
+    n2 = F.coalesce(F.sum(F.when(F.col("c") == 2, 1).otherwise(0)), F.lit(0))
+    n_tri = F.coalesce(F.sum("c"), F.lit(0))
     return f.agg(
-        F.sum("c").cast("long").alias("n_trigrams"),
+        n_tri.cast("long").alias("n_trigrams"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
         n1.cast("long").alias("n_hapax"),
         n2.cast("long").alias("n_dis"),
-        (n1.cast("double") / F.sum("c").cast("double")).alias("p_unseen"),
-        (F.lit(2.0) * n2.cast("double") / n1.cast("double")).alias("r_star_hapax"),
+        F.when(n_tri > 0, n1.cast("double") / n_tri.cast("double"))
+        .alias("p_unseen"),
+        F.when(n1 > 0, F.lit(2.0) * n2.cast("double") / n1.cast("double"))
+        .alias("r_star_hapax"),
     )
 
 
@@ -98,14 +108,14 @@ def q344_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q345_rle_profile",
     oracle="""
     WITH lagged AS (
-      SELECT l_suppkey, l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      SELECT l_suppkey, l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
              lag(l_suppkey)    OVER w AS p_supp,
              lag(l_returnflag) OVER w AS p_flag,
-             lag(CAST(l_quantity AS BIGINT)) OVER w AS p_qty
+             lag(CAST(round(l_quantity) AS BIGINT)) OVER w AS p_qty
       FROM lineitem
       WINDOW w AS (PARTITION BY l_orderkey
                    ORDER BY l_linenumber, l_suppkey, l_returnflag,
-                            CAST(l_quantity AS BIGINT))
+                            CAST(round(l_quantity) AS BIGINT))
     ), runs AS (
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(*) FILTER (p_supp IS NULL OR l_suppkey <> p_supp)
@@ -117,7 +127,9 @@ def q344_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged
     )
     SELECT col, n_rows, n_runs,
-           CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE) AS rle_ratio
+           CASE WHEN n_runs > 0
+                THEN CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)
+                END AS rle_ratio
     FROM (
       SELECT 'l_suppkey' AS col, n_rows, runs_suppkey AS n_runs FROM runs
       UNION ALL
@@ -153,7 +165,11 @@ def q345_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_suppkey",
         "l_returnflag",
-        F.col("l_quantity").cast("long").alias("qty"),
+        # round() before the integer cast on BOTH sides: DuckDB's
+        # numeric->int cast rounds half-away-from-zero while Spark's
+        # truncates toward zero, so a fractional quantity would shift run
+        # boundaries differently per engine without the explicit round.
+        F.round("l_quantity").cast("long").alias("qty"),
     )
     lagged = li.select(
         "l_suppkey",
@@ -166,7 +182,9 @@ def q345_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _runs(col: str, prev: str) -> F.Column:
         changed = F.col(prev).isNull() | (F.col(col) != F.col(prev))
-        return F.sum(changed.cast("long"))
+        # coalesce to 0 so an empty lineitem matches the oracle's
+        # count(*) FILTER semantics (0, not NULL)
+        return F.coalesce(F.sum(changed.cast("long")), F.lit(0))
 
     runs = lagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -185,7 +203,8 @@ def q345_rle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col",
         "n_rows",
         "n_runs",
-        (F.col("n_rows").cast("double") / F.col("n_runs").cast("double")).alias(
-            "rle_ratio"
-        ),
+        F.when(
+            F.col("n_runs") > 0,
+            F.col("n_rows").cast("double") / F.col("n_runs").cast("double"),
+        ).alias("rle_ratio"),
     )
