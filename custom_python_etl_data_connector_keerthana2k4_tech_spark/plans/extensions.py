@@ -1645,28 +1645,40 @@ def q95_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q96_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary rolled
-    up in ONE pass over orders, then quartile-scored with ntile. The
-    ntiles run over the aggregated customer frame (|customers| rows, not
-    |orders|), and custkey tie-breaks make quartile boundaries
-    deterministic cross-engine. At 100 TB the aggregation partial-
-    aggregates per partition; if even the customer frame outgrows a
-    single ntile sort, the scale path swaps ntile for width_bucket over
-    q35-style percentile cutpoints — same output, mergeable plan."""
+    up in ONE pass over orders, then quartile-scored. The customer frame
+    is ENTITY-grain (a billion rows at 100 TB), so the quartiles must not
+    run as an unpartitioned ntile window (one-task global sort); instead
+    each score uses operators/ranks.with_ntile — range-repartition +
+    parallel local sorts + broadcast partition offsets — which is
+    bit-identical to ntile(4) OVER (ORDER BY col, custkey) (the custkey
+    tie-break makes the order total, hence deterministic cross-engine)
+    while every stage stays parallel. The three scores join back on
+    custkey as customer-grain hash joins. The oracle keeps the plain
+    window SQL as the independent formulation."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_ntile
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
-    def quartile(col: str) -> F.Column:
-        return (
-            F.ntile(4).over(Window.orderBy(col, "custkey")).cast("long")
-        )
-    return rfm.select(
+    out = rfm
+    for col, name in [
+        ("last_order", "r_quartile"),
+        ("frequency", "f_quartile"),
+        ("monetary", "m_quartile"),
+    ]:
+        score = with_ntile(
+            rfm.select("custkey", col),
+            [F.col(col).asc(), F.col("custkey").asc()],
+            4,
+            out=name,
+        ).select("custkey", name)
+        out = out.join(score, "custkey")
+    return out.select(
         "custkey", "last_order", "frequency", "monetary",
-        quartile("last_order").alias("r_quartile"),
-        quartile("frequency").alias("f_quartile"),
-        quartile("monetary").alias("m_quartile"),
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 

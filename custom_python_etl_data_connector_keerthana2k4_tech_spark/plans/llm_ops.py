@@ -859,25 +859,27 @@ def q106_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text->ids step of an LLM data pipeline: train a frequency-ranked
     vocabulary over the corpus (q82's table, rank = densest id first, OOV
     floor -> id 0), then encode every document to its token-id sequence.
-    The vocabulary is vocabulary-sized, so its global rank window runs on
-    one partition ONCE and the id table broadcasts to the encode join —
-    per-token work is a broadcast-hash probe, order restored by sorting the
+    The frequency-rank runs as operators/ranks.with_global_rank (range
+    repartition + parallel local sorts + broadcast offsets) — bit-identical
+    to row_number() OVER (ORDER BY freq DESC, w), but no one-task global
+    sort even when the vocabulary outgrows aggregate size (open-vocab
+    corpora). The id table then broadcasts to the encode join — per-token
+    work is a broadcast-hash probe, order restored by sorting the
     (pos, id) structs inside each doc's aggregate, never a global sort.
     Ids serialize as a '-'-joined string for engine-neutral comparison."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_global_rank
+
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(TXT.words("text")).alias("pos", "w")
     )
-    vocab = (
+    vocab = with_global_rank(
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= 100)
-        .withColumn(
-            "tok_id",
-            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("w"))),
-        )
-        .select("w", "tok_id")
-    )
+        .filter(F.col("freq") >= 100),
+        [F.col("freq").desc(), F.col("w").asc()],
+        out="tok_id",
+    ).select("w", "tok_id")
     enc = (
         toks.join(F.broadcast(vocab), "w", "left")
         .withColumn("tid", F.coalesce("tok_id", F.lit(0)))

@@ -458,10 +458,13 @@ def q291_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-purchased items from the first 20 days, then score precision@3
     per user against their distinct held-out purchases — the
     train/test-split evaluation loop every ranking pipeline runs. Scale:
-    train popularity is one groupBy(item); the top-3 list is a 3-row frame
-    broadcast into the held-out purchases (equi probe, no shuffle of the
-    test fact beyond its own distinct); ties break deterministically by
-    item id. Reference has no joins or windows (SURVEY §2.2)."""
+    train popularity is one groupBy(item); the top-3 pick runs as
+    orderBy().limit() — Spark's TakeOrderedAndProject, a parallel
+    per-partition top-k + heap merge, never a global rank window over
+    the item frame — and the 3-row list broadcasts into the held-out
+    purchases (equi probe, no shuffle of the test fact beyond its own
+    distinct); ties break deterministically by item id. Reference has
+    no joins or windows (SURVEY §2.2)."""
     item = F.get_json_object(F.col("props"), "$.k").cast("long").alias("item")
     events = load(spark, sf_dir, "events")
     train = (
@@ -471,11 +474,8 @@ def q291_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     topk = (
-        train.withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("item"))),
-        )
-        .filter(F.col("rk") <= 3)
+        train.orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(3)
         .select(F.col("item").alias("rec_item"))
     )
     test = (

@@ -164,11 +164,12 @@ def q293_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge iteration. Scale strategy: the explode fans each word to
     len-1 single-character pairs but the aggregate collapses to the
     character-bigram vocabulary (alphabet^2-bounded), so the shuffle
-    carries tiny keys; the global top-20 ranks the already-small pair
-    frame (deterministic count-then-lexicographic tie-break). At 100 TB
-    the same plan holds: pair counting is a map-side-combinable groupBy,
-    never a global sort of raw positions. Reference has no text surface
-    (SURVEY §2.2)."""
+    carries tiny keys; the global top-20 runs as orderBy().limit(20)
+    (TakeOrderedAndProject: parallel per-partition top-k + heap merge,
+    deterministic count-then-lexicographic tie-break) and only the
+    20-ROW result gets its rank window. At 100 TB the same plan holds:
+    pair counting is a map-side-combinable groupBy, never a global sort
+    of raw positions. Reference has no text surface (SURVEY §2.2)."""
     words = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -185,10 +186,9 @@ def q293_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = pairs.withColumn(
+    top20 = pairs.orderBy(F.desc("cnt"), F.asc("c1"), F.asc("c2")).limit(20)
+    ranked = top20.withColumn(
         "rk",
         F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("c1"), F.asc("c2"))),
     )
-    return ranked.filter(F.col("rk") <= 20).select(
-        "c1", "c2", "cnt", F.col("rk").cast("int").alias("rk")
-    )
+    return ranked.select("c1", "c2", "cnt", F.col("rk").cast("int").alias("rk"))

@@ -22,6 +22,13 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry imp
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DSUM, dsum
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 
+# q308's adaptive switch (mirrors round6.TWO_HOP_DENSE_DOMAIN_LIMIT): up to
+# this many embedding rows the whole quantized matrix broadcasts as one
+# shard (1M x 64 int64 ~ 0.5 GB); above it, the matrix shards by vec_id
+# residue and per-shard partial two-NN results min-merge — the driver never
+# holds more than one shard.
+INTRINSIC_DENSE_ROW_LIMIT = 1_000_000
+
 # ---------------------------------------------------------------------------
 # Covariate balance between experiment arms (standardized mean differences)
 # ---------------------------------------------------------------------------
@@ -357,14 +364,21 @@ def q308_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding really spans 64 dims or lives on a much thinner manifold —
     which governs how aggressively q172's quantization and q48's LSH can
     compress. Scale: embeddings quantize to the shared 1e-6 integer grid
-    (functions/vectors.py), the full quantized matrix broadcasts
-    (n x d ints — MBs at any corpus that fits a single ANN shard; shard
-    and union above that), and each partition computes exact integer
+    (functions/vectors.py); below INTRINSIC_DENSE_ROW_LIMIT the full
+    quantized matrix broadcasts (n x d ints — MBs at any corpus that
+    fits a single ANN shard) and each partition computes exact integer
     squared distances for ITS rows against the matrix in one vectorized
-    NumPy matmul (all magnitudes < 2^53, so float64 arithmetic is exact),
-    keeping only each row's two smallest — no pair-grain shuffle ever
-    materializes. The oracle is the O(n^2 d) relational formulation.
-    Reference has no vector surface (SURVEY §2.2)."""
+    NumPy matmul (all magnitudes < 2^53, so float64 arithmetic is
+    exact), keeping only each row's two smallest. ABOVE the limit the
+    matrix shards by vec_id residue: each shard broadcasts in turn
+    (driver peak = one shard), a mapInPandas pass emits every point's
+    two smallest distances INTO that shard, and a bounded merge
+    (2 x n_shards candidates per point) takes the global two minima —
+    exactly the dense answer, since min-merging is associative and the
+    integer-grid distances are bit-reproducible either way. No
+    pair-grain shuffle ever materializes on either path. The oracle is
+    the O(n^2 d) relational formulation. Reference has no vector
+    surface (SURVEY §2.2)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -375,31 +389,87 @@ def q308_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", quantize("embedding").alias("qv")
     )
-    pdf = e.toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # exact: |x| <= 2^53
-    norms = (mat * mat).sum(axis=1)
-    b_mat = spark.sparkContext.broadcast((ids, mat, norms))
+    n = e.count()
 
-    def two_nn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, m, nsq = b_mat.value
-        order = np.argsort(all_ids, kind="stable")
-        for chunk in it:
-            rows = []
-            for vid, qv in zip(chunk["vec_id"], chunk["qv"]):
-                a = np.asarray(qv, dtype=np.float64)
-                dsq = nsq + (a * a).sum() - 2.0 * (m @ a)
-                dsq[all_ids == vid] = np.inf
-                # ties broken by (dsq, vec_id): stable sort over id-sorted order
-                idx = order[np.argsort(dsq[order], kind="stable")[:2]]
-                d1, d2 = float(dsq[idx[0]]), float(dsq[idx[1]])
-                rows.append((int(vid), d1, d2))
-            yield pd.DataFrame(rows, columns=["va", "d1", "d2"])
+    def _shard_arrays(pdf: pd.DataFrame):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["qv"].to_numpy()).astype(np.float64)  # |x| <= 2^53
+        return ids, mat, (mat * mat).sum(axis=1)
 
-    nn = e.repartition(8, "vec_id").mapInPandas(
-        two_nn, schema="va long, d1 double, d2 double"
-    )
-    mu = nn.filter(F.col("d1") > 0).select(
+    def _partial_two_nn(b_shard):
+        """Per input row: the two smallest exact squared distances into
+        the broadcast shard (self excluded), as (va, d) candidate rows."""
+
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            shard_ids, m, nsq = b_shard.value
+            for chunk in it:
+                va, ds = [], []
+                for vid, qv in zip(chunk["vec_id"], chunk["qv"]):
+                    a = np.asarray(qv, dtype=np.float64)
+                    dsq = nsq + (a * a).sum() - 2.0 * (m @ a)
+                    dsq[shard_ids == vid] = np.inf
+                    k = min(2, len(dsq))
+                    for d in np.sort(np.partition(dsq, k - 1)[:k]):
+                        if np.isfinite(d):
+                            va.append(int(vid))
+                            ds.append(float(d))
+                yield pd.DataFrame({"va": va, "d": ds})
+
+        return gen
+
+    if n <= INTRINSIC_DENSE_ROW_LIMIT:
+        # dense: one shard IS the corpus, so each row's two candidates are
+        # final — emit (va, d1, d2) directly, no merge shuffle at all
+        b_mat = spark.sparkContext.broadcast(_shard_arrays(e.toPandas()))
+
+        def dense_two_nn(
+            it: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            all_ids, m, nsq = b_mat.value
+            for chunk in it:
+                rows = []
+                for vid, qv in zip(chunk["vec_id"], chunk["qv"]):
+                    a = np.asarray(qv, dtype=np.float64)
+                    dsq = nsq + (a * a).sum() - 2.0 * (m @ a)
+                    dsq[all_ids == vid] = np.inf
+                    d1, d2 = np.sort(np.partition(dsq, 1)[:2])
+                    rows.append((int(vid), float(d1), float(d2)))
+                yield pd.DataFrame(rows, columns=["va", "d1", "d2"])
+
+        two = e.repartition(8, "vec_id").mapInPandas(
+            dense_two_nn, schema="va long, d1 double, d2 double"
+        )
+    else:
+        e = e.persist()
+        n_shards = -(-n // INTRINSIC_DENSE_ROW_LIMIT)
+        partials = []
+        for s in range(n_shards):
+            shard_pdf = e.filter(
+                F.pmod(F.col("vec_id"), F.lit(n_shards)) == s
+            ).toPandas()
+            if shard_pdf.empty:
+                continue
+            b_shard = spark.sparkContext.broadcast(_shard_arrays(shard_pdf))
+            partials.append(
+                e.repartition(8, "vec_id").mapInPandas(
+                    _partial_two_nn(b_shard), schema="va long, d double"
+                )
+            )
+        cand = partials[0]
+        for p in partials[1:]:
+            cand = cand.unionAll(p)
+        two = (
+            cand.groupBy("va")
+            .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(
+                "va",
+                F.element_at("ds", 1).alias("d1"),
+                F.element_at("ds", 2).alias("d2"),
+            )
+        )
+
+    mu = two.filter(F.col("d1") > 0).select(
         (0.5 * F.log(F.col("d2") / F.col("d1"))).alias("ln_mu")
     )
     return mu.agg(

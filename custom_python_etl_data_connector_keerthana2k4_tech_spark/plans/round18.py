@@ -155,22 +155,26 @@ def q323_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     by weekly-demand coefficient of variation (X <= 0.5, Y <= 1.0, Z
     rest) — the nine-cell planning grid that sets service levels and
     forecast methods per cell. Scale: two part-grain aggregates of the
-    fact (revenue; weekly demand moments), a window over the part frame
-    for the Pareto prefix, and one part-frame join; every input to a
-    threshold is an exact decimal/BIGINT statistic so class boundaries
-    agree across engines. Reference has no aggregation (SURVEY §2.2)."""
+    fact (revenue; weekly demand moments); the Pareto prefix over the
+    ENTITY-grain part frame runs as operators/ranks.with_running_sums
+    (range repartition + per-range windows + broadcast offsets — exact
+    decimal arithmetic, no one-task global sort) and the grand total
+    joins back as a broadcast single row; every input to a threshold is
+    an exact decimal/BIGINT statistic so class boundaries agree across
+    engines. Reference has no aggregation (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = with_running_sums(
+        rev,
+        [F.col("revenue").desc(), F.col("l_partkey").asc()],
+        {"cum": "revenue"},
     )
-    abc = rev.select(
-        "l_partkey",
-        F.sum("revenue").over(wcum).alias("cum"),
-        F.sum("revenue").over(Window.partitionBy()).alias("total"),
-    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    abc = cum.select("l_partkey", "cum").crossJoin(F.broadcast(total))
     wk = li.groupBy(
         "l_partkey",
         (

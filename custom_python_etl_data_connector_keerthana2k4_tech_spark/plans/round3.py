@@ -110,20 +110,28 @@ def q135_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers (the dual, for training corpora, is "how concentrated are
     tokens across sources" — the same shape audits a data mix). One
     shuffle aggregates orders to per-customer revenue in exact DECIMAL
-    (double summation order would diverge across engines); the ntile /
-    share windows then run over the aggregated frame (|customers|,
-    then 10 rows), never over raw orders. Deterministic tie-break: the
-    ntile ordering includes o_custkey. At 100 TB the per-customer
-    rollup is the only full-data pass; everything after is metadata-
-    sized. The reference has no aggregation surface (SURVEY §2.2)."""
+    (double summation order would diverge across engines); the decile
+    assignment is ENTITY-grain (|customers| rows), so it runs as
+    operators/ranks.with_ntile — range repartition + parallel local
+    sorts + broadcast offsets, bit-identical to the ntile window without
+    its one-task global sort — and only the 10-row share windows stay in
+    window form. Deterministic tie-break: the ntile ordering includes
+    o_custkey. At 100 TB the per-customer rollup is the only full-data
+    pass; everything after is metadata-sized. The reference has no
+    aggregation surface (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_ntile
+
     rev = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"))
     )
-    ranked = rev.select(
-        "rev", F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile")
-    )
+    ranked = with_ntile(
+        rev,
+        [F.col("rev").asc(), F.col("o_custkey").asc()],
+        10,
+        out="decile",
+    ).select("rev", "decile")
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("revenue")
     )

@@ -606,14 +606,16 @@ def q159_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine lexical and vector retrieval runs (here: two facets of one
     aggregate; in a search pipeline: BM25 ranks fused with q46's cosine
     ranks). One fact shuffle builds both metrics in a single aggregate
-    pass (shared scan, exact DECIMAL revenue); both rankings are
-    windows over the part-dimension-sized frame with total tie-broken
-    orderings. The RRF score is two double divisions of exact integers
-    plus one add — bit-identical across engines. Global row_number is
-    the one non-scaling step: at 100 TB rankings this wide stay
-    dimension-sized (parts), never fact-sized; for fact-sized lists
-    swap in the q21 per-group top-k pattern first. The reference has
-    no ranking surface (SURVEY §2.2)."""
+    pass (shared scan, exact DECIMAL revenue); both rankings run over
+    the ENTITY-grain part frame as operators/ranks.with_global_rank
+    (range repartition + parallel local sorts + broadcast offsets) with
+    total tie-broken orderings — bit-identical to the row_number window
+    without its one-task global sort — and join back on l_partkey. The
+    RRF score is two double divisions of exact integers plus one add —
+    bit-identical across engines. The reference has no ranking surface
+    (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_global_rank
+
     m = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -622,15 +624,17 @@ def q159_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
-    r = m.select(
-        "l_partkey",
-        F.row_number()
-        .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey")))
-        .alias("rev_rank"),
-        F.row_number()
-        .over(Window.orderBy(F.col("n_lines").desc(), F.col("l_partkey")))
-        .alias("freq_rank"),
-    )
+    by_rev = with_global_rank(
+        m.select("l_partkey", "rev"),
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        out="rev_rank",
+    ).select("l_partkey", "rev_rank")
+    by_freq = with_global_rank(
+        m.select("l_partkey", "n_lines"),
+        [F.col("n_lines").desc(), F.col("l_partkey").asc()],
+        out="freq_rank",
+    ).select("l_partkey", "freq_rank")
+    r = by_rev.join(by_freq, "l_partkey")
     return r.select(
         "l_partkey",
         "rev_rank",
@@ -1207,26 +1211,35 @@ def q168_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (outcome: placed >= 15 orders), lift over the base rate, and
     cumulative capture. The left join keeps scored non-converters, the
     population a lift table must include. The global ntile runs over
-    the customer dimension (scores), not facts — for fact-sized score
-    lists pre-compute decile boundaries (q139's equal-frequency
-    binning) and band by broadcast cutoffs instead. All rates are
-    double divisions of exact counts; the totals frame joins back as
-    a broadcast single row. The ML-evaluation sibling of q130's A/B
-    readout. The reference has no analytics surface (SURVEY §2.2)."""
+    the customer dimension (scores), not facts — and the customer frame
+    is ENTITY-grain, so the decile split runs as
+    operators/ranks.with_ntile (range repartition + parallel sorts +
+    broadcast offsets), bit-identical to the ntile window without its
+    one-task global sort. All rates are double divisions of exact
+    counts; the totals frame joins back as a broadcast single row. The
+    ML-evaluation sibling of q130's A/B readout. The reference has no
+    analytics surface (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_ntile
+
     oc = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    s = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+    scored = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        "c_custkey",
+        "c_acctbal",
         F.when(F.coalesce("n_orders", F.lit(0)) >= 15, 1)
         .otherwise(0)
         .alias("converted"),
-        F.ntile(10)
-        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
-        .alias("decile"),
     )
+    s = with_ntile(
+        scored,
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        10,
+        out="decile",
+    ).select("converted", "decile")
     d = s.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("converted").cast("long").alias("n_conv"),
@@ -2596,9 +2609,10 @@ def q187_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     number ranking quality). Doubled ranks keep the tie average in
     INTEGER space (2*rank_min + ties - 1 == 2*avg_rank), so the whole
     statistic is exact until a single final double division —
-    partition- and engine-proof. The global rank runs over the scored
-    dimension frame; at fact scale, bucket scores first (q139) and
-    rank bucket boundaries. An AUC near 0.5 on the fixtures is the
+    partition- and engine-proof. The ranks come from a value-grain
+    collapse (one row per distinct score) plus a parallel running count
+    (operators/ranks.with_running_sums) — no unpartitioned rank window
+    over the entity frame. An AUC near 0.5 on the fixtures is the
     truthful report that balance barely predicts purchase volume. The
     reference has no evaluation surface (SURVEY §2.2)."""
     oc = (
@@ -2611,24 +2625,26 @@ def q187_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.when(F.coalesce("n", F.lit(0)) >= 15, 1).otherwise(0).alias("y"),
     )
-    r = s.select(
-        "y",
-        F.rank().over(Window.orderBy("c_acctbal")).alias("rmin"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("c_acctbal"))
-        .alias("nties"),
+    # value-grain reformulation of the rank windows: collapse to one row
+    # per distinct score (cnt, n_positive), running-count the sorted value
+    # frame with operators/ranks.with_running_sums (parallel — no
+    # unpartitioned rank window over the entity frame), and expand the
+    # tie-averaged doubled rank per value: rmin = cum_cnt - cnt + 1, so
+    # 2*rmin + nties - 1 == 2*(cum_cnt - cnt) + cnt + 1. Exact BIGINTs.
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
+    vg = s.groupBy("c_acctbal").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
     )
-    agg = r.agg(
-        F.sum(
-            F.when(
-                F.col("y") == 1,
-                2 * F.col("rmin") + F.col("nties") - 1,
-            )
-        )
-        .cast("long")
-        .alias("rank_sum2"),
-        F.count(F.when(F.col("y") == 1, 1)).alias("np"),
-        F.count(F.when(F.col("y") == 0, 1)).alias("nn"),
+    vg = with_running_sums(
+        vg, [F.col("c_acctbal").asc()], {"cum_cnt": "cnt"}
+    )
+    contrib = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+    agg = vg.agg(
+        F.sum(F.col("pos") * contrib).cast("long").alias("rank_sum2"),
+        F.sum("pos").cast("long").alias("np"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("nn"),
     )
     return agg.select(
         "np",

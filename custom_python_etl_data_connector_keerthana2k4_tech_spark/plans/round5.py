@@ -260,10 +260,14 @@ def q237_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction sums t^3 - t over the tie-group size frame, also
     integer. U and the tie-corrected normal z are then computed from
     six exact integers with textually identical double expressions on
-    both engines. The global rank is the scale cost — at fact scale
-    you'd rank within value buckets (q139's equal-frequency cutoffs)
-    exactly as q187 documents. The reference has no statistics
-    (SURVEY §2.2)."""
+    both engines. The ranks come from a value-grain collapse (one row
+    per distinct price) plus a parallel running count
+    (operators/ranks.with_running_sums) — no unpartitioned rank window
+    even when the value grid is fact-sized — and the tie term rides
+    the SAME value-grain frame, so one aggregate row carries all six
+    integers. The reference has no statistics (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
     s = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -274,31 +278,25 @@ def q237_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grp"),
         )
     )
-    r = s.select(
-        "grp",
-        F.rank().over(Window.orderBy("x")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("nties"),
+    vg = s.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("grp").cast("long").alias("pos"),
     )
-    agg = r.agg(
-        F.sum(
-            F.when(F.col("grp") == 1, 2 * F.col("rmin") + F.col("nties") - 1)
+    vg = with_running_sums(vg, [F.col("x").asc()], {"cum_cnt": "cnt"})
+    # rmin = cum_cnt - cnt + 1, so 2*rmin + nties - 1 == 2*(cum_cnt-cnt)+cnt+1
+    contrib = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+    agg = vg.agg(
+        F.sum(F.col("pos") * contrib).cast("long").alias("rank_sum2"),
+        F.sum("pos").cast("long").alias("n1"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ),
+            F.lit(0),
         )
         .cast("long")
-        .alias("rank_sum2"),
-        F.count(F.when(F.col("grp") == 1, 1)).alias("n1"),
-        F.count(F.when(F.col("grp") == 0, 1)).alias("n2"),
-    )
-    ties = (
-        s.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("tie_term")
-        )
+        .alias("tie_term"),
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
@@ -306,7 +304,7 @@ def q237_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (F.col("rank_sum2") - F.col("n1") * (F.col("n1") + 1)).cast(
         "double"
     ) / 2
-    return agg.crossJoin(F.broadcast(ties)).select(
+    return agg.select(
         "n1",
         "n2",
         u.alias("u_stat"),

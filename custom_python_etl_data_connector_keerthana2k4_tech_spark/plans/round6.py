@@ -75,23 +75,34 @@ def q246_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     then each group's rank_sum^2/(4*n_g) term is milli-quantized to a
     BIGINT so the k-term sum is order-independent across engines; the
     tie-corrected H divides by q237's same t^3 - t correction. The
-    global rank is the scale cost — bucket first (q139) at fact
-    scale, as q187 documents. The reference has no statistics
-    (SURVEY §2.2)."""
+    ranks come from a value-grain collapse plus a parallel running
+    count (operators/ranks.with_running_sums, q187's pattern): the
+    doubled rank 2*(cum-cnt)+cnt+1 is constant within a value, so a
+    (grp, x) count frame joined to the value frame yields every
+    group's exact rank sum with no unpartitioned rank window. The
+    reference has no statistics (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
     s = load(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("x"),
     )
-    r = s.select(
-        "grp",
-        F.rank().over(Window.orderBy("x")).alias("rmin"),
-        F.count(F.lit(1)).over(Window.partitionBy("x")).alias("nties"),
+    vx = with_running_sums(
+        s.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.col("x").asc()],
+        {"cum_cnt": "cnt"},
     )
-    g = r.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.sum(2 * F.col("rmin") + F.col("nties") - 1)
-        .cast("long")
-        .alias("rank_sum2"),
+    contrib = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+    vgx = s.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("m"))
+    g = (
+        vgx.join(vx.select("x", contrib.alias("contrib")), "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("m").cast("long").alias("n_g"),
+            F.sum(F.col("m") * F.col("contrib"))
+            .cast("long")
+            .alias("rank_sum2"),
+        )
     )
     r2 = F.col("rank_sum2").cast("double")
     terms = g.agg(
@@ -103,17 +114,15 @@ def q246_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_g").cast("long").alias("n"),
         F.count(F.lit(1)).alias("k"),
     )
-    ties = (
-        s.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
-            F.coalesce(
-                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("tie_term")
+    ties = vx.agg(
+        F.coalesce(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("tie_term")
     )
     nd = F.col("n").cast("double")
     h = (
@@ -1229,8 +1238,11 @@ def q259_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus keeps minting new tokens. The curve needs NO re-scanning
     per point: each token's FIRST document (one min-aggregation)
     scatters vocabulary increments to the doc where they happen, and
-    two ordered window sums build the whole curve — q88's cumulative-
-    distinct trick. Log points are nano-quantized, their OLS moments
+    ONE parallel running-sum pass builds the whole curve — q88's
+    cumulative-distinct trick, but over the DOC-grain frame it runs as
+    operators/ranks.with_running_sums (range repartition + per-range
+    windows + broadcast offsets), never an unpartitioned window over
+    millions of docs. Log points are nano-quantized, their OLS moments
     micro-quantized (q213's fit discipline), so the regression is
     order-independent and engine-exact. The reference has no text
     analytics (SURVEY §2.2)."""
@@ -1251,19 +1263,19 @@ def q259_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    wcum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
+    joined = doc_tok.join(new_per_doc, "doc_id", "left").select(
+        "doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
-    curve = (
-        doc_tok.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(wcum).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0)))
-            .over(wcum)
-            .cast("long")
-            .alias("cum_vocab"),
-        )
+    curve = with_running_sums(
+        joined,
+        [F.col("doc_id").asc()],
+        {"cum_tokens": "n_toks", "cum_vocab": "n_new"},
+    ).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
     pts = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")) * F.lit(1e9))

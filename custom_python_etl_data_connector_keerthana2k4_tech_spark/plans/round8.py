@@ -404,14 +404,14 @@ def q272_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to q237's Mann-Whitney (which only sees location
     shifts; KS also catches variance/shape changes). The trick that
     keeps it exact: D is maximized in INTEGER space as
-    max|r1*n2 - r2*n1| over the value-grain cumulative counts (the
-    totals n1,n2 come from unbounded windows, not a scalar-subquery
-    join), and only the winning integer is divided once into a
-    double. The ordered window runs over the DISTINCT-price frame,
-    not raw facts — at 100 TB prices quantize to a bounded value
-    grid exactly as q187's ROC AUC documents, or are pre-bucketed by
-    q139's equal-frequency cutoffs. The reference has no statistics
-    (SURVEY §2.2)."""
+    max|r1*n2 - r2*n1| over the value-grain cumulative counts, and
+    only the winning integer is divided once into a double. The
+    cumulative counts run over the DISTINCT-price frame — which can
+    itself be huge for a continuous score, so they run as
+    operators/ranks.with_running_sums (range repartition + per-range
+    windows + broadcast offsets, both ECDFs in ONE pass) and the
+    totals n1,n2 join back as a broadcast single row. The reference
+    has no statistics (SURVEY §2.2)."""
     s = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -426,14 +426,15 @@ def q272_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("grp") == 1, 1)).alias("c1"),
         F.count(F.when(F.col("grp") == 0, 1)).alias("c2"),
     )
-    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    r = c.select(
-        F.sum("c1").over(wcum).alias("r1"),
-        F.sum("c2").over(wcum).alias("r2"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum("c2").over(wall).alias("n2"),
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
+    cum = with_running_sums(
+        c, [F.col("x").asc()], {"r1": "c1", "r2": "c2"}
     )
+    totals = c.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    r = cum.select("r1", "r2").crossJoin(F.broadcast(totals))
     agg = r.agg(
         F.max(F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1")))
         .cast("long")

@@ -94,7 +94,6 @@ _INTENTIONAL_BNLJ = {
     "q182_negative_sampling",  # one-row max-key broadcast
     "q183_weekday_index",  # one-row overall-baseline broadcast
     "q186_revenue_var",  # one-row VaR-quantile broadcast
-    "q237_mann_whitney_u",  # one-row tie-term broadcast
     "q239_budget_allocation",  # one-row budget-total broadcast
     "q242_theil_decomposition",  # one-row grand-mean broadcast
     "q246_kruskal_wallis",  # one-row tie-correction broadcast
@@ -121,6 +120,8 @@ _INTENTIONAL_BNLJ = {
     "q231_missing_cells",  # deliberate 5x5 dimension-grid cross join
     "q232_health_index",  # one-row global-moments broadcast
     "q233_jackknife_aov",  # one-row totals/pseudo-mean broadcasts
+    "q323_abc_xyz",  # one-row revenue grand-total broadcast (Pareto denominator)
+    "q272_ks_two_sample",  # one-row sample-totals broadcast (ECDF denominators)
 }
 
 
@@ -198,6 +199,100 @@ _CONSTRUCTION_HEAVY = {
     "q173_kcore",
     "q243_pca_top_component",
 }
+
+
+# Queries whose optimized plan INTENTIONALLY contains an unpartitioned
+# Window: every entry was audited — the window input is an aggregate-sized
+# frame (a day/month series, a decile/threshold ladder, a bounded category
+# or value grid, a top-k limit), never an entity- or fact-grain frame.
+# Entity-grain rankings (q96, q106, q135, q159, q168, q187, q237, q246,
+# q259, q272, q291, q293, q323) were converted to operators/ranks
+# (range-repartition + parallel local sorts + broadcast offsets) and must
+# NOT reappear here.
+_AUDITED_UNPARTITIONED_WINDOWS = {
+    # day / period series frames (<= a few thousand rows by construction)
+    "q88_cumulative_distinct",  # day frame
+    "q95_yoy_growth",  # month frame
+    "q158_calendar_gaps",  # day frame
+    "q163_forecast_backtest",  # day frame
+    "q181_rolling_correlation",  # day frame
+    "q205_sprt",  # day frame
+    "q206_change_point",  # day frame
+    "q220_max_drawdown",  # day frame
+    "q227_trend_decomposition",  # day frame
+    "q252_acf_ljung_box",  # day frame + lag ladder
+    "q264_lead_lag_ccf",  # day frame
+    "q275_runs_test",  # day frame
+    "q276_permutation_entropy",  # day frame
+    "q301_ar1_backtest",  # day frame
+    "q316_durbin_watson",  # day frame
+    "q319_seasonal_strength",  # day/week frame
+    # constant ladders / small grids (<= dozens of rows by construction)
+    "q100_balanced_mix",  # source frame
+    "q135_lorenz_deciles",  # 10-row decile shares (ntile itself is ranks.py)
+    "q148_benford_audit",  # 9 leading digits
+    "q168_decile_lift",  # 10-row cumulative capture (ntile is ranks.py)
+    "q191_vocab_coverage",  # 5-checkpoint ladder
+    "q204_median_ci",  # CI endpoint picks over order-statistic frame
+    "q230_percentile_bands",  # percentile ladder
+    "q239_budget_allocation",  # seat-allocation ladder
+    "q249_temperature_mix",  # source-quota frame
+    "q295_gini_stump",  # 24 hour-of-day cells
+    "q302_qini_curve",  # 10-row decile cells
+    "q311_neyman_allocation",  # strata frame
+    "q329_capture_recapture",  # source-pair scalars
+    "q343_pr_threshold_sweep",  # 9-row threshold ladder
+    # bounded category / dimension / value frames
+    "q118_order_concurrency",  # event boundary frame (day-bounded)
+    "q119_skyline_parts",  # distinct retail-price grid
+    "q133_hierarchy_share",  # region/nation hierarchy
+    "q147_chisq_contingency",  # category grid
+    "q213_zipf_fit",  # frequency-of-frequency frame
+    "q216_kaplan_meier",  # distinct event-time frame
+    "q241_join_cardinality_forecast",  # key-histogram frame
+    "q269_tpch_q15_top_supplier",  # supplier dimension frame
+    "q273_mutual_information",  # category grid
+    "q277_mixed_lang_screen",  # language-pair grid
+    "q293_bpe_merge_candidates",  # 20-row top-k limit frame
+    "q303_nelson_aalen",  # distinct event-time frame
+    "q306_term_dispersion",  # top-20 term frame
+}
+
+
+def _count_unpartitioned_windows(df) -> int:
+    """Unpartitioned Window nodes in the optimized logical plan — each one
+    is a single-task global sort at execution time."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    found = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found += 1
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return found
+
+
+def test_no_entity_grain_single_partition_windows(spark, sf_dir):
+    """Whole-surface sweep: an unpartitioned Window (one-task global sort)
+    may only appear over audited aggregate-sized frames. Any new offender
+    must either switch to operators/ranks (global rank / ntile / running
+    sums without the funnel) or be audited into the allowlist with its
+    bounded-frame justification."""
+    qs = registry.queries()
+    offenders = []
+    for name in sorted(qs):
+        if name in _CONSTRUCTION_HEAVY:
+            continue
+        n = _count_unpartitioned_windows(qs[name](spark, sf_dir))
+        if n and name not in _AUDITED_UNPARTITIONED_WINDOWS:
+            offenders.append(name)
+    assert not offenders, (
+        f"unaudited single-partition windows in: {offenders} — use "
+        "operators/ranks or audit the frame size into the allowlist"
+    )
 
 
 def test_no_query_plan_degenerates_to_cartesian(spark, sf_dir):
