@@ -16,6 +16,33 @@ class ConfigError(ValueError):
     """Raised when required configuration is missing (fail-fast, R12)."""
 
 
+def parse_dotenv(path: str) -> dict[str, str]:
+    """Minimal ``.env`` parser reproducing the reference's ``load_dotenv()``
+    (etl_connector.py:23; python-dotenv file syntax): KEY=VALUE lines,
+    ``#`` comments, optional ``export`` prefix, single/double quotes
+    stripped, inline comments dropped from unquoted values. Returns {} for
+    a missing file, exactly like load_dotenv's silent no-op."""
+    if not os.path.exists(path):
+        return {}
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):].strip()
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "'\"":
+                val = val[1:-1]
+            else:
+                val = val.split(" #", 1)[0].rstrip()
+            if key:
+                out[key] = val
+    return out
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """Connector/pipeline configuration.
@@ -45,9 +72,20 @@ class PipelineConfig:
     extra: dict = field(default_factory=dict)
 
     @classmethod
-    def from_env(cls, env: dict[str, str] | None = None, require_api_key: bool = True) -> "PipelineConfig":
-        """Resolve from environment, reproducing etl_connector.py:25-34."""
+    def from_env(
+        cls,
+        env: dict[str, str] | None = None,
+        require_api_key: bool = True,
+        dotenv_path: str | None = ".env",
+    ) -> "PipelineConfig":
+        """Resolve from environment, reproducing etl_connector.py:25-34,
+        including the reference's ``load_dotenv()`` (:23): values from
+        ``dotenv_path`` fill in keys absent from the process environment
+        (load_dotenv's default override=False precedence); a missing file
+        is a silent no-op. Pass ``dotenv_path=None`` to skip."""
         e = env if env is not None else dict(os.environ)
+        if dotenv_path is not None:
+            e = {**parse_dotenv(dotenv_path), **e}
         api_key = e.get("OTX_API_KEY", "")
         if require_api_key and not api_key:
             raise ConfigError("OTX_API_KEY is required (reference fails fast, etl_connector.py:33-34)")

@@ -395,11 +395,28 @@ def minhash_pairs(
     Returns: id_a, id_b, n_common, n_a, n_b, jaccard — the same schema as
     ``jaccard_pairs`` (recall-only divergence, asserted in tests).
     """
-    n_hashes = num_hash_tables * rows_per_band
     sets_df = shingle_sets(df, id_col, text_col, n=1)
     reps, members = _canonicalize(sets_df)
     reps = reps.persist()
     members = members.persist()
+    bands = _minhash_band_keys(reps, num_hash_tables, rows_per_band, seed)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bd", "bkey"])
+        .filter(F.col("a.fp") < F.col("b.fp"))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    verified = _verify_candidates(cand, reps, threshold)
+    return _expand_pairs(verified, members, threshold)
+
+
+def _minhash_band_keys(
+    reps: DataFrame, num_hash_tables: int, rows_per_band: int, seed: int
+) -> DataFrame:
+    """(fp, bd, bkey) LSH band digests of each distinct set — narrow
+    seeded-xxhash64 array expressions, no shuffle, no UDF."""
+    n_hashes = num_hash_tables * rows_per_band
 
     def _hash_fn(g: int):
         # NB: the lambda must take exactly one argument — pyspark calls
@@ -411,7 +428,7 @@ def minhash_pairs(
         for g in range(n_hashes)
     ]
     sigs = reps.select("fp", *mh)
-    bands = sigs.select(
+    return sigs.select(
         "fp",
         F.explode(
             F.array(
@@ -433,14 +450,12 @@ def minhash_pairs(
         ).alias("band"),
     ).select("fp", F.col("band.bd").alias("bd"), F.col("band.bkey").alias("bkey"))
 
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["bd", "bkey"])
-        .filter(F.col("a.fp") < F.col("b.fp"))
-        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
-        .distinct()
-    )
 
+def _verify_candidates(
+    cand: DataFrame, reps: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verification of (fp_a, fp_b) candidates: packed-bitmap kernel
+    when the vocabulary is small, array intersection otherwise."""
     n_vocab, n_reps = _corpus_stats(reps)
     if n_vocab <= _BITMAP_MAX_VOCAB and n_reps <= _BITMAP_MAX_REPS:
         n_chunks = max(1, (n_vocab + 63) // 64)
@@ -451,7 +466,7 @@ def minhash_pairs(
         mb = masked.select(
             F.col("fp").alias("fp_b"), F.col("sz").alias("sz_b"), F.col("mask").alias("mask_b")
         )
-        verified = _jaccard_filter(
+        return _jaccard_filter(
             cand.join(ma, "fp_a")
             .join(mb, "fp_b")
             .select(
@@ -463,10 +478,7 @@ def minhash_pairs(
             ),
             threshold,
         )
-    else:
-        verified = _verify_with_arrays(cand, reps, threshold)
-
-    return _expand_pairs(verified, members, threshold)
+    return _verify_with_arrays(cand, reps, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -749,8 +761,10 @@ def incremental_near_dedup(
     (a store-side switch, same plan shape).
 
     Scale shape: one ``minhash_pairs`` run over store ∪ batch (banding is
-    sub-quadratic; at production scale the store side's signatures come
-    from a persisted signature table — same math, cached), one
+    sub-quadratic). This variant re-shingles the store each batch; the
+    production path is ``incremental_near_dedup_sigs`` below, which reads
+    the store side from a persisted ``minhash_signatures`` table (same
+    admit/reject output, pinned by tests) and shingles only the batch. One
     connected-components pass over the PAIR graph restricted to edges
     touching the batch, and set algebra on id frames.
     """
@@ -799,5 +813,141 @@ def incremental_near_dedup(
         )
     updated = store.select(id_col, text_col).unionByName(
         kept.select(id_col, text_col)
+    )
+    return kept, updated
+
+
+# ---------------------------------------------------------------------------
+# Persisted-signature incremental near-dedup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 8,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable signature table incremental dedup reads instead of
+    re-shingling the store: one row per document —
+
+        (id, fp, sz, shingles array<string>, bands array<struct<bd,bkey>>)
+
+    ``fp`` is the canonical-set fingerprint (identical contents share it),
+    ``shingles`` the sorted distinct-word set (kept so candidate pairs can
+    still be verified EXACTLY — admit/reject decisions are bit-identical
+    to the re-shingling path), and ``bands`` the LSH band digests (so the
+    store side of each batch costs one band-key join, zero hashing).
+    Shingling/banding run once per distinct content (canonical reps),
+    then fan back out to ids. Write this frame to a parquet/Delta table
+    keyed by id; at 100 TB the per-batch store-side work drops from
+    tokenize+shingle+hash of every stored document to a columnar scan of
+    (fp, bands) plus shingle reads for the verified candidates only.
+    """
+    sets_df = shingle_sets(df, id_col, text_col, n=1)
+    reps, members = _canonicalize(sets_df)
+    reps = reps.persist()
+    bands = _minhash_band_keys(reps, num_hash_tables, rows_per_band, seed)
+    band_arr = bands.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.struct("bd", "bkey"))).alias("bands")
+    )
+    return (
+        members.select("id", "fp")
+        .join(reps, "fp")
+        .join(band_arr, "fp")
+        .select("id", "fp", "sz", "shingles", "bands")
+    )
+
+
+def incremental_near_dedup_sigs(
+    batch: DataFrame,
+    sig_store: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    num_hash_tables: int = 8,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_near_dedup`` against a PERSISTED signature store:
+    same admit/reject output (tests pin equality), but the store side is
+    the ``minhash_signatures`` table — only the batch is shingled/hashed;
+    stored documents contribute their precomputed band keys to the
+    candidate join and their stored shingle sets to exact verification.
+
+    Returns (kept_batch, updated_sig_store = sig_store ∪ signatures of
+    kept batch docs). The signature table is append-only, mirroring the
+    admitted corpus exactly.
+    """
+    sig_batch = minhash_signatures(
+        batch, id_col, text_col, num_hash_tables, rows_per_band, seed
+    ).persist()
+    if sig_store is None:
+        kept = near_dedup(batch, id_col, text_col, threshold=threshold)
+        kept_sigs = sig_batch.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        return kept, kept_sigs
+
+    all_sigs = sig_store.unionByName(sig_batch)
+    members = all_sigs.select("fp", "id", "sz")
+    reps = all_sigs.select("fp", "shingles", "sz").dropDuplicates(["fp"]).persist()
+    bands = all_sigs.select(
+        "fp", F.explode("bands").alias("b")
+    ).select("fp", F.col("b.bd").alias("bd"), F.col("b.bkey").alias("bkey")).distinct()
+    batch_fps = sig_batch.select("fp").distinct()
+
+    # candidates restricted to pairs touching >= 1 batch set — store-store
+    # edges are frozen by construction, exactly like incremental_near_dedup
+    raw_cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bd", "bkey"])
+        .filter(F.col("a.fp") < F.col("b.fp"))
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+    )
+    cand = (
+        raw_cand.join(batch_fps.withColumnRenamed("fp", "fp_a"), "fp_a", "left_semi")
+        .unionByName(
+            raw_cand.join(
+                batch_fps.withColumnRenamed("fp", "fp_b"), "fp_b", "left_semi"
+            )
+        )
+        .distinct()
+    )
+    verified = _verify_candidates(cand, reps, threshold)
+    pairs = _expand_pairs(verified, members, threshold)
+
+    store_ids = sig_store.select(F.col("id").alias("sid")).distinct()
+    batch_ids = batch.select(F.col(id_col).alias("bid")).distinct()
+    be = (
+        pairs.join(batch_ids, pairs.id_a == F.col("bid"), "left_semi")
+        .unionByName(pairs.join(batch_ids, pairs.id_b == F.col("bid"), "left_semi"))
+        .distinct()
+    )
+    if be.isEmpty():
+        kept = batch
+    else:
+        comp = connected_components(be.select("id_a", "id_b"))
+        bad = (
+            comp.join(store_ids, comp.node == F.col("sid"), "left_semi")
+            .select("component")
+            .distinct()
+        )
+        labeled = comp.join(F.broadcast(bad), "component", "left_anti")
+        clean_reps = labeled.groupBy("component").agg(
+            F.min("node").alias("keep_id")
+        )
+        in_graph = comp.select(F.col("node").alias("gid")).distinct()
+        isolated = batch_ids.join(
+            in_graph, F.col("bid") == F.col("gid"), "left_anti"
+        ).select(F.col("bid").alias("keep_id"))
+        keep_ids = clean_reps.select("keep_id").unionByName(isolated).distinct()
+        kept = batch.join(
+            keep_ids, batch[id_col] == F.col("keep_id"), "left_semi"
+        )
+    updated = sig_store.unionByName(
+        sig_batch.join(kept.select(F.col(id_col).alias("id")), "id", "left_semi")
     )
     return kept, updated

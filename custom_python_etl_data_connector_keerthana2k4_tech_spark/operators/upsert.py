@@ -92,6 +92,37 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jpath
 
 
+def sink_quarantine(
+    batch: DataFrame, target_schema
+) -> tuple[DataFrame, DataFrame]:
+    """Per-record sink fault tolerance (reference etl_connector.py:182-191:
+    a doc whose write raises is logged and skipped, the run continues).
+
+    Parquet writes cannot fail per record at write time, so the engine's
+    equivalent quarantines the records that would corrupt the target:
+    rows with a non-null value that does NOT survive ``try_cast`` to the
+    target column type (overflowing decimals, unparseable dates, etc. —
+    the common case when the batch arrives stringly-typed). Returns
+    (good_rows cast to the target schema, bad_rows untouched). One narrow
+    projection — no shuffle, no UDF; at 100 TB this is free relative to
+    the write itself.
+    """
+    by_name = {f.name: f for f in target_schema.fields}
+    bad_pred = F.lit(False)
+    casts = []
+    for f in batch.schema.fields:
+        tgt = by_name.get(f.name)
+        if tgt is None or tgt.dataType == f.dataType:
+            casts.append(F.col(f.name))
+            continue
+        cast_col = F.col(f.name).try_cast(tgt.dataType)
+        bad_pred = bad_pred | (F.col(f.name).isNotNull() & cast_col.isNull())
+        casts.append(cast_col.alias(f.name))
+    good = batch.filter(~bad_pred).select(*casts)
+    bad = batch.filter(bad_pred)
+    return good, bad
+
+
 def upsert_parquet(
     spark: SparkSession,
     batch: DataFrame,
@@ -99,6 +130,7 @@ def upsert_parquet(
     key: str | list[str],
     order_by: list[str],
     partition_by: list[str] | None = None,
+    dead_letter_dir: str | None = None,
 ) -> None:
     """Keyed upsert into a parquet table at ``path`` (create if absent).
 
@@ -115,9 +147,21 @@ def upsert_parquet(
     partition columns to be stable per key (an upserted key must not move
     partitions; with date-derived partitions and keyed records this holds
     by construction). Untouched partition directories are left byte-intact.
+
+    With ``dead_letter_dir`` and an existing target, records whose values
+    cannot cast to the target schema are quarantined there (JSON, appended)
+    and the write proceeds with the rest — the reference's per-doc
+    swallow-log-continue (etl_connector.py:182-191) as a frame, not a log.
     """
     fs, jpath = _hadoop_fs(spark, path)
     exists = fs.exists(jpath)
+
+    if dead_letter_dir is not None and exists:
+        target_schema = spark.read.parquet(path).schema
+        batch, bad = sink_quarantine(batch, target_schema)
+        bad = bad.persist()
+        if not bad.isEmpty():
+            bad.write.mode("append").json(dead_letter_dir)
 
     if not partition_by:
         existing = spark.read.parquet(path) if exists else None

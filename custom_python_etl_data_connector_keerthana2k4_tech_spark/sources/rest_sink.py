@@ -107,6 +107,7 @@ class RestUpsertWriter(DataSourceWriter):
         self.backoff_initial_s = float(options.get("backoff_initial_s", 1.0))
         self.backoff_multiplier = float(options.get("backoff_multiplier", 2.0))
         self.min_interval_s = float(options.get("min_interval_s", 0.0))
+        self.dead_letter_dir = options.get("dead_letter_dir", "")
         self.fields = list(schema.names)
 
     def _headers(self) -> dict:
@@ -132,8 +133,30 @@ class RestUpsertWriter(DataSourceWriter):
                 backoff_multiplier=self.backoff_multiplier,
             )
             return 0
-        except RestSourceError:
+        except RestSourceError as e:
+            self._quarantine(buf, str(e))
             return len(buf)
+
+    def _quarantine(self, buf: list[dict], err: str) -> None:
+        """Reference per-record fault tolerance (etl_connector.py:182-191:
+        log-and-continue) as a FRAME: failed records append to
+        ``dead_letter_dir`` as JSON lines, each stamped with the error —
+        readable back with spark.read.json for replay. Without the option
+        the failure still surfaces in the commit counts (and commit()
+        raises), so silent loss is impossible either way."""
+        if not self.dead_letter_dir:
+            return
+        import os
+        import uuid
+
+        os.makedirs(self.dead_letter_dir, exist_ok=True)
+        fn = os.path.join(self.dead_letter_dir, f"dead-{uuid.uuid4().hex}.jsonl")
+        with open(fn, "w") as f:
+            for d in buf:
+                f.write(
+                    json.dumps({**d, "__error": err}, sort_keys=True, default=str)
+                    + "\n"
+                )
 
     def write(self, iterator: Iterator) -> UpsertCommit:
         """Executor-side: buffer ``batch_size`` docs, flush as one POST
@@ -158,11 +181,14 @@ class RestUpsertWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         total = sum(m.n_posted for m in messages if m)
         failed = sum(m.n_failed for m in messages if m)
-        if failed:
+        if failed and not self.dead_letter_dir:
             raise RestSourceError(
                 f"rest_upsert: {failed} records failed across partitions "
                 f"({total} posted)"
             )
+        # with a dead-letter dir the failures are quarantined frames, so the
+        # run continues — the reference's swallow-and-log (:182-191), minus
+        # the silence
 
     def abort(self, messages) -> None:  # target converges on retry (idempotent)
         pass
@@ -171,7 +197,8 @@ class RestUpsertWriter(DataSourceWriter):
 class RestUpsertDataSource(DataSource):
     """``df.write.format("rest_upsert")`` — options: base_url (required),
     endpoint, key, api_key, user_agent, batch_size, timeout_s, max_retries,
-    backoff_initial_s, backoff_multiplier, min_interval_s, skip_ping."""
+    backoff_initial_s, backoff_multiplier, min_interval_s, skip_ping,
+    dead_letter_dir (quarantine failed batches as JSONL and keep going)."""
 
     @classmethod
     def name(cls) -> str:

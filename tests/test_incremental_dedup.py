@@ -14,7 +14,9 @@ import pyspark.sql.functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
     incremental_near_dedup,
+    incremental_near_dedup_sigs,
     jaccard_pairs,
+    minhash_signatures,
     near_dedup,
 )
 
@@ -90,3 +92,62 @@ def test_idempotent_reprocessing(spark):
     # every re-submitted doc is a near/exact dup of the store -> all dropped
     assert kept2.count() == 0
     assert store2.count() == store1.count()
+
+def _ids(df, col="doc_id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_signature_store_matches_text_store(spark, sf_dir):
+    """The persisted-signature path must make the SAME admit/reject
+    decisions as the re-shingling path — the store side is fed ONLY the
+    (id, fp, sz, shingles, bands) signature table, never the text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    kept1_txt, store1_txt = incremental_near_dedup(
+        b1, None, "doc_id", "text", THRESH
+    )
+    kept2_txt, _ = incremental_near_dedup(b2, store1_txt, "doc_id", "text", THRESH)
+
+    kept1_sig, sig1 = incremental_near_dedup_sigs(b1, None, "doc_id", "text", THRESH)
+    # signatures only: drop everything but the signature columns to prove
+    # the text never reaches the store side
+    sig1_only = sig1.select("id", "fp", "sz", "shingles", "bands")
+    kept2_sig, sig2 = incremental_near_dedup_sigs(
+        b2, sig1_only, "doc_id", "text", THRESH
+    )
+
+    assert _ids(kept1_txt) == _ids(kept1_sig)
+    assert _ids(kept2_txt) == _ids(kept2_sig)
+    # the updated signature store mirrors the admitted corpus exactly
+    admitted = _ids(kept1_sig) + _ids(kept2_sig)
+    assert sorted(r["id"] for r in sig2.select("id").collect()) == sorted(admitted)
+
+
+def test_signature_table_is_rebuildable(spark):
+    """updated store == minhash_signatures(admitted corpus): signatures are
+    content-deterministic, so the append-only table never drifts."""
+    docs = _docs(spark)
+    kept, sig_store = incremental_near_dedup_sigs(docs, None, "doc_id", "text", THRESH)
+    rebuilt = minhash_signatures(kept, "doc_id", "text")
+    a = {(r["id"], r["fp"], tuple(r["shingles"]), tuple(map(tuple, r["bands"])))
+         for r in sig_store.collect()}
+    b = {(r["id"], r["fp"], tuple(r["shingles"]), tuple(map(tuple, r["bands"])))
+         for r in rebuilt.collect()}
+    assert a == b
+
+
+def test_signature_store_small_fixture_equivalence(spark):
+    docs = _docs(spark)
+    b1 = docs.filter(F.col("doc_id") <= 4)
+    b2 = docs.filter(F.col("doc_id") > 4)
+    k1t, s1t = incremental_near_dedup(b1, None, "doc_id", "text", THRESH)
+    k2t, s2t = incremental_near_dedup(b2, s1t, "doc_id", "text", THRESH)
+    k1s, s1s = incremental_near_dedup_sigs(b1, None, "doc_id", "text", THRESH)
+    k2s, s2s = incremental_near_dedup_sigs(b2, s1s, "doc_id", "text", THRESH)
+    assert _ids(k1t) == _ids(k1s)
+    assert _ids(k2t) == _ids(k2s)
+    assert _ids(s2t) == sorted(r["id"] for r in s2s.select("id").collect())

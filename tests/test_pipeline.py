@@ -130,3 +130,36 @@ def test_config_fail_fast():
         env={"OTX_API_KEY": "k", "CITY": "Chennai", "CONNECTOR_NAME": "c1"}
     )
     assert (cfg.api_key, cfg.city, cfg.connector_name) == ("k", "Chennai", "c1")
+
+def test_config_dotenv_parity(tmp_path):
+    """R12 .env loading (etl_connector.py:23 load_dotenv): file values fill
+    missing keys, process env wins, missing file is a no-op."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import parse_dotenv
+
+    envfile = tmp_path / ".env"
+    envfile.write_text(
+        "# comment\n"
+        "OTX_API_KEY=from-file\n"
+        "export CITY='Chennai'\n"
+        'CONNECTOR_NAME="c-file"  \n'
+        "OTX_BASE_URL=http://x  # inline comment\n"
+        "BROKEN LINE\n"
+    )
+    parsed = parse_dotenv(str(envfile))
+    assert parsed == {
+        "OTX_API_KEY": "from-file",
+        "CITY": "Chennai",
+        "CONNECTOR_NAME": "c-file",
+        "OTX_BASE_URL": "http://x",
+    }
+    # file fills the gaps, explicit env wins (load_dotenv override=False)
+    cfg = PipelineConfig.from_env(
+        env={"OTX_API_KEY": "from-env"}, dotenv_path=str(envfile)
+    )
+    assert cfg.api_key == "from-env"
+    assert (cfg.city, cfg.connector_name, cfg.base_url) == (
+        "Chennai", "c-file", "http://x",
+    )
+    # missing file: silent no-op, fail-fast still applies
+    with pytest.raises(ConfigError):
+        PipelineConfig.from_env(env={}, dotenv_path=str(tmp_path / "nope"))

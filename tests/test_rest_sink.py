@@ -134,3 +134,43 @@ def test_write_retries_transient_5xx(spark, sink_server):
         .save()
     )
     assert [len(b) for b in state.batches] == [3]
+
+def test_write_dead_letters_terminal_failures(spark, sink_server, tmp_path):
+    """Per-record sink fault tolerance as a frame (etl_connector.py:182-191):
+    with dead_letter_dir, a terminally-failing batch is quarantined as
+    JSONL (error-stamped) and the run COMPLETES; surviving batches post."""
+    base, state = sink_server
+    register_rest_sink(spark)
+    dl = str(tmp_path / "dead")
+    state.fail_first = [404]  # first batch POST fails terminally
+    df = spark.range(45).selectExpr("concat('p-', id) AS pulse_id").coalesce(1)
+    (
+        df.write.format("rest_upsert")
+        .option("base_url", base)
+        .option("backoff_initial_s", "0.01")
+        .option("dead_letter_dir", dl)
+        .mode("append")
+        .save()
+    )
+    posted = [r["key"] for b in state.batches for r in b]
+    dead = spark.read.json(dl)
+    assert dead.count() == 20  # the failed 20-record batch, captured whole
+    assert set(posted) | {r["key"] for r in dead.collect()} == {
+        f"p-{i}" for i in range(45)
+    }
+    assert dead.filter("__error is null").count() == 0  # every row stamped
+
+
+def test_write_without_dead_letter_still_raises(spark, sink_server, tmp_path):
+    base, state = sink_server
+    register_rest_sink(spark)
+    state.fail_first = [404]
+    df = spark.range(3).selectExpr("concat('p-', id) AS pulse_id").coalesce(1)
+    with pytest.raises(Exception, match="records failed"):
+        (
+            df.write.format("rest_upsert")
+            .option("base_url", base)
+            .option("backoff_initial_s", "0.01")
+            .mode("append")
+            .save()
+        )

@@ -141,3 +141,43 @@ def test_apply_cdc_idempotent(spark):
     assert sorted(tuple(r) for r in once.collect()) == sorted(
         tuple(r) for r in twice.collect()
     )
+
+def test_sink_quarantine_per_record_dead_letter(spark, tmp_path):
+    """Reference per-record fault tolerance (etl_connector.py:182-191:
+    a doc whose write raises is logged and skipped, the run continues) as
+    a frame: records that cannot cast to the target schema land in the
+    dead-letter dir, the rest upsert normally."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "t")
+    dl = str(tmp_path / "dead")
+    upsert_parquet(spark, _df(spark, [("a", "v1", 1)]), path, "k", ["ts"])
+
+    # stringly-typed batch: one row's ts is unparseable -> quarantined
+    raw = spark.createDataFrame(
+        [("a", "v2", "2"), ("b", "w", "not-a-number"), ("c", "x", "7")],
+        "k string, v string, ts string",
+    )
+    upsert_parquet(spark, raw, path, "k", ["ts"], dead_letter_dir=dl)
+
+    out = {r["k"]: (r["v"], r["ts"]) for r in spark.read.parquet(path).collect()}
+    assert out == {"a": ("v2", 2), "b": None, "c": ("x", 7)} or out == {
+        "a": ("v2", 2),
+        "c": ("x", 7),
+    }
+    dead = spark.read.json(dl)
+    assert dead.count() == 1
+    assert dead.filter(F.col("k") == "b").count() == 1
+
+
+def test_sink_quarantine_clean_batch_writes_everything(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    dl = str(tmp_path / "dead2")
+    upsert_parquet(spark, _df(spark, [("a", "v1", 1)]), path, "k", ["ts"])
+    upsert_parquet(
+        spark, _df(spark, [("b", "v2", 2)]), path, "k", ["ts"], dead_letter_dir=dl
+    )
+    assert spark.read.parquet(path).count() == 2
+    import os
+
+    assert not os.path.exists(dl)  # no dead letters -> no dir
