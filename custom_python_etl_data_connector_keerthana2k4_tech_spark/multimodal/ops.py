@@ -95,15 +95,20 @@ def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     """
     if payload is None:
         return None
-    try:  # pragma: no cover - PIL absent in this image
+    try:
         from io import BytesIO
 
         from PIL import Image  # type: ignore
 
-        img = Image.open(BytesIO(bytes(payload)))
-        w, h = img.size
-        mean = int(sum(img.convert("L").getdata()) / (w * h))
-        return (w, h, mean)
+        try:
+            img = Image.open(BytesIO(bytes(payload)))
+            w, h = img.size
+            mean = int(sum(img.convert("L").getdata()) / (w * h))
+            return (w, h, mean)
+        except Exception:
+            # PIL present but the payload is not a real image (e.g. the
+            # synthetic SGMM fixture) — fall through to the SGMM parser
+            pass
     except ImportError:
         pass
     raw = bytes(payload)
