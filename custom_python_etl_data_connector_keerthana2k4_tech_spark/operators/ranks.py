@@ -197,3 +197,69 @@ def with_running_sums(
                 ).otherwise(F.col(out)),
             )
     return out_df.drop("__pid")
+
+
+def with_running_max(
+    df: DataFrame,
+    order: list[Column],
+    maxes: dict[str, str],
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running maxima under a total order — the parallel form of
+    ``max(v) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED PRECEDING AND
+    {CURRENT ROW | 1 PRECEDING})``.
+
+    Same plan as ``with_running_sums`` (range repartition + per-range
+    windows + broadcast offsets) with max-merge offsets: each range's
+    prefix is ``greatest(local prefix max, max of all PRECEDING ranges'
+    totals)`` — max is associative and NULL-skipping on both sides, so
+    the result matches the window form exactly, including the
+    all-NULL-prefix case. ``inclusive=False`` gives the exclusive frame
+    (skyline/prefix-dominance shape, q119)."""
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_part, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    from pyspark.sql import Window
+
+    upper = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = part.select(
+        "*", *[F.max(src).over(w).alias(out) for out, src in maxes.items()]
+    )
+    totals = (
+        part.groupBy("__pid")
+        .agg(*[F.max(src).alias(out) for out, src in maxes.items()])
+        .collect()
+    )
+    if not totals:
+        return local.drop("__pid")
+    by_pid = sorted((r["__pid"], r) for r in totals)
+    out_df = local
+    for out in maxes:
+        dtype = local.schema[out].dataType
+        run = None
+        offsets = []
+        for pid, r in by_pid:
+            offsets.append((pid, run))
+            v = r[out]
+            if v is not None:
+                run = v if run is None or v > run else run
+        entries = [
+            x
+            for pid, off in offsets
+            if off is not None
+            for x in (F.lit(pid), F.lit(off).cast(dtype))
+        ]
+        if entries:
+            off_col = F.try_element_at(F.create_map(*entries), F.col("__pid"))
+            # greatest() skips NULLs on either side, exactly like the
+            # window max over a partially-NULL prefix
+            out_df = out_df.withColumn(out, F.greatest(F.col(out), off_col))
+    return out_df.drop("__pid")

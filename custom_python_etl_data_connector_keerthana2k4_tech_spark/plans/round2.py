@@ -102,15 +102,22 @@ def q119_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated iff some strictly-cheaper price level reaches its size, or
     its own price level has a strictly larger part. Per-price best sizes
     come from one groupBy over the raw table (big side, one shuffle);
-    the prefix max runs over the small distinct-price frame; the verdict
+    the exclusive prefix max runs as operators/ranks.with_running_max —
+    range repartition + per-range windows + broadcast max-merge offsets,
+    so even a fact-sized distinct-price frame (near-unique prices make it
+    entity-grain) never funnels through one task; the verdict
     broadcast-joins back. No self-join of the fact table ever happens —
-    that is what makes a skyline feasible at 100 TB. If the distinct-key
-    frame itself grew fact-sized, the prefix max would switch to the
-    same two-phase per-partition offsets as q118's sweep."""
+    that is what makes a skyline feasible at 100 TB."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_max
+
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
-    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
-    run = per_price.withColumn("cheaper_best", F.max("best_size").over(w))
+    run = with_running_max(
+        per_price,
+        [F.col("p_retailprice").asc()],
+        {"cheaper_best": "best_size"},
+        inclusive=False,
+    )
     joined = p.join(F.broadcast(run), "p_retailprice")
     dominated = (F.coalesce(F.col("cheaper_best"), F.lit(-1)) >= F.col("p_size")) | (
         F.col("best_size") > F.col("p_size")

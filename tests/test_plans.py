@@ -244,7 +244,6 @@ _AUDITED_UNPARTITIONED_WINDOWS = {
     "q343_pr_threshold_sweep",  # 9-row threshold ladder
     # bounded category / dimension / value frames
     "q118_order_concurrency",  # event boundary frame (day-bounded)
-    "q119_skyline_parts",  # distinct retail-price grid
     "q133_hierarchy_share",  # region/nation hierarchy
     "q147_chisq_contingency",  # category grid
     "q213_zipf_fit",  # frequency-of-frequency frame

@@ -141,3 +141,26 @@ def test_rank_plan_has_no_single_partition_window(frame):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "rangepartitioning" in plan
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+@pytest.mark.parametrize("num_partitions", [1, 6, 64])
+def test_running_max_matches_window(spark, inclusive, num_partitions):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_max
+
+    rows = [(i, ((i * 13) % 29) - 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long").select(
+        "id", F.when(F.col("id") % 11 != 0, F.col("v")).alias("v")
+    )
+    got = with_running_max(
+        df,
+        [F.col("id").asc()],
+        {"cm": "v"},
+        inclusive=inclusive,
+        num_partitions=num_partitions,
+    )
+    upper = 0 if inclusive else -1
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, upper)
+    exp = df.select("id", F.max("v").over(w).alias("e"))
+    j = got.join(exp, "id")
+    assert j.filter(~F.col("cm").eqNullSafe(F.col("e"))).count() == 0

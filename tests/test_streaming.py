@@ -786,3 +786,93 @@ def test_sessionize_with_timeout_matches_batch_gap_rule(spark, tmp_path):
         (2, base, base + 20 * mins, 2, 30.0),
     ]
     assert got == want
+
+
+def test_foreach_batch_near_dedup_stream(spark, tmp_path):
+    """Streaming near-dedup against the persisted signature store: batches
+    arrive as files; admitted docs match the batch-by-batch incremental
+    operator, and replaying a micro-batch converges (overwrite-by-batch +
+    store-read excluding the batch's own partition)."""
+    import pyspark.sql.functions as F
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
+        incremental_near_dedup_sigs,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import (
+        foreach_batch_near_dedup,
+    )
+
+    rows_b1 = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "completely different words entirely here now"),
+    ]
+    rows_b2 = [
+        (4, "alpha beta gamma delta epsilon eta"),  # near-dup of admitted 1
+        (5, "unrelated content about some other topic"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    sigs = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    ddl = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_available():
+        stream = spark.readStream.schema(ddl).parquet(str(src / "*"))
+        q = (
+            foreach_batch_near_dedup(
+                stream, corpus, sigs, ckpt, "doc_id", "text", threshold=0.8
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", rows_b1)
+    run_available()
+    write_batch("b2", rows_b2)
+    run_available()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    # reference semantics from the batch operator, applied batch-by-batch
+    k1, s1 = incremental_near_dedup_sigs(
+        spark.createDataFrame(rows_b1, ddl), None, "doc_id", "text", 0.8
+    )
+    k2, _ = incremental_near_dedup_sigs(
+        spark.createDataFrame(rows_b2, ddl),
+        s1.select("id", "fp", "sz", "shingles", "bands"),
+        "doc_id",
+        "text",
+        0.8,
+    )
+    expect = sorted(
+        [r["doc_id"] for r in k1.collect()] + [r["doc_id"] for r in k2.collect()]
+    )
+    assert got == expect
+    # signature store mirrors the corpus
+    assert sorted(
+        r["id"] for r in spark.read.parquet(sigs).select("id").collect()
+    ) == got
+
+    # crash replay: re-delivering the SECOND micro-batch under its original
+    # batch id must converge — the sink reads the store EXCLUDING its own
+    # partition, recomputes the same admit set, and overwrites in place
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.streaming.ops import near_dedup_sink
+
+    sink = near_dedup_sink(corpus, sigs, "doc_id", "text", threshold=0.8)
+    sink(spark.createDataFrame(rows_b2, ddl), 1)
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()
+    )
+    assert got == again
+    assert sorted(
+        r["id"] for r in spark.read.parquet(sigs).select("id").collect()
+    ) == got
