@@ -1,0 +1,93 @@
+"""Round-24 addition: concat-then-chunk sequence-packing audit — the
+packing strategy LLM pretraining actually uses (documents concatenated in
+corpus order, the token stream cut every context-length tokens), audited
+for boundary damage: how many documents straddle a chunk boundary (their
+attention window sees a cut), and how full the chunks run.
+
+Complements q39 (FFD bin packing, the no-straddle strategy): FFD wastes
+padding to keep documents whole; concat-and-chunk wastes nothing but cuts
+documents. This query prices that trade.
+
+The reference computes none of this (complete operator surface:
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). Oracle-paired
+(DuckDB) and auto-gated by tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+_CONTEXT = 256  # tokens per packed chunk
+
+
+@query(
+    "q351_packing_boundary_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {TXT.sql_word_count('text')} AS tok FROM documents
+      WHERE {TXT.sql_word_count('text')} >= 1
+    ), c AS (
+      SELECT doc_id, tok,
+             sum(tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST((max(cum) + {_CONTEXT} - 1) // {_CONTEXT} AS BIGINT)
+             AS n_chunks,
+           CAST(count(*) FILTER ((cum - tok) // {_CONTEXT}
+                                 <> (cum - 1) // {_CONTEXT}) AS BIGINT)
+             AS n_straddling,
+           CAST(count(*) FILTER ((cum - tok) // {_CONTEXT}
+                                 <> (cum - 1) // {_CONTEXT}) AS DOUBLE)
+             / count(*) AS straddle_rate,
+           CAST(max(cum) AS DOUBLE)
+             / (((max(cum) + {_CONTEXT} - 1) // {_CONTEXT}) * {_CONTEXT})
+             AS fill_rate
+    FROM c
+    """,
+)
+def q351_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing audit at context length 256: documents
+    concatenate in doc_id order and the token stream is cut every 256
+    tokens; a document is DAMAGED when its first and last token fall in
+    different chunks. Reports chunk count, straddle rate (the fraction of
+    documents that get cut) and fill rate (1.0 minus only the final
+    chunk's padding — the whole point of this packing). Scale: the
+    cumulative token position is DOC-grain, so it runs as
+    operators/ranks.with_running_sums (range repartition + per-range
+    windows + broadcast offsets), never an unpartitioned window over
+    millions of documents; everything after is one exact-BIGINT
+    aggregate. The oracle keeps the plain window cumsum. Reference has
+    no text analytics (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_running_sums
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", TXT.word_count("text").cast("long").alias("tok"))
+        .filter(F.col("tok") >= 1)
+    )
+    c = with_running_sums(d, [F.col("doc_id").asc()], {"cum": "tok"})
+    first_chunk = F.floor((F.col("cum") - F.col("tok")) / _CONTEXT)
+    last_chunk = F.floor((F.col("cum") - 1) / _CONTEXT)
+    straddles = (first_chunk != last_chunk).cast("long")
+    n_chunks = F.floor((F.max("cum") + _CONTEXT - 1) / _CONTEXT).cast("long")
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        n_chunks.alias("n_chunks"),
+        F.sum(straddles).cast("long").alias("n_straddling"),
+        (F.sum(straddles).cast("double") / F.count(F.lit(1))).alias(
+            "straddle_rate"
+        ),
+        (
+            F.max("cum").cast("double")
+            / (n_chunks * F.lit(_CONTEXT)).cast("double")
+        ).alias("fill_rate"),
+    )
