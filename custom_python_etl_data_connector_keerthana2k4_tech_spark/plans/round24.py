@@ -38,18 +38,20 @@ _CONTEXT = 256  # tokens per packed chunk
       FROM d
     )
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(tok) AS BIGINT) AS total_tokens,
-           CAST((max(cum) + {_CONTEXT} - 1) // {_CONTEXT} AS BIGINT)
-             AS n_chunks,
+           CAST(coalesce(sum(tok), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce((max(cum) + {_CONTEXT} - 1) // {_CONTEXT}, 0)
+                AS BIGINT) AS n_chunks,
            CAST(count(*) FILTER ((cum - tok) // {_CONTEXT}
                                  <> (cum - 1) // {_CONTEXT}) AS BIGINT)
              AS n_straddling,
-           CAST(count(*) FILTER ((cum - tok) // {_CONTEXT}
-                                 <> (cum - 1) // {_CONTEXT}) AS DOUBLE)
-             / count(*) AS straddle_rate,
-           CAST(max(cum) AS DOUBLE)
-             / (((max(cum) + {_CONTEXT} - 1) // {_CONTEXT}) * {_CONTEXT})
-             AS fill_rate
+           CASE WHEN count(*) > 0 THEN
+             CAST(count(*) FILTER ((cum - tok) // {_CONTEXT}
+                                   <> (cum - 1) // {_CONTEXT}) AS DOUBLE)
+               / count(*) END AS straddle_rate,
+           CASE WHEN count(*) > 0 THEN
+             CAST(max(cum) AS DOUBLE)
+               / (((max(cum) + {_CONTEXT} - 1) // {_CONTEXT}) * {_CONTEXT})
+             END AS fill_rate
     FROM c
     """,
 )
@@ -78,16 +80,23 @@ def q351_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_chunk = F.floor((F.col("cum") - 1) / _CONTEXT)
     straddles = (first_chunk != last_chunk).cast("long")
     n_chunks = F.floor((F.max("cum") + _CONTEXT - 1) / _CONTEXT).cast("long")
+    n = F.count(F.lit(1))
+    # coalesce/guard the empty-corpus case so both engines report
+    # (0 docs, 0 tokens, 0 chunks, NULL rates) — Spark's empty sum is NULL
+    # while DuckDB's FILTER count is 0, and 0/0 diverges (NULL vs NaN)
     return c.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("tok").cast("long").alias("total_tokens"),
-        n_chunks.alias("n_chunks"),
-        F.sum(straddles).cast("long").alias("n_straddling"),
-        (F.sum(straddles).cast("double") / F.count(F.lit(1))).alias(
+        n.cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(n_chunks, F.lit(0)).alias("n_chunks"),
+        F.coalesce(F.sum(straddles), F.lit(0)).cast("long").alias(
+            "n_straddling"
+        ),
+        F.when(n > 0, F.sum(straddles).cast("double") / n).alias(
             "straddle_rate"
         ),
-        (
+        F.when(
+            n > 0,
             F.max("cum").cast("double")
-            / (n_chunks * F.lit(_CONTEXT)).cast("double")
+            / (n_chunks * F.lit(_CONTEXT)).cast("double"),
         ).alias("fill_rate"),
     )
