@@ -1,0 +1,97 @@
+"""operators/versioned: snapshot-isolated keyed upserts with time travel,
+rollback, and vacuum — R8's upsert semantics plus the atomicity the
+reference's in-place Mongo writes lack (etl_connector.py:167-191)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+    current_version,
+    read_versioned,
+    rollback,
+    vacuum_versioned,
+    versioned_upsert,
+    versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string, ts long")
+
+
+def _state(spark, root, version=None):
+    return {
+        r["k"]: r["v"]
+        for r in read_versioned(spark, root, version).collect()
+    }
+
+
+def test_upsert_versions_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = versioned_upsert(spark, _df(spark, [("a", "v1", 1), ("b", "w1", 1)]), root, "k", ["ts"])
+    v2 = versioned_upsert(spark, _df(spark, [("a", "v2", 2), ("c", "x1", 1)]), root, "k", ["ts"])
+    v3 = versioned_upsert(spark, _df(spark, [("b", "w0", 0)]), root, "k", ["ts"])  # older ts loses
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert current_version(spark, root) == 3
+    # latest: last-write-wins by ts, stale update rejected
+    assert _state(spark, root) == {"a": "v2", "b": "w1", "c": "x1"}
+    # time travel: every historical state intact
+    assert _state(spark, root, 1) == {"a": "v1", "b": "w1"}
+    assert _state(spark, root, 2) == {"a": "v2", "b": "w1", "c": "x1"}
+    assert [m["version"] for m in versions(spark, root)] == [1, 2, 3]
+    assert versions(spark, root)[2]["parent"] == 2
+
+
+def test_replay_converges(spark, tmp_path):
+    """Re-delivering a batch produces a new version with IDENTICAL content
+    (keyed idempotence — the reference's replace_one, :181)."""
+    root = str(tmp_path / "t")
+    batch = _df(spark, [("a", "v1", 1), (None, "keyless", 1)])
+    versioned_upsert(spark, batch, root, "k", ["ts"])
+    s1 = _state(spark, root)
+    n1 = read_versioned(spark, root).count()
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    assert _state(spark, root) == s1
+    # NULL-key rows are the reference's insert fallback and accumulate
+    assert read_versioned(spark, root).count() == n1
+
+
+def test_rollback_is_append_only(spark, tmp_path):
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "good", 1)]), root, "k", ["ts"])
+    versioned_upsert(spark, _df(spark, [("a", "bad", 2)]), root, "k", ["ts"])
+    v3 = rollback(spark, root, 1)
+    assert v3 == 3 and current_version(spark, root) == 3
+    assert _state(spark, root) == {"a": "good"}
+    # history intact: the bad version is still readable for audit
+    assert _state(spark, root, 2) == {"a": "bad"}
+    m3 = versions(spark, root)[-1]
+    assert m3["rollback_of"] == 1 and m3["data"] == versions(spark, root)[0]["data"]
+
+
+def test_vacuum_respects_retention_and_shared_dirs(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        versioned_upsert(spark, _df(spark, [("a", f"v{i}", i)]), root, "k", ["ts"])
+    rollback(spark, root, 1)  # v5 shares v1's data dir
+    reclaimed = vacuum_versioned(spark, root, keep_last=2)
+    # v4 and v5(=v1 data) retained; v1's dir survives via the rollback ref
+    assert 1 not in reclaimed
+    assert set(reclaimed) <= {2, 3}
+    assert _state(spark, root) == {"a": "v0"}  # latest (rollback of 1)
+    assert _state(spark, root, 4) == {"a": "v3"}
+    with pytest.raises(Exception):
+        read_versioned(spark, root, 2).collect()  # vacuumed
+
+
+def test_snapshot_isolation_reader_pinned(spark, tmp_path):
+    """A DataFrame resolved before a new publish keeps reading its own
+    immutable snapshot."""
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    pinned = read_versioned(spark, root)  # resolves version 1's files
+    versioned_upsert(spark, _df(spark, [("a", "v2", 2)]), root, "k", ["ts"])
+    assert {r["v"] for r in pinned.collect()} == {"v1"}
+    assert _state(spark, root) == {"a": "v2"}
