@@ -305,7 +305,9 @@ def apply_cdc(
 ) -> DataFrame:
     """Apply a change feed (insert/update/delete) to a keyed table.
 
-    ``changes`` rows carry ``op_col`` in {'I','U','D'} (case-insensitive).
+    ``changes`` rows carry ``op_col`` in {'I','U','D'} or the spelled-out
+    {'insert','update','delete'} that ``operators/diff.table_diff`` emits
+    (case-insensitive; normalized to the first letter).
     The winner per key is the newest record by ``order_by`` (change rows
     beat existing rows on ties — replace_one semantics, extended with
     deletes the reference's Mongo sink expresses as remove); a key whose
@@ -315,7 +317,9 @@ def apply_cdc(
     no per-key probing, so a 100 TB table merges a change feed in a single
     pass.
     """
-    changes = changes.withColumn(op_col, F.upper(F.col(op_col)))
+    changes = changes.withColumn(
+        op_col, F.upper(F.substring(F.col(op_col), 1, 1))
+    )
     tagged = changes.withColumn(_PRIORITY, F.lit(1))
     if existing is not None:
         tagged = (

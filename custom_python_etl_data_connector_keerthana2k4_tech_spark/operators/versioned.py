@@ -200,3 +200,31 @@ def vacuum_versioned(
             fs.delete(p, True)
             reclaimed.append(m["version"])
     return reclaimed
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+    key: str | list[str] | None = None,
+) -> DataFrame:
+    """CDC read over the version history: the change feed (insert/update/
+    delete rows, ``operators/diff.table_diff`` schema) that transforms
+    snapshot ``from_version`` into ``to_version`` (default: latest) —
+    Delta's ``table_changes`` on plain parquet. Round-trip contract:
+    ``apply_cdc(read(from), table_changes(from, to), key, order_by=[])
+    == read(to)`` — replay the feed AUTHORITATIVELY (empty order_by:
+    change rows win outright), because a rollback version carries OLDER
+    order_by values than the state it replaces and a last-write-wins
+    replay would ignore it. With a monotone history both replays agree
+    (tests pin both). One full-outer join keyed on ``keys``."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.diff import table_diff
+
+    ks = keys if keys is not None else ([key] if isinstance(key, str) else key)
+    if not ks:
+        raise ValueError("keys required")
+    old = read_versioned(spark, root, from_version)
+    new = read_versioned(spark, root, to_version)
+    return table_diff(old, new, ks)

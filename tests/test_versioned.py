@@ -95,3 +95,41 @@ def test_snapshot_isolation_reader_pinned(spark, tmp_path):
     versioned_upsert(spark, _df(spark, [("a", "v2", 2)]), root, "k", ["ts"])
     assert {r["v"] for r in pinned.collect()} == {"v1"}
     assert _state(spark, root) == {"a": "v2"}
+
+
+def test_table_changes_roundtrip(spark, tmp_path):
+    """CDC across versions: apply_cdc(v_from, changes(from, to)) == v_to."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import apply_cdc
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import table_changes
+
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1), ("b", "w1", 1)]), root, "k", ["ts"])
+    versioned_upsert(spark, _df(spark, [("a", "v2", 2), ("c", "x1", 1)]), root, "k", ["ts"])
+    changes = table_changes(spark, root, 1, 2, keys=["k"])
+    ops = {(r["op"], r["k"]) for r in changes.collect()}
+    assert ops == {("update", "a"), ("insert", "c")}
+    rebuilt = apply_cdc(
+        read_versioned(spark, root, 1), changes, "k", ["ts"]
+    )
+    got = {(r["k"], r["v"]) for r in rebuilt.collect()}
+    want = {(r["k"], r["v"]) for r in read_versioned(spark, root, 2).collect()}
+    assert got == want
+
+
+def test_table_changes_roundtrip_across_rollback(spark, tmp_path):
+    """A rollback version carries OLDER order_by values, so the feed must
+    replay authoritatively (order_by=[]) — including deletes, which
+    table_diff spells out and apply_cdc normalizes."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import apply_cdc
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import table_changes
+
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    versioned_upsert(spark, _df(spark, [("a", "v2", 2), ("c", "x1", 2)]), root, "k", ["ts"])
+    rollback(spark, root, 1)  # v3 == v1's state
+    changes = table_changes(spark, root, 2, 3, keys=["k"])
+    ops = {(r["op"], r["k"]) for r in changes.collect()}
+    assert ops == {("update", "a"), ("delete", "c")}
+    rebuilt = apply_cdc(read_versioned(spark, root, 2), changes, "k", [])
+    got = {(r["k"], r["v"]) for r in rebuilt.collect()}
+    assert got == {("a", "v1")}
