@@ -100,3 +100,28 @@ def q351_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_chunks * F.lit(_CONTEXT)).cast("double"),
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge table (tokenizer-training readout; iterative, rows-only gate)
+# ---------------------------------------------------------------------------
+
+
+@query("q352_bpe_merge_table", oracle=None)  # iterative training loop — not SQL-expressible
+def q352_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 10 BPE merges learned from the corpus, in application
+    order — the actual tokenizer-training readout
+    (operators/bpe.train_bpe): one corpus pass to the word-frequency
+    dictionary, then vocab-bounded merge iterations (JVM-side folds,
+    deterministic count-desc/lexicographic argmax). Rows are
+    deterministic, so the driver's rows-only gate pins them; training is
+    separately pinned bit-identical to a pure-Python reference in
+    tests/test_bpe.py. Reference has no tokenization (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.bpe import train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges, dictionary = train_bpe(docs, "text", n_merges=10)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, left string, right string, merged string"
+    )
