@@ -125,3 +125,69 @@ def q352_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, left string, right string, merged string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q353_multiset_reconciliation",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ), b AS (
+      SELECT o_custkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all_rev', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+    """,
+)
+def q353_multiset_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (the §2 set-op family's ALL variants,
+    completing q22-q24's DISTINCT forms): reconcile two order-year
+    multisets of (customer, priority) — INTERSECT ALL keeps matched
+    MULTIPLICITY (min of the two counts per row value, what a
+    reconciliation actually audits; DISTINCT intersect would hide repeat
+    orders), EXCEPT ALL the surplus on each side. Scale: Spark plans both
+    as one hash aggregation per side plus a join on the full row value —
+    no sort, partial-aggregable, exactly like the DISTINCT forms; counts
+    are exact BIGINTs. Reference has no set operations (SURVEY §2.2)."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_slice(y0: str, y1: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+        ).select("o_custkey", "o_orderpriority")
+
+    a = year_slice("1996-01-01", "1997-01-01")
+    b = year_slice("1997-01-01", "1998-01-01")
+    rows = [
+        a.intersectAll(b).agg(
+            F.lit("intersect_all").alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ),
+        a.exceptAll(b).agg(
+            F.lit("except_all").alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ),
+        b.exceptAll(a).agg(
+            F.lit("except_all_rev").alias("op"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
