@@ -38,6 +38,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import upsert_dataframe
 
@@ -113,6 +114,7 @@ def versioned_upsert(
     root: str,
     key: str | list[str],
     order_by: list[str],
+    partition_by: str | None = None,
 ) -> int:
     """Merge ``batch`` into the latest snapshot (last-write-wins on key)
     and publish the result as a NEW version. Returns the version number.
@@ -122,20 +124,67 @@ def versioned_upsert(
     rename make it visible — a crash at any earlier point leaves the
     previous version live and the orphan directory invisible (vacuum
     sweeps it).
+
+    **The 100 TB path is ``partition_by``** (e.g. a date column, stable
+    per key): the new version rewrites ONLY the partitions the batch
+    touches and its manifest REFERENCES the previous owner directory for
+    every untouched partition (Iceberg-style metadata reuse) — a daily
+    batch against a years-deep table copies days, not years, and
+    snapshot isolation still holds because referenced directories are
+    immutable. Partition values are tracked as strings in the manifest
+    (hive directory names), so the partition column should render
+    stably as a string (dates, ints, strings all do).
     """
     cur = current_version(spark, root)
-    existing = read_versioned(spark, root, cur) if cur is not None else None
-    merged = upsert_dataframe(existing, batch, key, order_by)
     new_version = 1 if cur is None else cur + 1
-    data_dir = f"{root}/data/v{new_version:08d}"
-    merged.write.mode("overwrite").parquet(data_dir)
-    n_rows = spark.read.parquet(data_dir).count()
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "data": f"data/v{new_version:08d}",
-        "n_rows": n_rows,
-    }
+    data_rel = f"data/v{new_version:08d}"
+    data_dir = f"{root}/{data_rel}"
+
+    if partition_by is None:
+        existing = read_versioned(spark, root, cur) if cur is not None else None
+        merged = upsert_dataframe(existing, batch, key, order_by)
+        merged.write.mode("overwrite").parquet(data_dir)
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "n_rows": spark.read.parquet(data_dir).count(),
+        }
+    else:
+        touched = sorted(
+            str(r[0])
+            for r in batch.select(partition_by).distinct().collect()
+        )
+        prev_parts: dict[str, str] = {}
+        if cur is not None:
+            pm = _manifest(spark, root, cur)
+            if "partitions" not in pm:
+                raise ValueError(
+                    "cannot mix partitioned and unpartitioned versions"
+                )
+            prev_parts = dict(pm["partitions"])
+        existing_touched = None
+        if prev_parts:
+            owned = [p for p in touched if p in prev_parts]
+            if owned:
+                existing_touched = _read_partitions(
+                    spark, root, prev_parts, only=owned, col=partition_by
+                )
+        merged = upsert_dataframe(existing_touched, batch, key, order_by)
+        merged.write.partitionBy(partition_by).mode("overwrite").parquet(
+            data_dir
+        )
+        parts = dict(prev_parts)
+        for p in touched:
+            parts[p] = data_rel
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "partition_by": partition_by,
+            "partitions": parts,
+        }
+
     _write_atomic(
         spark,
         f"{root}/{_VERSIONS}/v{new_version:08d}.json",
@@ -145,14 +194,49 @@ def versioned_upsert(
     return new_version
 
 
+def _read_partitions(
+    spark: SparkSession,
+    root: str,
+    parts: dict[str, str],
+    only: list[str] | None,
+    col: str,
+) -> DataFrame:
+    """Union of owner-directory reads, one scan per distinct owner version
+    (bounded by retention depth, NOT by partition count); each read prunes
+    to the partitions that owner still holds via partition filters."""
+    from collections import defaultdict
+
+    wanted = set(only) if only is not None else set(parts)
+    by_owner: dict[str, list[str]] = defaultdict(list)
+    for value, owner in parts.items():
+        if value in wanted:
+            by_owner[owner].append(value)
+    pieces = []
+    for owner, values in sorted(by_owner.items()):
+        df = spark.read.parquet(f"{root}/{owner}")
+        pieces.append(df.filter(F.col(col).cast("string").isin(values)))
+    if not pieces:
+        raise FileNotFoundError(f"no partitions to read under {root}")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_versioned(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Read the latest (default) or any historical version — time travel."""
+    """Read the latest (default) or any historical version — time travel.
+    Partitioned versions assemble from their referenced owner directories
+    (one pruned scan per distinct owner)."""
     v = current_version(spark, root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no published version under {root}")
     m = _manifest(spark, root, v)
+    if "partitions" in m:
+        return _read_partitions(
+            spark, root, m["partitions"], only=None, col=m["partition_by"]
+        )
     return spark.read.parquet(f"{root}/{m['data']}")
 
 
@@ -165,10 +249,12 @@ def rollback(spark: SparkSession, root: str, version: int) -> int:
     manifest = {
         "version": new_version,
         "parent": cur,
-        "data": m["data"],  # shares the immutable data dir
-        "n_rows": m["n_rows"],
+        "data": m["data"],  # shares the immutable data dir(s)
         "rollback_of": version,
     }
+    for field in ("n_rows", "partition_by", "partitions"):
+        if field in m:
+            manifest[field] = m[field]
     _write_atomic(
         spark,
         f"{root}/{_VERSIONS}/v{new_version:08d}.json",
@@ -189,10 +275,14 @@ def vacuum_versioned(
     if not all_versions:
         return []
     retained = all_versions[-keep_last:] if keep_last > 0 else []
-    keep_dirs = {m["data"] for m in retained}
+    keep_dirs = set()
+    for m in retained:
+        keep_dirs.add(m["data"])
+        keep_dirs.update(m.get("partitions", {}).values())
     fs, jvm = _fs(spark, root)
     reclaimed = []
-    for m in all_versions[: len(all_versions) - keep_last if keep_last > 0 else len(all_versions)]:
+    cutoff = len(all_versions) - keep_last if keep_last > 0 else len(all_versions)
+    for m in all_versions[:cutoff]:
         if m["data"] in keep_dirs:
             continue
         p = jvm.org.apache.hadoop.fs.Path(f"{root}/{m['data']}")

@@ -133,3 +133,59 @@ def test_table_changes_roundtrip_across_rollback(spark, tmp_path):
     rebuilt = apply_cdc(read_versioned(spark, root, 2), changes, "k", [])
     got = {(r["k"], r["v"]) for r in rebuilt.collect()}
     assert got == {("a", "v1")}
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string, ts long, day string")
+
+
+def test_partitioned_versions_reference_untouched_partitions(spark, tmp_path):
+    """The 100 TB path: a new version rewrites only touched partitions and
+    its manifest references the previous owner for the rest."""
+    import os
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("a", "v1", 1, "d1"), ("b", "w1", 1, "d2")]),
+        root, "k", ["ts"], partition_by="day",
+    )
+    # second batch touches ONLY d2
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("b", "w2", 2, "d2"), ("c", "x1", 1, "d2")]),
+        root, "k", ["ts"], partition_by="day",
+    )
+    ms = versions(spark, root)
+    assert ms[1]["partitions"]["d1"] == ms[0]["data"]  # referenced, not copied
+    assert ms[1]["partitions"]["d2"] == ms[1]["data"]  # rewritten
+    # v2's own directory holds ONLY the touched partition
+    assert not os.path.exists(f"{root}/{ms[1]['data']}/day=d1")
+    assert _state(spark, root) == {"a": "v1", "b": "w2", "c": "x1"}
+    assert _state(spark, root, 1) == {"a": "v1", "b": "w1"}
+
+
+def test_partitioned_rollback_vacuum_and_cdc(spark, tmp_path):
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark, _pdf(spark, [("a", "v1", 1, "d1")]), root, "k", ["ts"],
+        partition_by="day",
+    )
+    versioned_upsert(
+        spark, _pdf(spark, [("a", "v2", 2, "d1"), ("b", "w1", 1, "d2")]),
+        root, "k", ["ts"], partition_by="day",
+    )
+    v3 = rollback(spark, root, 1)
+    assert _state(spark, root) == {"a": "v1"}
+    assert _state(spark, root, 2) == {"a": "v2", "b": "w1"}
+    # vacuum keeps every dir referenced by retained manifests (v2, v3=v1 refs)
+    reclaimed = vacuum_versioned(spark, root, keep_last=2)
+    assert reclaimed == []  # v1's dir is referenced by v3 (the rollback)
+    assert _state(spark, root) == {"a": "v1"}
+    # CDC across partitioned versions
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import table_changes
+
+    ch = table_changes(spark, root, 1, 2, keys=["k"])
+    assert {(r["op"], r["k"]) for r in ch.collect()} == {
+        ("update", "a"), ("insert", "b"),
+    }
