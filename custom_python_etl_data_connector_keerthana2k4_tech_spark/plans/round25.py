@@ -1,0 +1,456 @@
+"""Round-25 additions: four named algorithm families the surface still
+lacked, each a standard building block of large-scale data curation:
+
+- q354 SemDeDup-style semantic dedup (cluster -> prune by pairwise cosine,
+  keeping centroid outliers first) over the embeddings table;
+- q355 sorted-neighborhood near-dup candidates (the classic SNM blocking
+  family: sort by a canonical key, compare only a sliding window);
+- q356 Count-Min sketch frequency estimation (mergeable sub-linear
+  counter with the one-sided-overestimate guarantee);
+- q357 Bloom-filter join pruning (pre-filter the fact side with a bitset
+  built from the filtered dim side; no false negatives by construction).
+
+The reference computes none of this (complete operator surface:
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All four are
+oracle-paired (DuckDB) and auto-gated by tests/test_oracle.py; semantic
+properties (overestimate, no-false-negative, planted-dup recall) are
+pytest-covered in tests/test_round25.py.
+
+Cross-engine determinism: every similarity/hash quantity is integer
+arithmetic (1e-6-grid quantized embeddings, polynomial rolling hashes,
+affine bucket hashes) so Spark and DuckDB derive bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import (
+    quantize,
+    sql_quantize,
+)
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# q354: SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+_SEM_BITS = 3  # sign bits -> 2^3 clusters (grow with corpus to cap cluster size)
+_SEM_TAU = 0.3  # data-calibrated like q47: synthetic corpus max cosine ~0.44
+
+
+def _sql_sem_cluster() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN qv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SEM_BITS)
+    )
+    return f"({terms})"
+
+
+@query(
+    "q354_semantic_dedup",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+    ), c AS (
+      SELECT vec_id, qv, {_sql_sem_cluster()} AS cluster FROM q
+    ), u AS (
+      SELECT vec_id, cluster, unnest(qv) AS x,
+             generate_subscripts(qv, 1) AS i
+      FROM c
+    ), s AS (
+      SELECT cluster, i, sum(x) AS sx FROM u GROUP BY 1, 2
+    ), snorm AS (
+      SELECT cluster, sum(sx * sx) AS snsq FROM s GROUP BY 1
+    ), cc AS (
+      SELECT u.vec_id, u.cluster,
+             sum(u.x * s.sx) AS dot_s, sum(u.x * u.x) AS nsq
+      FROM u JOIN s ON u.cluster = s.cluster AND u.i = s.i
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT cc.vec_id, cc.cluster, cc.nsq,
+             row_number() OVER (
+               PARTITION BY cc.cluster
+               ORDER BY CAST(dot_s AS DOUBLE)
+                        / (sqrt(CAST(nsq AS DOUBLE))
+                           * sqrt(CAST(snsq AS DOUBLE))) ASC,
+                        cc.vec_id ASC) AS rnk
+      FROM cc JOIN snorm ON cc.cluster = snorm.cluster
+    ), dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+             sum(a.x * b.x) AS dot
+      FROM u a JOIN u b ON a.cluster = b.cluster AND a.i = b.i
+      WHERE a.vec_id <> b.vec_id
+      GROUP BY 1, 2, 3
+    ), dropped AS (
+      SELECT DISTINCT rb.vec_id, rb.cluster
+      FROM dots
+      JOIN rk ra ON ra.vec_id = dots.id_a
+      JOIN rk rb ON rb.vec_id = dots.id_b
+      WHERE ra.rnk < rb.rnk
+        AND CAST(dot AS DOUBLE)
+            / (sqrt(CAST(ra.nsq AS DOUBLE)) * sqrt(CAST(rb.nsq AS DOUBLE)))
+            >= {_SEM_TAU}
+    )
+    SELECT c.cluster,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY 1
+    """,
+)
+def q354_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    embedding space into clusters, and inside each cluster drop every
+    point whose cosine to an earlier-ranked point reaches tau,
+    where priority = ascending cosine-to-centroid (outliers survive,
+    the redundant core gets pruned). Clusters here are deterministic
+    sign-bit buckets of the first {bits} quantized components — the
+    cross-engine-reproducible stand-in for the paper's k-means; the
+    per-cluster prune is identical. Scale: cluster count grows as
+    2^bits with the corpus, capping cluster size, so the pairwise step
+    is quadratic only inside a bounded cluster (exactly q47's IVF
+    argument); the Spark side is one groupBy(cluster).applyInPandas
+    with a chunked lower-triangular matmul — memory O(chunk x cluster),
+    never O(cluster^2) resident, and no pair-grain shuffle exists.
+    All dots/norms are exact int64 on the 1e-6 grid (|x.s| < 4.2e17
+    < 2^63), so both engines rank and threshold identical doubles.
+    The drop rule is "any earlier-ranked neighbor >= tau" (non-
+    recursive), the set-cover relaxation SemDeDup itself uses.
+    Reference has no vector surface (SURVEY §2.2)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize("embedding").alias("qv")
+    )
+    cluster = None
+    for j in range(_SEM_BITS):
+        bit = F.when(F.element_at("qv", j + 1) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        cluster = bit if cluster is None else cluster + bit
+    e = e.withColumn("cluster", cluster.cast("int"))
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        n = len(ids)
+        clus = int(pdf["cluster"].iloc[0])
+        if n == 1:
+            return pd.DataFrame(
+                {"cluster": [clus], "n_total": [1], "n_dropped": [0], "n_kept": [1]}
+            )
+        sx = x.sum(axis=0)  # int64; |component| <= 1e6 * n
+        nsq = (x * x).sum(axis=1)  # exact int64
+        dot_s = x @ sx  # exact int64 (< 2^63 at any bounded cluster)
+        snsq = float((sx * sx).sum())
+        ccos = dot_s.astype(np.float64) / (np.sqrt(nsq.astype(np.float64)) * np.sqrt(snsq))
+        order = np.lexsort((ids, ccos))  # centroid-cos asc, vec_id asc
+        xo = x[order].astype(np.float64)  # exact: |dot| <= 64e12 < 2^53
+        no = np.sqrt(nsq[order].astype(np.float64))
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 1024
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            dots = xo[lo:hi] @ xo[: hi - 1].T  # rows lo..hi vs all strictly earlier
+            cos = dots / (no[lo:hi, None] * no[None, : hi - 1])
+            earlier = np.arange(hi - 1)[None, :] < np.arange(lo, hi)[:, None]
+            dropped[lo:hi] = ((cos >= _SEM_TAU) & earlier).any(axis=1)
+        nd = int(dropped.sum())
+        return pd.DataFrame(
+            {
+                "cluster": [clus],
+                "n_total": [n],
+                "n_dropped": [nd],
+                "n_kept": [n - nd],
+            }
+        )
+
+    return e.groupBy("cluster").applyInPandas(
+        prune, schema="cluster int, n_total long, n_dropped long, n_kept long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q355: sorted-neighborhood near-dup candidates
+# ---------------------------------------------------------------------------
+
+_SNM_TAU = 0.6
+_SNM_WINDOW = 2  # compare each doc to its 2 predecessors in sort order
+
+
+@query(
+    "q355_sorted_neighborhood",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_sort(list_distinct({TXT.sql_words('text')})) AS ws
+      FROM documents
+    ), k AS (
+      SELECT doc_id, lang, ws, array_to_string(ws, ' ') AS ckey,
+             substr(array_to_string(ws, ' '), 1, 1) AS blk
+      FROM d WHERE len(ws) >= 1
+    ), w AS (
+      SELECT doc_id, ws,
+             lag(doc_id, 1) OVER win AS p1, lag(ws, 1) OVER win AS w1,
+             lag(doc_id, 2) OVER win AS p2, lag(ws, 2) OVER win AS w2
+      FROM k
+      WINDOW win AS (PARTITION BY lang, blk ORDER BY ckey, doc_id)
+    ), pairs AS (
+      SELECT least(doc_id, p1) AS id_a, greatest(doc_id, p1) AS id_b,
+             CAST(len(list_intersect(ws, w1)) AS DOUBLE)
+               / len(list_distinct(ws || w1)) AS jaccard
+      FROM w WHERE p1 IS NOT NULL
+      UNION ALL
+      SELECT least(doc_id, p2), greatest(doc_id, p2),
+             CAST(len(list_intersect(ws, w2)) AS DOUBLE)
+               / len(list_distinct(ws || w2))
+      FROM w WHERE p2 IS NOT NULL
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {_SNM_TAU}
+    """,
+)
+def q355_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernandez & Stolfo 1995),
+    the third blocking family next to q43's prefix-filter and q44's LSH:
+    sort documents by a canonical key (space-joined sorted distinct word
+    set) and compare each doc only to its w=2 predecessors, scoring
+    word-set Jaccard. Near-identical documents share a canonical key and
+    land adjacent, so one O(n log n) sort replaces candidate mining.
+    Scale: the window partitions by (lang, first key char) — ~130
+    bounded blocks instead of one global sort, so no single-task
+    WindowExec; the documented SNM trade is that pairs straddling a
+    block boundary (or >w apart) are missed, which multi-pass SNM with
+    rotated keys recovers. Jaccard = integer set sizes -> identical
+    doubles in both engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_sort(F.array_distinct(TXT.words("text"))).alias("ws"),
+    ).filter(F.size("ws") >= 1)
+    k = d.withColumn("ckey", F.array_join("ws", " ")).withColumn(
+        "blk", F.substring("ckey", 1, 1)
+    )
+    win = Window.partitionBy("lang", "blk").orderBy("ckey", "doc_id")
+    w = k.select(
+        "doc_id",
+        "ws",
+        F.lag("doc_id", 1).over(win).alias("p1"),
+        F.lag("ws", 1).over(win).alias("w1"),
+        F.lag("doc_id", 2).over(win).alias("p2"),
+        F.lag("ws", 2).over(win).alias("w2"),
+    )
+
+    def pair(prev_id: str, prev_ws: str) -> DataFrame:
+        inter = F.size(F.array_intersect("ws", prev_ws))
+        union = F.size(F.array_union("ws", prev_ws))
+        return (
+            w.filter(F.col(prev_id).isNotNull())
+            .select(
+                F.least("doc_id", prev_id).alias("id_a"),
+                F.greatest("doc_id", prev_id).alias("id_b"),
+                (inter.cast("double") / union).alias("jaccard"),
+            )
+        )
+
+    out = pair("p1", "w1").unionAll(pair("p2", "w2"))
+    return out.filter(F.col("jaccard") >= _SNM_TAU)
+
+
+# ---------------------------------------------------------------------------
+# q356: Count-Min sketch frequency estimation
+# ---------------------------------------------------------------------------
+
+_CM_P = 1_000_000_007
+_CM_W = 256
+_CM_ROWS = ((1_103_515_245, 12_345), (214_013, 2_531_011), (69_069, 362_437))
+
+
+@query(
+    "q356_countmin_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({TXT.sql_words('text')}) AS token FROM documents
+    ), counts AS (
+      SELECT token, count(*) AS true_cnt,
+             {TXT.sql_rolling_fingerprint('token')} AS rh
+      FROM toks GROUP BY token
+    ), lf AS (
+      SELECT token, true_cnt, r.rid,
+             ((r.a * rh + r.b) % {_CM_P}) % {_CM_W} AS bucket
+      FROM counts, (VALUES
+        {", ".join(f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))" for i, (a, b) in enumerate(_CM_ROWS))}
+      ) AS r(rid, a, b)
+    ), cells AS (
+      SELECT rid, bucket, sum(true_cnt) AS cell FROM lf GROUP BY 1, 2
+    ), est AS (
+      SELECT lf.token, lf.true_cnt, min(cells.cell) AS est_cnt
+      FROM lf JOIN cells USING (rid, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def q356_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream: d=3 affine hash rows x w=256 buckets; each token's
+    estimate is the min over rows of its bucket's mass. The one-sided
+    guarantee (est >= true, overestimate bounded by collisions) is the
+    output's fourth column and pytest-asserted. Scale: the sketch is a
+    fixed d x w cell table produced by one map-side-combinable groupBy
+    — mergeable across partitions, days, and sources by cell-wise sum,
+    which is the whole point of CM over exact counting at 100 TB
+    (exact per-token counts here exist only to exhibit the guarantee).
+    Token hash = the engine's polynomial rolling fingerprint, identical
+    in both engines; bucket arithmetic stays < 2^61 in int64."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(TXT.words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .withColumn("rh", TXT.rolling_fingerprint("token"))
+    )
+    buckets = [
+        (((F.lit(a).cast("long") * F.col("rh") + F.lit(b)) % _CM_P) % _CM_W).alias(
+            f"b{i}"
+        )
+        for i, (a, b) in enumerate(_CM_ROWS)
+    ]
+    t = toks.select("token", "true_cnt", "rh", *buckets)
+    # long-form (token, cnt, rid, bucket) without leaving the JVM
+    stack_expr = "stack({n}, {args}) as (rid, bucket)".format(
+        n=len(_CM_ROWS),
+        args=", ".join(f"{i}, b{i}" for i in range(len(_CM_ROWS))),
+    )
+    long_form = t.select("token", "true_cnt", F.expr(stack_expr))
+    sketch = long_form.groupBy("rid", "bucket").agg(
+        F.sum("true_cnt").alias("cell")
+    )
+    est = (
+        long_form.join(F.broadcast(sketch), ["rid", "bucket"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return est.select(
+        "token",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q357: Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_HASHES = ((2_654_435_761, 17), (40_503, 101), (65_599, 7_919))
+_BLOOM_SEGMENT = "BUILDING"
+
+
+@query(
+    "q357_bloom_prune_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ), dim_bits AS (
+      SELECT DISTINCT ((h.a * c_custkey + h.b) % {_CM_P}) % {_BLOOM_M} AS bitpos
+      FROM dim, (VALUES
+        {", ".join(f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT))" for a, b in _BLOOM_HASHES)}
+      ) AS h(a, b)
+    ), fact_bits AS (
+      SELECT o_orderkey, o_custkey,
+             ((h.a * o_custkey + h.b) % {_CM_P}) % {_BLOOM_M} AS bitpos
+      FROM orders, (VALUES
+        {", ".join(f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT))" for a, b in _BLOOM_HASHES)}
+      ) AS h(a, b)
+    ), passed AS (
+      SELECT o_orderkey FROM fact_bits
+      JOIN dim_bits USING (bitpos)
+      GROUP BY o_orderkey
+      HAVING count(*) = {len(_BLOOM_HASHES)}
+    ), truth AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM dim)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_pass_bloom,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_match,
+           (SELECT CAST(count(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos,
+           CAST((SELECT count(*) FROM passed) - (SELECT count(*) FROM truth)
+                AS DOUBLE)
+             / greatest((SELECT count(*) FROM orders)
+                        - (SELECT count(*) FROM truth), 1) AS fp_rate
+    """,
+)
+def q357_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: build a {m}-bit Bloom bitset (k=3
+    affine hashes) from the filtered dim side (customers in one market
+    segment) and pre-filter the fact side (orders) to rows whose 3 bits
+    are all set, before any exact join runs. The audit row reports the
+    no-false-negative guarantee (every true match passes; pytest holds
+    this invariant) and the measured false-positive rate. Scale: this
+    is precisely the runtime-bloom semi-join Spark 3.3+ injects
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) made explicit and
+    auditable — the bitset is at most m distinct positions (a broadcast
+    of <= 4096 longs, independent of dim cardinality), the fact scan is
+    pruned before the shuffle, and the exact semi-join afterwards only
+    sees survivors. The set-bit table is built with a map-side-distinct
+    groupBy, the membership test is a broadcast join + count(k) — no
+    driver collect."""
+    orders = load(spark, sf_dir, "orders")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+
+    def bit_positions(key: str):
+        return F.array(
+            *[
+                ((F.lit(a).cast("long") * F.col(key) + F.lit(b)) % _CM_P) % _BLOOM_M
+                for a, b in _BLOOM_HASHES
+            ]
+        )
+
+    dim_bits = (
+        dim.select(F.explode(bit_positions("c_custkey")).alias("bitpos")).distinct()
+    )
+    fact_bits = orders.select(
+        "o_orderkey", F.explode(bit_positions("o_custkey")).alias("bitpos")
+    )
+    passed = (
+        fact_bits.join(F.broadcast(dim_bits), "bitpos")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == len(_BLOOM_HASHES))
+        .select("o_orderkey")
+    )
+    truth = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return (
+        n_orders.select(F.col("v").alias("n_orders"))
+        .crossJoin(n_pass.select(F.col("v").alias("n_pass_bloom")))
+        .crossJoin(n_true.select(F.col("v").alias("n_true_match")))
+        .select(
+            "n_orders",
+            "n_pass_bloom",
+            "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+            (
+                (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
+                / F.greatest(F.col("n_orders") - F.col("n_true_match"), F.lit(1))
+            ).alias("fp_rate"),
+        )
+    )

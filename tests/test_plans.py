@@ -122,6 +122,7 @@ _INTENTIONAL_BNLJ = {
     "q233_jackknife_aov",  # one-row totals/pseudo-mean broadcasts
     "q323_abc_xyz",  # one-row revenue grand-total broadcast (Pareto denominator)
     "q272_ks_two_sample",  # one-row sample-totals broadcast (ECDF denominators)
+    "q357_bloom_prune_join",  # one-row audit counters (orders/pass/true) broadcast
 }
 
 
