@@ -906,52 +906,83 @@ _EWMA_ALPHA = 0.1
 @query(
     "q108_ewma",
     oracle=f"""
-    WITH ordered AS (
+    WITH RECURSIVE ordered AS (
       SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
                AS i
       FROM events
     ),
-    acc AS (
-      SELECT *,
-             first_value(value) OVER (PARTITION BY user_id ORDER BY i) AS v0,
-             sum(value * pow({1 - _EWMA_ALPHA}, -i)) OVER (
-               PARTITION BY user_id ORDER BY i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM ordered
+    r AS (
+      SELECT event_id, user_id, ts, value, i, value AS ewma
+      FROM ordered WHERE i = 0
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.ts, o.value, o.i,
+             {1 - _EWMA_ALPHA} * r.ewma + {_EWMA_ALPHA} * o.value
+      FROM r JOIN ordered o ON o.user_id = r.user_id AND o.i = r.i + 1
     )
-    SELECT event_id, user_id, ts, value,
-           pow({1 - _EWMA_ALPHA}, i) * (v0 + {_EWMA_ALPHA} * (cum - v0))
-             AS ewma
-    FROM acc
+    SELECT event_id, user_id, ts, value, ewma FROM r
     """,
 )
 def q108_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of event value — the
     classic ordered, stateful feature no plain window aggregate expresses
     (each output depends on ALL priors with geometric decay). Runs as
-    applyInPandas: one shuffle on user_id, then pandas' C-loop recursion
-    per group, Arrow-batched. The ORACLE is the closed-form expansion
-    y_t = (1-a)^t (x_0 + a * sum (1-a)^(-i) x_i) as window cumsums — so
-    the correctness gate hash-checks the Pandas-UDF path itself against
-    pure SQL, the strongest check a UDF operator gets here.
+    repartition(user_id) + local sort + mapInPandas with a cross-batch
+    carry: pandas' C-loop recursion per group, but one Python round-trip
+    per Arrow batch instead of per user. The ORACLE is a recursive CTE
+    running the IDENTICAL recurrence y_t = (1-a) y_{{t-1}} + a x_t in the
+    identical IEEE op order, so engine and oracle are bit-equal, not
+    merely close (pandas' adjust=False kernel is bit-identical to the
+    naive recursion — pinned by test_q108_pandas_kernel_is_naive_recursion;
+    an earlier closed-form-expansion oracle differed by 1 ulp on rows
+    whose exact decimal value terminates at the round-half boundary,
+    which flips the 6-decimal canonical rounding).
 
-    The closed form's (1-a)^(-i) term grows geometrically, which caps the
-    ORACLE at ~3000 rows per key in doubles; the ENGINE recursion has no
-    such cap — at 100 TB per-key history length is bounded by retention,
-    and the recursion is O(1) state (the same recurrence
+    At 100 TB per-key history length is bounded by retention, and the
+    recursion is O(1) state (the same recurrence
     streaming/ops.stateful_running_totals runs incrementally)."""
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.col("value").cast("double").alias("value")
     )
 
-    def ewm(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
-        return pdf
+    # Partition-batched recursion: one shuffle on user_id, a local sort,
+    # then ONE Python call per Arrow batch (not per user — per-group
+    # applyInPandas costs a Python round-trip for each of the ~1.5k tiny
+    # groups, which measured ~2x the whole query). A user's rows can span
+    # Arrow batch boundaries, so each batch holds back its last user's
+    # rows and prepends them to the next (classic carry pattern; final
+    # flush emits the tail).
+    def ewm_batches(it):
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.copy()
+            out["ewma"] = (
+                out.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=_EWMA_ALPHA, adjust=False)
+                .mean()
+                .droplevel(0)
+            )
+            return out
 
-    return e.groupBy("user_id").applyInPandas(
-        ewm, schema="event_id long, user_id long, ts timestamp, value double, ewma double"
+        carry = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_uid = pdf["user_id"].iloc[-1]
+            mask = pdf["user_id"].to_numpy() == last_uid
+            carry = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield score(done)
+        if carry is not None and len(carry):
+            yield score(carry)
+
+    return (
+        e.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            ewm_batches,
+            schema="event_id long, user_id long, ts timestamp, value double, ewma double",
+        )
     )
 
 

@@ -163,3 +163,29 @@ def test_bloom_membership_matches_reference_bitset(spark, sf_dir):
     true_keys = {r.c_custkey for r in cust}
     n_true_sample = sum(1 for r in orders if r.o_custkey in true_keys)
     assert n_pass_sample >= n_true_sample
+
+
+# ---------------------------------------------------------------------------
+# q108 EWMA kernel pin (supports the bit-exact recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_q108_pandas_kernel_is_naive_recursion():
+    """The q108 oracle is a recursive CTE running y_t = 0.9*y + 0.1*x in
+    plain IEEE order; this pins that pandas' adjust=False ewm kernel is
+    bit-identical to that recursion, so engine == oracle bitwise. If a
+    pandas upgrade changes the kernel arithmetic, this fails before the
+    oracle gate does."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    x = rng.uniform(0, 100, 2000).round(1)
+    ref = pd.Series(x).ewm(alpha=0.1, adjust=False).mean().to_numpy()
+    acc = x[0]
+    out = np.empty(len(x))
+    out[0] = acc
+    for i in range(1, len(x)):
+        acc = 0.9 * acc + 0.1 * x[i]
+        out[i] = acc
+    assert (out == ref).all()
