@@ -8,10 +8,12 @@ lacked, each a standard building block of large-scale data curation:
 - q356 Count-Min sketch frequency estimation (mergeable sub-linear
   counter with the one-sided-overestimate guarantee);
 - q357 Bloom-filter join pruning (pre-filter the fact side with a bitset
-  built from the filtered dim side; no false negatives by construction).
+  built from the filtered dim side; no false negatives by construction);
+- q358 per-source MinHash signatures (mergeable sketches estimating the
+  pairwise source-overlap matrix without any token-grain join).
 
 The reference computes none of this (complete operator surface:
-/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All four are
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All five are
 oracle-paired (DuckDB) and auto-gated by tests/test_oracle.py; semantic
 properties (overestimate, no-false-negative, planted-dup recall) are
 pytest-covered in tests/test_round25.py.
@@ -452,5 +454,138 @@ def q357_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_pass_bloom") - F.col("n_true_match")).cast("double")
                 / F.greatest(F.col("n_orders") - F.col("n_true_match"), F.lit(1))
             ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358: per-source MinHash signatures -> pairwise overlap WITHOUT a token join
+# ---------------------------------------------------------------------------
+
+_MH_PERMS = 64
+_MH_A0, _MH_A1 = 1_103_515_245, 99_991
+_MH_B0, _MH_B1 = 12_345, 7_919
+
+
+@query(
+    "q358_minhash_source_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest({TXT.sql_words('text')}) AS w
+      FROM documents
+    ), hv AS (
+      SELECT source, {TXT.sql_rolling_fingerprint('w')} AS rh, w FROM v
+    ), lf AS (
+      SELECT source,
+             (((CAST({_MH_A0} AS BIGINT) + {_MH_A1} * t.p) % {_CM_P}) * rh
+              + (CAST({_MH_B0} AS BIGINT) + {_MH_B1} * t.p) % {_CM_P})
+               % {_CM_P} AS h,
+             t.p
+      FROM hv, (SELECT unnest(range({_MH_PERMS})) AS p) t
+    ), sig AS (
+      SELECT source, p, min(h) AS mh FROM lf GROUP BY 1, 2
+    ), est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) FILTER (a.mh = b.mh) AS DOUBLE)
+               / {_MH_PERMS} AS est_jaccard
+      FROM sig a JOIN sig b ON a.p = b.p AND a.source < b.source
+      GROUP BY 1, 2
+    ), sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM v GROUP BY 1
+    ), common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT source_a, source_b,
+             CAST(n_common AS DOUBLE)
+               / (sa.vocab + sb.vocab - n_common) AS jaccard
+      FROM common
+      JOIN sz sa ON sa.source = source_a
+      JOIN sz sb ON sb.source = source_b
+    )
+    SELECT est.source_a, est.source_b, est.est_jaccard,
+           coalesce(exact.jaccard, 0.0) AS jaccard,
+           abs(est.est_jaccard - coalesce(exact.jaccard, 0.0)) AS abs_err
+    FROM est LEFT JOIN exact
+      ON est.source_a = exact.source_a AND est.source_b = exact.source_b
+    """,
+)
+def q358_minhash_source_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap from per-source MinHash
+    signatures ALONE — the sketch answer to q349's exact token join.
+    Each source folds to a {perms}-slot signature (elementwise min of
+    permuted word hashes) in ONE corpus pass; signatures are mergeable
+    (min is associative, so the signature of a union of shards is the
+    elementwise min of shard signatures — pytest-held), and the k x k
+    overlap matrix then costs k^2 x perms rows of signature compare,
+    never a token-grain join. At 100 TB with hundreds of sources this is
+    the only affordable way to plan cross-source dedup; the exact
+    jaccard column (computed q349-style) rides along here as the audit
+    of the estimator, whose standard error is ~1/sqrt(perms) ~ 0.125.
+    Everything before the final divisions is exact int64 (rolling hash
+    + affine permutations mod 1e9+7), so both engines agree bitwise."""
+    v = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(TXT.words("text")).alias("w"))
+        .distinct()
+    )
+    hv = v.withColumn("rh", TXT.rolling_fingerprint("w"))
+    lf = hv.select(
+        "source",
+        "rh",
+        F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1))).alias("p"),
+    )
+    a_p = (F.lit(_MH_A0).cast("long") + _MH_A1 * F.col("p")) % _CM_P
+    b_p = (F.lit(_MH_B0).cast("long") + _MH_B1 * F.col("p")) % _CM_P
+    lf = lf.select(
+        "source", "p", ((a_p * F.col("rh") + b_p) % _CM_P).alias("h")
+    )
+    sig = lf.groupBy("source", "p").agg(F.min("h").alias("mh"))
+    sa = sig.select(F.col("source").alias("source_a"), "p", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("source").alias("source_b"), "p", F.col("mh").alias("mhb"))
+    est = (
+        sa.join(sb, "p")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum((F.col("mha") == F.col("mhb")).cast("int")).cast("double")
+                / _MH_PERMS
+            ).alias("est_jaccard")
+        )
+    )
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    va = v.select(F.col("source").alias("source_a"), "w")
+    vb = v.select(F.col("source").alias("source_b"), "w")
+    common = (
+        va.join(vb, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    exact = (
+        common.join(sz.withColumnRenamed("source", "source_a").withColumnRenamed("vocab", "vocab_a"), "source_a")
+        .join(sz.withColumnRenamed("source", "source_b").withColumnRenamed("vocab", "vocab_b"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.abs(F.col("est_jaccard") - F.coalesce("jaccard", F.lit(0.0))).alias(
+                "abs_err"
+            ),
         )
     )

@@ -189,3 +189,64 @@ def test_q108_pandas_kernel_is_naive_recursion():
         acc = 0.9 * acc + 0.1 * x[i]
         out[i] = acc
     assert (out == ref).all()
+
+
+# ---------------------------------------------------------------------------
+# q358 MinHash source sketch
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signatures_are_mergeable(spark, sf_dir):
+    """The signature of a union of shards must equal the elementwise min
+    of the shard signatures — the property that lets per-source sketches
+    accumulate one shard at a time at 100 TB."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round25 import (
+        _CM_P,
+        _MH_A0,
+        _MH_A1,
+        _MH_B0,
+        _MH_B1,
+        _MH_PERMS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+
+    def signature(df):
+        v = df.select("source", F.explode(TXT.words("text")).alias("w")).distinct()
+        hv = v.withColumn("rh", TXT.rolling_fingerprint("w"))
+        lf = hv.select(
+            "source",
+            "rh",
+            F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1))).alias("p"),
+        )
+        a_p = (F.lit(_MH_A0).cast("long") + _MH_A1 * F.col("p")) % _CM_P
+        b_p = (F.lit(_MH_B0).cast("long") + _MH_B1 * F.col("p")) % _CM_P
+        return (
+            lf.select("source", "p", ((a_p * F.col("rh") + b_p) % _CM_P).alias("h"))
+            .groupBy("source", "p")
+            .agg(F.min("h").alias("mh"))
+        )
+
+    whole = {(r.source, r.p): r.mh for r in signature(docs).collect()}
+    half_a = signature(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    half_b = signature(docs.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged = {}
+    for r in list(half_a) + list(half_b):
+        key = (r.source, r.p)
+        merged[key] = min(merged.get(key, r.mh), r.mh)
+    assert merged == whole
+
+
+def test_minhash_estimate_tracks_exact_overlap(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round25 import (
+        q358_minhash_source_sketch,
+    )
+
+    rows = q358_minhash_source_sketch(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # per-pair standard error is ~1/sqrt(64) = 0.125; allow 4 sigma
+    for r in rows:
+        assert r.abs_err <= 0.5
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err <= 0.125
