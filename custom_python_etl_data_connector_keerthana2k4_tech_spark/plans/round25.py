@@ -268,9 +268,12 @@ def q355_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q356: Count-Min sketch frequency estimation
 # ---------------------------------------------------------------------------
 
-_CM_P = 1_000_000_007
-_CM_W = 256
-_CM_ROWS = ((1_103_515_245, 12_345), (214_013, 2_531_011), (69_069, 362_437))
+# one source of truth for the sketch constants: operators/countmin.py
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.countmin import (  # noqa: E402
+    CM_P as _CM_P,
+    CM_ROWS as _CM_ROWS,
+    CM_W as _CM_W,
+)
 
 
 @query(
@@ -312,39 +315,26 @@ def q356_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the whole point of CM over exact counting at 100 TB
     (exact per-token counts here exist only to exhibit the guarantee).
     Token hash = the engine's polynomial rolling fingerprint, identical
-    in both engines; bucket arithmetic stays < 2^61 in int64."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select(F.explode(TXT.words("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .withColumn("rh", TXT.rolling_fingerprint("token"))
+    in both engines; bucket arithmetic stays < 2^61 in int64. The
+    construction lives in operators/countmin.py, which also provides
+    cross-shard merge and the replay-safe streaming accumulation sink
+    (tests/test_countmin.py)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.countmin import (
+        cm_cells,
+        cm_estimate,
     )
-    buckets = [
-        (((F.lit(a).cast("long") * F.col("rh") + F.lit(b)) % _CM_P) % _CM_W).alias(
-            f"b{i}"
-        )
-        for i, (a, b) in enumerate(_CM_ROWS)
-    ]
-    t = toks.select("token", "true_cnt", "rh", *buckets)
-    # long-form (token, cnt, rid, bucket) without leaving the JVM
-    stack_expr = "stack({n}, {args}) as (rid, bucket)".format(
-        n=len(_CM_ROWS),
-        args=", ".join(f"{i}, b{i}" for i in range(len(_CM_ROWS))),
+
+    occ = load(spark, sf_dir, "documents").select(
+        F.explode(TXT.words("text")).alias("token")
     )
-    long_form = t.select("token", "true_cnt", F.expr(stack_expr))
-    sketch = long_form.groupBy("rid", "bucket").agg(
-        F.sum("true_cnt").alias("cell")
+    true_counts = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
-    est = (
-        long_form.join(F.broadcast(sketch), ["rid", "bucket"])
-        .groupBy("token", "true_cnt")
-        .agg(F.min("cell").alias("est_cnt"))
-    )
-    return est.select(
+    est = cm_estimate(cm_cells(occ, "token"), true_counts, "token")
+    return true_counts.join(est, "token").select(
         "token",
-        F.col("true_cnt").cast("long").alias("true_cnt"),
-        F.col("est_cnt").cast("long").alias("est_cnt"),
+        "true_cnt",
+        "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overestimate"),
     )
 
