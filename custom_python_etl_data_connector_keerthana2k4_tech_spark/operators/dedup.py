@@ -951,3 +951,103 @@ def incremental_near_dedup_sigs(
         sig_batch.join(kept.select(F.col(id_col).alias("id")), "id", "left_semi")
     )
     return kept, updated
+
+
+# ---------------------------------------------------------------------------
+# Per-source MinHash signatures (mergeable overlap sketches — q358)
+# ---------------------------------------------------------------------------
+
+_SRC_MH_PERMS = 64
+_SRC_MH_P = 1_000_000_007
+_SRC_MH_A0, _SRC_MH_A1 = 1_103_515_245, 99_991
+_SRC_MH_B0, _SRC_MH_B1 = 12_345, 7_919
+
+
+def source_minhash_signatures(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_perms: int = _SRC_MH_PERMS,
+) -> DataFrame:
+    """Per-SOURCE MinHash signature ``(source, p, mh)``: the elementwise
+    min over the source's distinct words of ``n_perms`` affine
+    permutations of the rolling word hash. One corpus pass; the
+    signature estimates pairwise source-vocabulary Jaccard as the match
+    rate of signature slots (q358's construction, exposed as an
+    operator). Mergeable: the signature of a union of shards is the
+    elementwise min of shard signatures, so per-shard signatures
+    accumulate without ever re-reading old shards."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import (
+        rolling_fingerprint,
+        words,
+    )
+
+    v = df.select(
+        F.col(source_col).alias("source"), F.explode(words(text_col)).alias("w")
+    ).distinct()
+    hv = v.withColumn("rh", rolling_fingerprint("w"))
+    lf = hv.select(
+        "source",
+        "rh",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("p"),
+    )
+    a_p = (F.lit(_SRC_MH_A0).cast("long") + _SRC_MH_A1 * F.col("p")) % _SRC_MH_P
+    b_p = (F.lit(_SRC_MH_B0).cast("long") + _SRC_MH_B1 * F.col("p")) % _SRC_MH_P
+    return (
+        lf.select("source", "p", ((a_p * F.col("rh") + b_p) % _SRC_MH_P).alias("h"))
+        .groupBy("source", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def source_signature_sink(
+    sig_path: str, source_col: str = "source", text_col: str = "text"
+):
+    """foreachBatch callable accumulating per-source signatures
+    replay-safely: each micro-batch's signatures land in their own
+    ``__batch`` partition with dynamic overwrite (a re-delivered batch
+    overwrites byte-for-byte — the countmin_sink mechanism), and
+    ``read_source_signatures`` min-merges across partitions, so crash
+    replay never perturbs the accumulated sketch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            source_minhash_signatures(batch_df, source_col, text_col)
+            .withColumn("__batch", F.lit(batch_id))
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(sig_path)
+        )
+
+    return _sink
+
+
+def read_source_signatures(spark, sig_path: str) -> DataFrame:
+    """The accumulated per-source signature: elementwise (min) merge of
+    every batch partition's signatures."""
+    return (
+        spark.read.parquet(sig_path)
+        .groupBy("source", "p")
+        .agg(F.min("mh").alias("mh"))
+    )
+
+
+def signature_overlap_matrix(
+    sig: DataFrame, n_perms: int = _SRC_MH_PERMS
+) -> DataFrame:
+    """Pairwise estimated Jaccard from signatures alone:
+    ``(source_a, source_b, est_jaccard)``, never touching raw tokens."""
+    sa = sig.select(F.col("source").alias("source_a"), "p", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("source").alias("source_b"), "p", F.col("mh").alias("mhb"))
+    return (
+        sa.join(sb, "p")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum((F.col("mha") == F.col("mhb")).cast("int")).cast("double")
+                / F.lit(n_perms)
+            ).alias("est_jaccard")
+        )
+    )

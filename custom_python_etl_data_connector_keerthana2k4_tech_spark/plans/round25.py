@@ -516,36 +516,15 @@ def q358_minhash_source_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the estimator, whose standard error is ~1/sqrt(perms) ~ 0.125.
     Everything before the final divisions is exact int64 (rolling hash
     + affine permutations mod 1e9+7), so both engines agree bitwise."""
-    v = (
-        load(spark, sf_dir, "documents")
-        .select("source", F.explode(TXT.words("text")).alias("w"))
-        .distinct()
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
+        signature_overlap_matrix,
+        source_minhash_signatures,
     )
-    hv = v.withColumn("rh", TXT.rolling_fingerprint("w"))
-    lf = hv.select(
-        "source",
-        "rh",
-        F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1))).alias("p"),
-    )
-    a_p = (F.lit(_MH_A0).cast("long") + _MH_A1 * F.col("p")) % _CM_P
-    b_p = (F.lit(_MH_B0).cast("long") + _MH_B1 * F.col("p")) % _CM_P
-    lf = lf.select(
-        "source", "p", ((a_p * F.col("rh") + b_p) % _CM_P).alias("h")
-    )
-    sig = lf.groupBy("source", "p").agg(F.min("h").alias("mh"))
-    sa = sig.select(F.col("source").alias("source_a"), "p", F.col("mh").alias("mha"))
-    sb = sig.select(F.col("source").alias("source_b"), "p", F.col("mh").alias("mhb"))
-    est = (
-        sa.join(sb, "p")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            (
-                F.sum((F.col("mha") == F.col("mhb")).cast("int")).cast("double")
-                / _MH_PERMS
-            ).alias("est_jaccard")
-        )
-    )
+
+    d = load(spark, sf_dir, "documents")
+    v = d.select("source", F.explode(TXT.words("text")).alias("w")).distinct()
+    sig = source_minhash_signatures(d, "source", "text", n_perms=_MH_PERMS)
+    est = signature_overlap_matrix(sig, n_perms=_MH_PERMS)
     sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     va = v.select(F.col("source").alias("source_a"), "w")
     vb = v.select(F.col("source").alias("source_b"), "w")

@@ -200,42 +200,55 @@ def test_minhash_signatures_are_mergeable(spark, sf_dir):
     """The signature of a union of shards must equal the elementwise min
     of the shard signatures — the property that lets per-source sketches
     accumulate one shard at a time at 100 TB."""
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions import text as TXT
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round25 import (
-        _CM_P,
-        _MH_A0,
-        _MH_A1,
-        _MH_B0,
-        _MH_B1,
-        _MH_PERMS,
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
+        source_minhash_signatures,
     )
 
     docs = load(spark, sf_dir, "documents")
-
-    def signature(df):
-        v = df.select("source", F.explode(TXT.words("text")).alias("w")).distinct()
-        hv = v.withColumn("rh", TXT.rolling_fingerprint("w"))
-        lf = hv.select(
-            "source",
-            "rh",
-            F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1))).alias("p"),
-        )
-        a_p = (F.lit(_MH_A0).cast("long") + _MH_A1 * F.col("p")) % _CM_P
-        b_p = (F.lit(_MH_B0).cast("long") + _MH_B1 * F.col("p")) % _CM_P
-        return (
-            lf.select("source", "p", ((a_p * F.col("rh") + b_p) % _CM_P).alias("h"))
-            .groupBy("source", "p")
-            .agg(F.min("h").alias("mh"))
-        )
-
-    whole = {(r.source, r.p): r.mh for r in signature(docs).collect()}
-    half_a = signature(docs.filter(F.col("doc_id") % 2 == 0)).collect()
-    half_b = signature(docs.filter(F.col("doc_id") % 2 == 1)).collect()
+    whole = {
+        (r.source, r.p): r.mh for r in source_minhash_signatures(docs).collect()
+    }
+    half_a = source_minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    half_b = source_minhash_signatures(docs.filter(F.col("doc_id") % 2 == 1)).collect()
     merged = {}
     for r in list(half_a) + list(half_b):
         key = (r.source, r.p)
         merged[key] = min(merged.get(key, r.mh), r.mh)
     assert merged == whole
+
+
+def test_source_signature_sink_replay_safe(spark, sf_dir, tmp_path):
+    """Streaming accumulation of per-source signatures: three
+    micro-batches (one replayed) min-merge to the whole-corpus
+    signature, and the overlap matrix from the accumulated store matches
+    the batch-computed one."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
+        read_source_signatures,
+        signature_overlap_matrix,
+        source_minhash_signatures,
+        source_signature_sink,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "sigs")
+    sink = source_signature_sink(path)
+    for i in range(3):
+        sink(docs.filter(F.col("doc_id") % 3 == i), i)
+    sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # crash-replay
+    acc = read_source_signatures(spark, path)
+    whole = {
+        (r.source, r.p): r.mh for r in source_minhash_signatures(docs).collect()
+    }
+    assert {(r.source, r.p): r.mh for r in acc.collect()} == whole
+    m1 = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in signature_overlap_matrix(acc).collect()
+    }
+    m2 = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in signature_overlap_matrix(source_minhash_signatures(docs)).collect()
+    }
+    assert m1 == m2
 
 
 def test_minhash_estimate_tracks_exact_overlap(spark, sf_dir):
