@@ -60,6 +60,12 @@ def kmeans(
     the final centroids. Per iteration: one distributed scan + one
     k×dim-row shuffle; driver state is the centroid matrix only.
     """
+    # The loop re-reads df once per iteration (init + iters scans of the
+    # same rows); cache it for the duration so iterations 2..n read
+    # executor-local blocks instead of re-scanning/recomputing lineage.
+    # Unpersisted after the last update; the returned frame recomputes
+    # from source once, which downstream consumers pay anyway.
+    df = df.persist()
     init = (
         df.orderBy(id_col)
         .limit(k)
@@ -94,4 +100,5 @@ def kmeans(
             new[cl] = [x / cnt[cl] for x in vec]
         centroids = new
 
+    df.unpersist()
     return assign(df, vec_col, centroids), centroids
