@@ -10,10 +10,12 @@ lacked, each a standard building block of large-scale data curation:
 - q357 Bloom-filter join pruning (pre-filter the fact side with a bitset
   built from the filtered dim side; no false negatives by construction);
 - q358 per-source MinHash signatures (mergeable sketches estimating the
-  pairwise source-overlap matrix without any token-grain join).
+  pairwise source-overlap matrix without any token-grain join);
+- q359 first-principles HyperLogLog (register table, max-merge, linear-
+  counting correction) with the exact distinct count as audit.
 
 The reference computes none of this (complete operator surface:
-/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All five are
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All six are
 oracle-paired (DuckDB) and auto-gated by tests/test_oracle.py; semantic
 properties (overestimate, no-false-negative, planted-dup recall) are
 pytest-covered in tests/test_round25.py.
@@ -557,4 +559,96 @@ def q358_minhash_source_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "abs_err"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q359: first-principles HyperLogLog distinct estimate (register table)
+# ---------------------------------------------------------------------------
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.hll import (  # noqa: E402
+    HLL_ALPHA_MM,
+    HLL_BUCKET_BITS,
+    HLL_M,
+    HLL_W,
+    _SHIFT,
+    hll_estimate,
+    hll_registers,
+    sql_rho,
+)
+
+
+@query(
+    "q359_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_custkey,
+             {TXT.sql_rolling_fingerprint('md5(CAST(o_custkey AS VARCHAR))')} AS h
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, h & {HLL_M - 1} AS bucket,
+             {sql_rho(f'(h >> {HLL_BUCKET_BITS}) & {(1 << HLL_W) - 1}')} AS rho
+      FROM h
+    ), regs AS (
+      SELECT o_orderpriority, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+    ), agg AS (
+      SELECT o_orderpriority,
+             sum(CAST(1 AS BIGINT) << ({_SHIFT} - reg)) AS present_sum,
+             count(*) AS n_present
+      FROM regs GROUP BY 1
+    ), t AS (
+      SELECT o_orderpriority,
+             present_sum
+               + ({HLL_M} - n_present) * (CAST(1 AS BIGINT) << {_SHIFT})
+               AS scaled_sum,
+             {HLL_M} - n_present AS n_zero
+      FROM agg
+    ), e AS (
+      SELECT o_orderpriority, n_zero,
+             {HLL_ALPHA_MM!r}
+               / (CAST(scaled_sum AS DOUBLE) / {float(1 << _SHIFT)!r}) AS raw
+      FROM t
+    ), est AS (
+      SELECT o_orderpriority,
+             CASE WHEN raw <= {2.5 * HLL_M!r} AND n_zero > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / n_zero)
+                  ELSE raw END AS n_est
+      FROM e
+    ), exact AS (
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT est.o_orderpriority, n_exact, n_est,
+           abs(n_est - n_exact) / n_exact AS rel_err
+    FROM est JOIN exact ON est.o_orderpriority = exact.o_orderpriority
+    """,
+)
+def q359_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principles HyperLogLog per order priority: the register
+    TABLE construction from operators/hll.py (affine hash, 7 bucket
+    bits, 24-bit rank ladder), with the exact distinct count riding
+    along as the estimator audit (standard error 1.04/sqrt(128) ~ 9%).
+    Unlike q16/q103 (Spark's built-in approx_count_distinct, rows-only
+    by necessity), every step here is reproducible in DuckDB — the
+    power sum is an exact scaled integer until one final division — so
+    this HLL is oracle-paired bitwise. Registers merge by elementwise
+    max across shards/batches (operators/hll.hll_merge, replay-safe
+    streaming store in hll_sink), which is what makes the sketch the
+    scale answer to distinct counting at 100 TB: constant state per
+    group, no distinct shuffle. Linear-counting small-range correction
+    exercised at sf0.001; raw estimator above."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    regs = hll_registers(o, "o_custkey", ["o_orderpriority"])
+    est = hll_estimate(regs, ["o_orderpriority"])
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        "n_est",
+        (F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        ),
     )
