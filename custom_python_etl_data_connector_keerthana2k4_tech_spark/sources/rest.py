@@ -260,13 +260,126 @@ class RestSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+class _CursorChain(InputPartition):
+    """The whole cursor chain — one partition by protocol (below)."""
+
+    def __init__(self):
+        super().__init__(0)
+
+
+class CursorRestReader(DataSourceReader):
+    """Cursor/next-token pagination (``pagination=cursor``): each response
+    carries the opaque token for the NEXT page (``next_field`` option,
+    default ``next``), so the chain is sequential BY PROTOCOL — no page
+    number exists to range-partition on. The honest Spark shape is one
+    walker per feed: ``partitions()`` returns a single partition (matching
+    the reference's polite single-client loop, etl_connector.py:88-127),
+    parallelism comes from unioning many feeds/endpoints, and everything
+    downstream of the scan is distributed as usual. ``max_pages`` caps a
+    runaway chain; termination is ``next`` falsy (cursor APIs signal the
+    end explicitly, not via short pages).
+
+    Output rows are ``(page, position, item)`` where ``page`` is the
+    1-based index along the chain."""
+
+    def __init__(self, options: dict):
+        self._r = RestReader(options)  # shared option parsing + auth
+        self.next_field = options.get("next_field", "next")
+        self.cursor_param = options.get("cursor_param", "cursor")
+        self.start_cursor = options.get("start_cursor", "")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_CursorChain()]
+
+    def _fetch(self, cursor: str) -> tuple[list, str]:
+        headers = {"User-Agent": self._r.user_agent}
+        if self._r.api_key:
+            headers["X-OTX-API-KEY"] = self._r.api_key
+        params = {"limit": self._r.per_page}
+        if cursor:
+            params[self.cursor_param] = cursor
+        body = safe_get(
+            self._r.base_url + self._r.endpoint,
+            params=params,
+            headers=headers,
+            timeout_s=self._r.timeout_s,
+            max_retries=self._r.max_retries,
+            backoff_initial_s=self._r.backoff_initial_s,
+            backoff_multiplier=self._r.backoff_multiplier,
+        )
+        data = json.loads(body)
+        items = normalize_payload(data)
+        nxt = data.get(self.next_field) if isinstance(data, dict) else None
+        return items, (nxt if isinstance(nxt, str) and nxt else "")
+
+    def read(self, partition: _CursorChain) -> Iterator[tuple]:
+        cursor = self.start_cursor
+        for seq in range(1, self._r.max_pages + 1):
+            items, nxt = self._fetch(cursor)
+            for pos, item in enumerate(items):
+                yield (seq, pos, json.dumps(item, sort_keys=True))
+            if not nxt:
+                break
+            cursor = nxt
+            if self._r.min_interval_s > 0:
+                time.sleep(self._r.min_interval_s)
+
+
+class CursorRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming mode of cursor pagination. Offset = ``{"cursor": c,
+    "seq": s, "pos": k}``: the cursor that fetches chain page ``s``, of
+    which the first ``k`` items are already emitted. A page with a next
+    token advances the cursor; the chain tail (``next`` absent) keeps the
+    offset ON that page at its current length, so items appended to the
+    tail later are picked up without re-emitting — the same append-only
+    exactly-once contract as RestSimpleStreamReader, with
+    ``readBetweenOffsets`` replaying [start, end) for checkpoint
+    recovery (valid while the feed keeps serving the stored tokens)."""
+
+    def __init__(self, options: dict):
+        self._c = CursorRestReader(options)
+        self.pages_per_batch = int(options.get("pages_per_batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self._c.start_cursor, "seq": 1, "pos": 0}
+
+    def _poll(self, start: dict, stop_at: dict | None = None):
+        cursor, seq, pos = start["cursor"], int(start["seq"]), int(start["pos"])
+        rows: list[tuple] = []
+        for _ in range(self.pages_per_batch):
+            items, nxt = self._c._fetch(cursor)
+            hi = len(items)
+            if stop_at is not None and seq == int(stop_at["seq"]):
+                hi = min(hi, int(stop_at["pos"]))
+            for p in range(pos, hi):
+                rows.append((seq, p, json.dumps(items[p], sort_keys=True)))
+            if stop_at is not None and seq == int(stop_at["seq"]):
+                return rows, dict(stop_at)
+            if not nxt:  # chain tail: stay here, pick up appends next batch
+                return rows, {"cursor": cursor, "seq": seq, "pos": len(items)}
+            cursor, seq, pos = nxt, seq + 1, 0
+            if self._c._r.min_interval_s > 0:
+                time.sleep(self._c._r.min_interval_s)
+        return rows, {"cursor": cursor, "seq": seq, "pos": pos}
+
+    def read(self, start: dict):
+        rows, end = self._poll(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._poll(start, stop_at=end)
+        return iter(rows)
+
+
 class RestDataSource(DataSource):
     """``spark.read.format("paginated_rest")`` — see module docstring.
 
     Options: base_url (required), endpoint, api_key, user_agent, per_page,
     max_pages, pages_per_partition, timeout_s, max_retries,
     backoff_initial_s, backoff_multiplier, min_interval_s; streaming adds
-    pages_per_batch (micro-batch page budget).
+    pages_per_batch (micro-batch page budget). ``pagination=cursor``
+    switches both batch and streaming to next-token chains (options
+    cursor_param, next_field, start_cursor).
     """
 
     @classmethod
@@ -276,10 +389,14 @@ class RestDataSource(DataSource):
     def schema(self) -> T.StructType:
         return REST_SCHEMA
 
-    def reader(self, schema: T.StructType) -> RestReader:
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self.options.get("pagination", "page") == "cursor":
+            return CursorRestReader(self.options)
         return RestReader(self.options)
 
-    def simpleStreamReader(self, schema: T.StructType) -> RestSimpleStreamReader:
+    def simpleStreamReader(self, schema: T.StructType) -> SimpleDataSourceStreamReader:
+        if self.options.get("pagination", "page") == "cursor":
+            return CursorRestStreamReader(self.options)
         return RestSimpleStreamReader(self.options)
 
 
