@@ -122,11 +122,19 @@ class RestUpsertWriter(DataSourceWriter):
         if not buf:
             return 0
         body = "\n".join(json.dumps(d, sort_keys=True, default=str) for d in buf)
+        # Deterministic Idempotency-Key per batch (content hash): safe_post
+        # retries after transport errors/5xx that the server may already have
+        # applied; a server that dedups on the key turns the sink's
+        # at-least-once POSTs into effectively-once — every retry of THIS
+        # batch carries the same key, different batches never collide.
+        import hashlib
+
+        idem_key = hashlib.md5(body.encode()).hexdigest()
         try:
             safe_post(
                 self.base_url + self.endpoint,
                 body.encode(),
-                headers=self._headers(),
+                headers={**self._headers(), "Idempotency-Key": idem_key},
                 timeout_s=self.timeout_s,
                 max_retries=self.max_retries,
                 backoff_initial_s=self.backoff_initial_s,

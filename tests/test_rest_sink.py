@@ -24,6 +24,7 @@ class _SinkState:
         self.pings = 0
         self.fail_first: list[int] = []  # status codes to inject
         self.headers: list[dict] = []
+        self.idem_keys: list[str] = []  # Idempotency-Key of EVERY attempt
         self.lock = threading.Lock()
 
 
@@ -41,6 +42,7 @@ def _make_handler(state: _SinkState):
                     self.send_response(200)
                     self.end_headers()
                     return
+                state.idem_keys.append(self.headers.get("Idempotency-Key"))
                 if state.fail_first:
                     self.send_response(state.fail_first.pop(0))
                     self.end_headers()
@@ -174,3 +176,25 @@ def test_write_without_dead_letter_still_raises(spark, sink_server, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_idempotency_key_stable_across_retries(spark, sink_server):
+    """Every POST carries a content-hash Idempotency-Key: a retried batch
+    (transient 5xx) re-sends the SAME key so a deduping server applies it
+    once; distinct batches carry distinct keys."""
+    base, state = sink_server
+    register_rest_sink(spark)
+    state.fail_first = [500]  # first attempt of the first batch fails
+    df = spark.range(25).selectExpr("concat('p-', id) AS pulse_id").coalesce(1)
+    (
+        df.write.format("rest_upsert")
+        .option("base_url", base)
+        .option("backoff_initial_s", "0.01")
+        .mode("append")
+        .save()
+    )
+    # 25 rows -> two batches (20 + 5); first batch attempted twice
+    assert len(state.idem_keys) == 3
+    assert all(k for k in state.idem_keys)  # present on every attempt
+    assert state.idem_keys[0] == state.idem_keys[1]  # retry reuses the key
+    assert state.idem_keys[2] != state.idem_keys[0]  # next batch differs
