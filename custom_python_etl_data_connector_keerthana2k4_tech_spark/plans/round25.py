@@ -12,10 +12,12 @@ lacked, each a standard building block of large-scale data curation:
 - q358 per-source MinHash signatures (mergeable sketches estimating the
   pairwise source-overlap matrix without any token-grain join);
 - q359 first-principles HyperLogLog (register table, max-merge, linear-
-  counting correction) with the exact distinct count as audit.
+  counting correction) with the exact distinct count as audit;
+- q360 equi-width histogram quantile sketch (mergeable bins, ECDF
+  interpolation) with exact percentiles as audit.
 
 The reference computes none of this (complete operator surface:
-/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All six are
+/root/reference/etl_connector.py:53-242; SURVEY §2.1-2.2). All seven are
 oracle-paired (DuckDB) and auto-gated by tests/test_oracle.py; semantic
 properties (overestimate, no-false-negative, planted-dup recall) are
 pytest-covered in tests/test_round25.py.
@@ -651,4 +653,139 @@ def q359_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact")).alias(
             "rel_err"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q360: equi-width histogram quantile sketch (mergeable bins, ECDF interp)
+# ---------------------------------------------------------------------------
+
+_HG_BINS = 256
+_HG_LO_C = 0  # cents
+_HG_W_C = 43_000  # cents per bin -> covers [0, 110,080.00] dollars
+_HG_QS = (0.5, 0.95, 0.99)
+
+
+@query(
+    "q360_histogram_quantiles",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             CAST(l_extendedprice AS DOUBLE) AS xd
+      FROM lineitem
+    ), b AS (
+      SELECT least({_HG_BINS - 1}, (xc - {_HG_LO_C}) // {_HG_W_C}) AS bin
+      FROM x
+    ), counts AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+    ), cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM x
+    ), qs AS (
+      SELECT unnest([{", ".join(repr(q) for q in _HG_QS)}]) AS p
+    ), cand AS (
+      SELECT qs.p, cum.bin
+      FROM qs, cum, tot
+      WHERE CAST(cum.cum AS DOUBLE) >= qs.p * tot.n
+    ), sel AS (
+      SELECT p, min(bin) AS bin FROM cand GROUP BY p
+    ), est AS (
+      SELECT sel.p,
+             ({_HG_LO_C} + sel.bin * {_HG_W_C}
+              + {_HG_W_C} * (sel.p * tot.n - (cum.cum - cum.cnt))
+                / cum.cnt) / 100.0 AS est
+      FROM sel JOIN cum ON sel.bin = cum.bin, tot
+    ), exact AS (
+      SELECT quantile_cont(xd, {_HG_QS[0]!r}) AS e50,
+             quantile_cont(xd, {_HG_QS[1]!r}) AS e95,
+             quantile_cont(xd, {_HG_QS[2]!r}) AS e99,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x
+    )
+    SELECT est.p, exact.n, est.est,
+           CASE est.p WHEN {_HG_QS[0]!r} THEN e50
+                      WHEN {_HG_QS[1]!r} THEN e95
+                      ELSE e99 END AS exact,
+           abs(est.est - CASE est.p WHEN {_HG_QS[0]!r} THEN e50
+                                    WHEN {_HG_QS[1]!r} THEN e95
+                                    ELSE e99 END)
+             / CASE est.p WHEN {_HG_QS[0]!r} THEN e50
+                          WHEN {_HG_QS[1]!r} THEN e95
+                          ELSE e99 END AS rel_err
+    FROM est, exact
+    """,
+)
+def q360_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from an equi-width histogram sketch: values bin to 256
+    fixed-width cells (pure integer arithmetic on cents — no float
+    boundary risk), and each quantile interpolates the ECDF inside its
+    bin. The bin-count table is the sketch: mergeable across shards/
+    days by cell-wise sum exactly like the Count-Min cells (operators/
+    countmin.py's __batch store pattern applies verbatim), size 256
+    regardless of row count, error bounded by bin width / local density
+    — the audit columns (exact interpolated percentile, rel_err) price
+    that trade per quantile. This complements q67 (Spark's opaque
+    percentile_approx, rows-only by necessity): the histogram sketch is
+    the variant whose every step is reproducible in DuckDB, so the
+    approximation itself is under the hash-compare gate. The cum window
+    runs over <= 256 aggregate rows (bounded single partition by
+    design). Reference has no aggregation surface (SURVEY §2.2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+        F.col("l_extendedprice").cast("double").alias("xd"),
+    )
+    binned = li.select(
+        F.least(
+            F.lit(_HG_BINS - 1), F.expr(f"(xc - {_HG_LO_C}) div {_HG_W_C}")
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum_w = (
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select("bin", "cnt", F.sum("cnt").over(cum_w).alias("cum"))
+    exact = li.agg(
+        F.percentile("xd", _HG_QS[0]).alias("e50"),
+        F.percentile("xd", _HG_QS[1]).alias("e95"),
+        F.percentile("xd", _HG_QS[2]).alias("e99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _HG_QS], "p double")
+    cand = (
+        qs.crossJoin(F.broadcast(exact.select("n")))
+        .join(
+            F.broadcast(cum),
+            F.col("cum").cast("double") >= F.col("p") * F.col("n"),
+        )
+        .groupBy("p", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = cand.join(F.broadcast(cum), "bin").select(
+        "p",
+        "n",
+        (
+            (
+                F.lit(_HG_LO_C)
+                + F.col("bin") * _HG_W_C
+                + _HG_W_C
+                * (F.col("p") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt")
+            )
+            / 100.0
+        ).alias("est"),
+    )
+    ex = (
+        F.when(F.col("p") == _HG_QS[0], F.col("e50"))
+        .when(F.col("p") == _HG_QS[1], F.col("e95"))
+        .otherwise(F.col("e99"))
+    )
+    return est.crossJoin(F.broadcast(exact.select("e50", "e95", "e99"))).select(
+        "p",
+        "n",
+        "est",
+        ex.alias("exact"),
+        (F.abs(F.col("est") - ex) / ex).alias("rel_err"),
     )

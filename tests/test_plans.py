@@ -123,6 +123,7 @@ _INTENTIONAL_BNLJ = {
     "q323_abc_xyz",  # one-row revenue grand-total broadcast (Pareto denominator)
     "q272_ks_two_sample",  # one-row sample-totals broadcast (ECDF denominators)
     "q357_bloom_prune_join",  # one-row audit counters (orders/pass/true) broadcast
+    "q360_histogram_quantiles",  # 3-quantile probe x 1-row totals/exact broadcasts
 }
 
 
@@ -259,6 +260,7 @@ _AUDITED_UNPARTITIONED_WINDOWS = {
     "q293_bpe_merge_candidates",  # 20-row top-k limit frame
     "q303_nelson_aalen",  # distinct event-time frame
     "q306_term_dispersion",  # top-20 term frame
+    "q360_histogram_quantiles",  # 256-bin histogram frame (fixed size)
 }
 
 

@@ -263,3 +263,23 @@ def test_minhash_estimate_tracks_exact_overlap(spark, sf_dir):
         assert r.abs_err <= 0.5
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err <= 0.125
+
+
+# ---------------------------------------------------------------------------
+# q360 histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_accurate_and_ordered(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round25 import (
+        q360_histogram_quantiles,
+    )
+
+    rows = sorted(
+        q360_histogram_quantiles(spark, sf_dir).collect(), key=lambda r: r.p
+    )
+    assert [r.p for r in rows] == [0.5, 0.95, 0.99]
+    for r in rows:
+        assert r.rel_err < 0.05, r  # bin width bounds the error
+    # estimates must be monotone in p, like the exact quantiles
+    assert rows[0].est <= rows[1].est <= rows[2].est
