@@ -747,20 +747,27 @@ def q360_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = counts.select("bin", "cnt", F.sum("cnt").over(cum_w).alias("cum"))
-    exact = li.agg(
-        F.percentile("xd", _HG_QS[0]).alias("e50"),
-        F.percentile("xd", _HG_QS[1]).alias("e95"),
-        F.percentile("xd", _HG_QS[2]).alias("e99"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    # Exact audit via the distributed range-bucket operator (quantile_cont-
+    # exact, three narrow parallel scans) instead of Spark's buffering
+    # `percentile` UDAF, whose single-thread merge measured 4.2s of this
+    # query's 5s at sf0.1 — at 100 TB it is simply not runnable, which is
+    # q35's documented point.
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import (
+        exact_quantiles,
     )
-    qs = spark.createDataFrame([(q,) for q in _HG_QS], "p double")
+
+    ex_vals = exact_quantiles(li, "xd", list(_HG_QS))
+    n_df = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    qs = spark.createDataFrame(
+        [(q, float(v)) for q, v in zip(_HG_QS, ex_vals)], "p double, exact double"
+    )
     cand = (
-        qs.crossJoin(F.broadcast(exact.select("n")))
+        qs.crossJoin(F.broadcast(n_df))
         .join(
             F.broadcast(cum),
             F.col("cum").cast("double") >= F.col("p") * F.col("n"),
         )
-        .groupBy("p", "n")
+        .groupBy("p", "exact", "n")
         .agg(F.min("bin").alias("bin"))
     )
     est = cand.join(F.broadcast(cum), "bin").select(
@@ -776,16 +783,12 @@ def q360_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 100.0
         ).alias("est"),
+        "exact",
     )
-    ex = (
-        F.when(F.col("p") == _HG_QS[0], F.col("e50"))
-        .when(F.col("p") == _HG_QS[1], F.col("e95"))
-        .otherwise(F.col("e99"))
-    )
-    return est.crossJoin(F.broadcast(exact.select("e50", "e95", "e99"))).select(
+    return est.select(
         "p",
         "n",
         "est",
-        ex.alias("exact"),
-        (F.abs(F.col("est") - ex) / ex).alias("rel_err"),
+        "exact",
+        (F.abs(F.col("est") - F.col("exact")) / F.col("exact")).alias("rel_err"),
     )
