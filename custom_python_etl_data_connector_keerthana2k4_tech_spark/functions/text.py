@@ -212,3 +212,33 @@ def sql_rolling_fingerprint(text_expr: str) -> str:
         f"c -> CAST(ord(c) AS BIGINT))), "
         f"(acc, x) -> (acc * {_RH_BASE} + x) % {_RH_MOD})"
     )
+
+
+def hex_hash60(s: Column | str) -> Column:
+    """Cross-engine 60-bit hash of a string: the first 15 hex digits of
+    md5, parsed as a bigint. md5 supplies avalanche; the hex-parse is a
+    single JVM ``conv`` here and a 15-step list fold in the DuckDB mirror
+    (``sql_hex_hash60``) — bit-identical in Spark, DuckDB, and Python
+    (``py_hex_hash60``), which is what lets MinHash/SimHash/sign-LSH
+    queries sit under the DuckDB oracle gate instead of rows-only checks.
+    Always non-negative (< 2^60), so ``%`` agrees across engines too.
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_hex_hash60(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, x) -> a * 16 + x)"
+    )
+
+
+def py_hex_hash60(s: str) -> int:
+    """Driver-side twin of hex_hash60 (for baking deterministic constants
+    like LSH hyperplanes that both engines must re-derive)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -378,6 +378,7 @@ def minhash_pairs(
     num_hash_tables: int = 8,
     rows_per_band: int = 2,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via native MinHash LSH banding + exact verification.
 
@@ -392,6 +393,11 @@ def minhash_pairs(
       pair carries its true Jaccard and precision is 1.0. Identical sets are
       always found (canonical-set reduction pairs them deterministically).
 
+    ``hasher``: "xxhash64" (default — JVM intrinsic, the 100 TB fast path)
+    or "crossengine" (hex_hash60 of a tagged string per hash function —
+    reproducible in DuckDB SQL, so the whole LSH pipeline incl. banding
+    recall sits under the oracle gate).
+
     Returns: id_a, id_b, n_common, n_a, n_b, jaccard — the same schema as
     ``jaccard_pairs`` (recall-only divergence, asserted in tests).
     """
@@ -399,7 +405,7 @@ def minhash_pairs(
     reps, members = _canonicalize(sets_df)
     reps = reps.persist()
     members = members.persist()
-    bands = _minhash_band_keys(reps, num_hash_tables, rows_per_band, seed)
+    bands = _minhash_band_keys(reps, num_hash_tables, rows_per_band, seed, hasher)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["bd", "bkey"])
@@ -412,16 +418,33 @@ def minhash_pairs(
 
 
 def _minhash_band_keys(
-    reps: DataFrame, num_hash_tables: int, rows_per_band: int, seed: int
+    reps: DataFrame,
+    num_hash_tables: int,
+    rows_per_band: int,
+    seed: int,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(fp, bd, bkey) LSH band digests of each distinct set — narrow
-    seeded-xxhash64 array expressions, no shuffle, no UDF."""
+    array expressions, no shuffle, no UDF. xxhash64 mode digests the band
+    rows into a bigint; crossengine mode (hex_hash60 row hashes) joins on
+    the ':'-joined decimal row values instead (injective, so tuple
+    equality == string equality — and trivially reproducible in SQL)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import hex_hash60
+
     n_hashes = num_hash_tables * rows_per_band
 
     def _hash_fn(g: int):
         # NB: the lambda must take exactly one argument — pyspark calls
         # two-argument transform lambdas as f(element, index).
+        if hasher == "crossengine":
+            return lambda w: hex_hash60(F.concat(F.lit(f"mh|{g}|"), w))
         return lambda w: F.xxhash64(F.lit(seed), F.lit(g), w)
+
+    def _band_key(bd: int) -> Column:
+        rows = [F.col(f"mh{bd * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "crossengine":
+            return F.concat_ws(":", *[r.cast("string") for r in rows])
+        return F.xxhash64(F.lit(seed), F.lit(bd), *rows)
 
     mh = [
         F.array_min(F.transform(F.col("shingles"), _hash_fn(g))).alias(f"mh{g}")
@@ -433,17 +456,7 @@ def _minhash_band_keys(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bd).alias("bd"),
-                        F.xxhash64(
-                            F.lit(seed),
-                            F.lit(bd),
-                            *[
-                                F.col(f"mh{bd * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(bd).alias("bd"), _band_key(bd).alias("bkey"))
                     for bd in range(num_hash_tables)
                 ]
             )
@@ -486,20 +499,36 @@ def _verify_candidates(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """63-bit SimHash fingerprint per document (bigint, deterministic via
-    xxhash64 word hashes).
+#: bits per SimHash fingerprint by word-hash family: xxhash64 fills 63
+#: usable bits (sign bit kept clear); the cross-engine hex_hash60 hash is
+#: 60 bits by construction. Exposed so callers/oracles agree on the width.
+SIMHASH_BITS = {"xxhash64": 63, "crossengine": 60}
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash fingerprint per document (positive bigint, deterministic).
 
     Bit j of the fingerprint is 1 iff the sum over distinct words of
-    sign(bit j of xxhash64(word)) is positive. Near-duplicate word sets
+    sign(bit j of hash(word)) is positive. Near-duplicate word sets
     flip few bits. Implementation is explode + two hash-partitioned
     aggregations — linear in tokens, no pairwise work.
+
+    ``hasher``: "xxhash64" (default — JVM intrinsic, the 100 TB fast path)
+    or "crossengine" (hex_hash60: md5-derived 60-bit hash reproducible in
+    DuckDB SQL, putting the whole fingerprint under the oracle gate).
     """
-    nbits = 63  # keep the sign bit clear so the result is a positive bigint
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import hex_hash60
+
+    nbits = SIMHASH_BITS[hasher]
+    word_hash = (
+        F.xxhash64("w") if hasher == "xxhash64" else hex_hash60(F.col("w"))
+    )
     word_df = (
         shingle_sets(df, id_col, text_col, n=1)
         .select("id", F.explode("shingles").alias("w"))
-        .select("id", F.xxhash64("w").alias("h"))
+        .select("id", word_hash.alias("h"))
     )
     # One aggregation with 63 sign-sum expressions beats exploding 63 rows
     # per word (63x less shuffle volume; partial aggregation applies).
@@ -519,18 +548,23 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 63-bit hash into ``max_hamming + 1``
-    bands — a pair within the distance bound must match exactly on at least
+    Candidate generation: split the hash into ``max_hamming + 1`` bands —
+    a pair within the distance bound must match exactly on at least
     one band (pigeonhole), so the join is on (band_idx, band_bits), not all
-    pairs. Exact Hamming verification on candidates.
+    pairs. Exact Hamming verification on candidates. Banding is EXACT for
+    the Hamming predicate (pigeonhole, no false negatives), so the result
+    equals the brute-force all-pairs answer — which is how the
+    "crossengine" variant sits under a brute-force DuckDB oracle.
     """
-    hashes = simhash64(df, id_col, text_col).persist()
+    hashes = simhash64(df, id_col, text_col, hasher=hasher).persist()
+    nbits = SIMHASH_BITS[hasher]
     n_bands = max_hamming + 1
-    width = 63 // n_bands + 1
+    width = nbits // n_bands + 1
 
     bands = hashes.select(
         "id",
@@ -553,7 +587,9 @@ def simhash_pairs(
         .distinct()
     )
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -214,26 +214,147 @@ def q43_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, "doc_id", "text", threshold=_JACCARD_T, n=1)
 
 
-@query("q44_minhash_neardup", oracle=None)  # approximate (MinHash LSH) — rows-only
+_MH_TABLES = 8
+_MH_ROWS = 2
+_MH_SIGS = ",\n             ".join(
+    "list_min(list_transform(sh, w -> "
+    + TXT.sql_hex_hash60(f"'mh|{g}|' || w")
+    + f")) AS mh{g}"
+    for g in range(_MH_TABLES * _MH_ROWS)
+)
+
+
+def _mh_band_case(row: int) -> str:
+    branches = "".join(
+        f" WHEN {bd} THEN mh{bd * _MH_ROWS + row}" for bd in range(_MH_TABLES)
+    )
+    return f"CASE bd{branches} END"
+
+
+@query(
+    "q44_minhash_neardup",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id AS id, list_sort(list_distinct({TXT.sql_words('text')})) AS sh
+      FROM documents
+      WHERE len(list_distinct({TXT.sql_words('text')})) > 0
+    ),
+    keyed AS (
+      SELECT id, sh, len(sh) AS sz, array_to_string(sh, chr(0)) AS skey FROM sets
+    ),
+    reps AS (
+      SELECT skey, any_value(sh) AS sh, any_value(sz) AS sz
+      FROM keyed GROUP BY skey
+    ),
+    sigs AS (
+      SELECT skey, {_MH_SIGS}
+      FROM reps
+    ),
+    bands AS (
+      SELECT skey, bd, {_mh_band_case(0)} AS k1, {_mh_band_case(1)} AS k2
+      FROM sigs, range({_MH_TABLES}) t(bd)
+    ),
+    cand AS (
+      SELECT a.skey AS ska, b.skey AS skb
+      FROM bands a JOIN bands b
+        ON a.bd = b.bd AND a.k1 = b.k1 AND a.k2 = b.k2
+      WHERE a.skey < b.skey
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT ska, skb,
+             len(list_intersect(ra.sh, rb.sh)) AS n_common,
+             ra.sz AS sz_a, rb.sz AS sz_b
+      FROM cand
+      JOIN reps ra ON ra.skey = cand.ska
+      JOIN reps rb ON rb.skey = cand.skb
+    ),
+    vfil AS (
+      SELECT *, CAST(n_common AS DOUBLE)
+                  / CAST(sz_a + sz_b - n_common AS DOUBLE) AS jaccard
+      FROM verified
+      WHERE CAST(n_common AS DOUBLE)
+              / CAST(sz_a + sz_b - n_common AS DOUBLE) >= {_JACCARD_T}
+    ),
+    cross_pairs AS (
+      SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+             CAST(n_common AS INT) AS n_common,
+             CAST(CASE WHEN ma.id < mb.id THEN sz_a ELSE sz_b END AS INT) AS n_a,
+             CAST(CASE WHEN ma.id < mb.id THEN sz_b ELSE sz_a END AS INT) AS n_b,
+             jaccard
+      FROM vfil
+      JOIN keyed ma ON ma.skey = vfil.ska
+      JOIN keyed mb ON mb.skey = vfil.skb
+    ),
+    intra AS (
+      SELECT m1.id AS id_a, m2.id AS id_b, CAST(m1.sz AS INT) AS n_common,
+             CAST(m1.sz AS INT) AS n_a, CAST(m2.sz AS INT) AS n_b,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM keyed m1 JOIN keyed m2 ON m1.skey = m2.skey AND m1.id < m2.id
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM intra
+    """,
+)
 def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs (native banding, seed=42, exact-verified
-    candidates). The sub-quadratic approximate path for q43; recall vs the
-    exact pairs is asserted in tests/test_dedup.py."""
+    """MinHash LSH near-dup pairs (native banding, exact-verified
+    candidates) — the sub-quadratic approximate path for q43. The
+    cross-engine hex_hash60 minhashes make the ENTIRE pipeline —
+    canonical-set reduction, 16 minhash signatures, 8x2 banding, exact
+    verification, member expansion — reproducible in DuckDB, so even the
+    probabilistic recall of the banding is under the oracle gate (both
+    engines must miss/find exactly the same candidate pairs). Recall vs
+    the exact q43 pairs plus the xxhash64 fast path are asserted in
+    tests/test_dedup.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import minhash_pairs
 
     d = load(spark, sf_dir, "documents")
-    return minhash_pairs(d, "doc_id", "text", threshold=_JACCARD_T)
+    return minhash_pairs(d, "doc_id", "text", threshold=_JACCARD_T, hasher="crossengine")
 
 
-@query("q45_simhash_pairs", oracle=None)  # xxhash64-based — no DuckDB twin
+_SIM_BITS = 60  # SIMHASH_BITS["crossengine"]
+_SIM_MAXH = 8
+_SIM_SIGNS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_SIM_BITS)
+)
+_SIM_FP = "\n           + ".join(
+    f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(_SIM_BITS)
+)
+
+
+@query(
+    "q45_simhash_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id AS id, unnest(list_distinct({TXT.sql_words('text')})) AS w
+      FROM documents
+    ), h AS (
+      SELECT id, {TXT.sql_hex_hash60('w')} AS h FROM w
+    ), s AS (
+      SELECT id, {_SIM_SIGNS}
+      FROM h GROUP BY id
+    ), fp AS (
+      SELECT id, CAST({_SIM_FP} AS BIGINT) AS simhash FROM s
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_MAXH}
+    """,
+)
 def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup pairs (Hamming <= 8 of 63 bits).
-    Deterministic (xxhash64) but not reproducible in DuckDB SQL — rows-only
-    check here, semantics verified in tests/test_dedup.py."""
+    """SimHash banding near-dup pairs (Hamming <= 8 of 60 bits, cross-engine
+    hex_hash60 word hashes). Pigeonhole banding is EXACT for the Hamming
+    predicate, so the engine's sub-quadratic banded plan must equal the
+    oracle's brute-force all-pairs scan — the oracle checks both the
+    fingerprint construction and the losslessness of the banding. The
+    xxhash64 fast path (same code, cheaper hash) is covered in
+    tests/test_dedup.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import simhash_pairs
 
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=8)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=_SIM_MAXH, hasher="crossengine")
 
 
 # ---------------------------------------------------------------------------
