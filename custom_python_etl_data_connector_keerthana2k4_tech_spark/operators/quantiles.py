@@ -49,10 +49,12 @@ def _order_stats(
     if not ranks:
         return {}
     width = (hi - lo) / buckets
-    if width <= 0 or depth >= 3:
-        # degenerate range (all-equal values) or deep skew: collect & sort
-        vals = sorted(r[0] for r in df.select(col).collect())
-        return {rk: vals[rk - offset] for rk in ranks}
+    if width <= 0 or depth >= _MAX_DEPTH:
+        # degenerate range (ulp-wide) or deep skew: collect_limit still
+        # applies — aggregate to distinct values / bisect, never an
+        # unbounded raw-row collect (an adversarial distribution can pack
+        # any number of rows into an epsilon-wide range)
+        return _order_stats_degenerate(df, col, ranks, offset, collect_limit)
     bucket = F.greatest(
         F.lit(0),
         F.least(

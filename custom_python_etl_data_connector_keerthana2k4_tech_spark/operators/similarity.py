@@ -87,32 +87,55 @@ def cosine_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
-    """Deterministic Gaussian hyperplanes [table][plane][dim] (fixed seed)."""
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_tables, n_planes, dim).astype(float).tolist()
+#: Integer hyperplane entries are uniform in [-HYPERPLANE_RANGE, HYPERPLANE_RANGE].
+HYPERPLANE_RANGE = 1000
 
 
-def _bucket_udf(tables: list[list[list[float]]]):
+def hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list[list[list[int]]]:
+    """Deterministic INTEGER hyperplanes [table][plane][dim].
+
+    Entry (t, p, d) is ``hex_hash60("lsh|seed|t|p|d") % 2001 - 1000`` — a
+    hash-derived uniform integer instead of a numpy Gaussian. Sign-LSH only
+    needs the directions to be iid-uniform, and integer entries make every
+    bucket bit an exact integer-dot-product sign that DuckDB re-derives
+    from the same formula (no 3k-float literal blob in the oracle SQL).
+    """
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import py_hex_hash60
+
+    return [
+        [
+            [
+                py_hex_hash60(f"lsh|{seed}|{t}|{p}|{d}") % (2 * HYPERPLANE_RANGE + 1)
+                - HYPERPLANE_RANGE
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _bucket_udf(tables: list[list[list[int]]]):
     """Vectorized bucket ids: one Arrow batch -> one numpy matmul.
 
-    Returns a pandas_udf mapping an embedding column to ``array<long>`` of
+    Returns a pandas_udf mapping a QUANTIZED embedding column
+    (``array<long>``, functions/vectors.quantize) to ``array<long>`` of
     ``n_tables`` sign-bit bucket ids. All ``n_tables * n_planes`` hyperplane
-    dot products happen as a single ``(batch, dim) @ (dim, T*P)`` matmul —
-    the built-in higher-order-function formulation evaluates the lambda per
-    element (interpreted, ~50x slower for 48 planes x 64 dims). Seeded
-    weights are baked into the closure, so buckets are deterministic and
-    identical on the query and corpus sides.
+    dot products happen as a single int64 ``(batch, dim) @ (dim, T*P)``
+    matmul — exact (|component| <= ~1e7, |weight| <= 1000, dim 64 keeps the
+    dot far below 2^63), so the sign bits are bit-reproducible from the
+    same integers in DuckDB. The higher-order-function formulation would
+    evaluate the lambda per element (interpreted, ~50x slower).
     """
-    W = np.asarray(tables, dtype=np.float64)  # (T, P, D)
+    W = np.asarray(tables, dtype=np.int64)  # (T, P, D)
     n_tables_, n_planes_, _dim = W.shape
     Wf = W.reshape(n_tables_ * n_planes_, -1).T  # (D, T*P)
     pow2 = (1 << np.arange(n_planes_)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)  # (n, D)
-        signs = (mat @ Wf) > 0  # (n, T*P)
+        mat = np.stack(v.to_numpy()).astype(np.int64)  # (n, D) quantized
+        signs = (mat @ Wf) > 0  # (n, T*P) exact integer sign bits
         b = (signs.reshape(len(mat), n_tables_, n_planes_) * pow2).sum(axis=2)
         return pd.Series(list(b))
 
@@ -136,19 +159,23 @@ def lsh_topk(
     Candidates = vectors sharing a bucket with the query in >= 1 of
     ``n_tables`` tables (each table = ``n_planes`` sign bits). Sub-linear:
     each query touches ~N * n_tables / 2^n_planes candidates in expectation.
-    Approximate -> no SQL oracle; recall is pytest-verified with planted
-    near-duplicates (tests/test_similarity.py).
+    Approximate, but fully deterministic cross-engine: buckets are integer
+    dot-product signs of hash-derived integer hyperplanes against the
+    quantized vectors, so DuckDB re-derives the identical candidate sets
+    and the q48 oracle gates recall, not just scoring. Planted-duplicate
+    recall is additionally pytest-verified (tests/test_similarity.py).
     """
     tables = hyperplanes(dim, n_planes, n_tables, seed)
     bucket_fn = _bucket_udf(tables)
 
     def with_buckets(frame: DataFrame, idal: str) -> DataFrame:
-        # ONE scan: every table's bucket in a single vectorized pass, then
-        # posexplode to (id, table, bucket). Unioning per-table scans would
-        # re-read the corpus n_tables times — wrong shape at 100 TB.
-        return frame.select(
+        # ONE scan: every table's bucket in a single vectorized pass over
+        # the quantized vector, then posexplode to (id, table, bucket).
+        # Unioning per-table scans would re-read the corpus n_tables
+        # times — wrong shape at 100 TB.
+        return _with_quantized(frame, vec_col).select(
             F.col(id_col).alias(idal),
-            F.posexplode(bucket_fn(F.col(vec_col))).alias("table", "bucket"),
+            F.posexplode(bucket_fn(F.col("__q"))).alias("table", "bucket"),
         )
 
     # The query side is small by contract -> broadcast both the bucket probe

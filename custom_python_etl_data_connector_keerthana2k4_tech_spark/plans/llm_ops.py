@@ -2,9 +2,12 @@
 dedup family, similarity search, text analysis.
 
 SQL-expressible ops carry DuckDB oracles built from the exact SQL mirrors in
-functions/text.py / functions/vectors.py. Approximate ops (MinHash, SimHash,
-LSH) are rows-only here and verified against the exact methods in
-tests/test_dedup.py and tests/test_similarity.py.
+functions/text.py / functions/vectors.py. The approximate ops (MinHash q44,
+SimHash q45, sign-LSH q48) are oracle-paired too: their hashes are
+hex_hash60-derived (functions/text.py), so DuckDB re-derives the identical
+signatures/buckets and the probabilistic candidate generation itself is
+under the value gate; recall vs the exact methods is additionally verified
+in tests/test_dedup.py and tests/test_similarity.py.
 
 Note the asymmetry between engine and oracle for the pairwise ops: the
 oracle does the naive all-pairs O(n^2) (fine for DuckDB at sf0.01); the
@@ -450,16 +453,91 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(e, "vec_id", "embedding", "label", threshold=_NEARDUP_COS)
 
 
-@query("q48_lsh_topk", oracle=None)  # approximate (sign-LSH buckets) — rows-only
+_LSH_SEED = 42
+_LSH_TABLES = 4
+_LSH_PLANES = 12
+_LSH_DIM = 64
+_LSH_PLANE_SQL = (
+    "("
+    + TXT.sql_hex_hash60(f"'lsh|' || {_LSH_SEED} || '|' || t || '|' || p || '|' || d")
+    + " % 2001) - 1000"
+)
+
+
+@query(
+    "q48_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT t, p, d, {_LSH_PLANE_SQL} AS w
+      FROM range({_LSH_TABLES}) tt(t), range({_LSH_PLANES}) pp(p),
+           range({_LSH_DIM}) dd(d)
+    ),
+    vecs AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS x
+      FROM vecs
+    ),
+    dots AS (
+      SELECT c.vec_id, pl.t, pl.p, sum(c.x * pl.w) AS dot
+      FROM comp c JOIN planes pl ON pl.d = c.d
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN dot > 0
+                           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             sum(cq.x * cc.x) AS dot,
+             sum(cq.x * cq.x) AS q_nsq,
+             sum(cc.x * cc.x) AS c_nsq
+      FROM cand
+      JOIN comp cq ON cq.vec_id = cand.query_id
+      JOIN comp cc ON cc.vec_id = cand.neighbor_id AND cc.d = cq.d
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE)))
+               AS cosine
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= {_TOPK}
+    """,
+)
 def q48_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (4 tables x 12 sign bits, seed=42),
-    exact re-rank within buckets. Recall verified with planted duplicates
-    in tests/test_similarity.py."""
+    exact quantized-cosine re-rank within buckets. Buckets are integer
+    dot-product signs of hash-derived integer hyperplanes
+    (operators/similarity.hyperplanes) against the 1e-6-quantized vectors,
+    so the oracle re-derives the IDENTICAL candidate sets from the same
+    formula — bucketing recall and re-rank scores are both under the gate.
+    Planted-duplicate recall is additionally verified in
+    tests/test_similarity.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import lsh_topk
 
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _N_QUERIES)
-    return lsh_topk(e, queries, "vec_id", "embedding", k=_TOPK)
+    return lsh_topk(
+        e, queries, "vec_id", "embedding",
+        k=_TOPK, dim=_LSH_DIM, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -499,11 +577,34 @@ def q49_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q50_multimodal_decode", oracle=None)  # Python mapInPandas stage — rows-only
+@query(
+    "q50_multimodal_decode",
+    oracle="""
+    WITH per AS (
+      SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+             doc_id % 64 + 1 AS w,
+             list_sum(list_transform(string_split(text, ''),
+                                     c -> CAST(ord(c) AS BIGINT)))
+               // greatest(length(text), 1) AS mean
+      FROM documents
+    )
+    SELECT modality,
+           count(*) AS n_assets,
+           CAST(0 AS BIGINT) AS n_errors,
+           CAST(sum(mean) AS BIGINT) AS total_mean_value,
+           CAST(sum(w) AS BIGINT) AS total_width
+    FROM per GROUP BY modality
+    """,
+)
 def q50_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode + feature-extraction rollup per modality.
-    Exercises the mapInPandas pipeline end-to-end (decode -> features);
-    per-record semantics verified in tests/test_multimodal.py."""
+    """Arrow-batched decode + feature-extraction rollup per modality,
+    exercising the mapInPandas pipeline end-to-end (decode -> features).
+    The synthetic SGMM decode is deterministic (width from the header,
+    mean = floor-average payload byte), so the oracle recomputes it in
+    SQL from doc_id and the ASCII text bytes — the Python decode kernel's
+    outputs (including its zero error count) sit under the value gate.
+    Per-record semantics are additionally verified in
+    tests/test_multimodal.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import (
         assets_from_documents,
         decode_assets,
@@ -632,27 +733,23 @@ def q51_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q52_rest_pipeline", oracle=None)  # network source — rows-only check
-def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference pipeline over the wire (R1->R7 composed): a
-    self-contained local HTTP stub serves the OTX-shaped fixture pages;
-    the paginated_rest Data Source reads them (auth header, pagination,
-    short-page stop), and the transform/validate chain produces the
-    §1.2 document shape. Deterministic rows (pinned run timestamp), no
-    external network."""
-    import datetime as dt
+#: q52's HTTP stub is a process-lifetime singleton: started on first use,
+#: kept alive (daemon thread + strong ref here) until the Python driver
+#: exits. That makes the returned frame safely LAZY — executors re-fetch
+#: the pinned pages on every (re)execution instead of the query doing a
+#: driver-side collect to outrun a per-call server teardown.
+_Q52_STUB: dict = {}
+
+
+def _q52_stub_base() -> str:
+    if "base" in _Q52_STUB:
+        return _Q52_STUB["base"]
     import json
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import (
-        RAW_PULSE_SCHEMA,
-        paged_payloads,
-    )
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.pipeline import transform_pulses, validate
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources import pulses_df
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import paged_payloads
 
     pages = {i + 1: p for i, p in enumerate(paged_payloads(3))}
 
@@ -669,7 +766,28 @@ def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    base = f"http://127.0.0.1:{server.server_address[1]}"
+    _Q52_STUB["server"] = server
+    _Q52_STUB["base"] = f"http://127.0.0.1:{server.server_address[1]}"
+    return _Q52_STUB["base"]
+
+
+@query("q52_rest_pipeline", oracle=None)  # network source — rows-only check
+def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline over the wire (R1->R7 composed): a
+    self-contained local HTTP stub serves the OTX-shaped fixture pages;
+    the paginated_rest Data Source reads them (auth header, pagination,
+    short-page stop), and the transform/validate chain produces the
+    §1.2 document shape. Deterministic rows (pinned run timestamp), no
+    external network, and — because the stub outlives the frame — a fully
+    LAZY result: no collect, no driver materialization."""
+    import datetime as dt
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.config import PipelineConfig
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.otx_fixture import RAW_PULSE_SCHEMA
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.pipeline import transform_pulses, validate
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.sources import pulses_df
+
+    base = _q52_stub_base()
 
     # cfg.base_url is the *reported* source tag (a metadata column in the
     # output) — pin it to a logical name so the ephemeral stub port doesn't
@@ -682,11 +800,9 @@ def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, RAW_PULSE_SCHEMA, api_key="k", per_page="3", max_pages="10",
         backoff_initial_s="0.01",
     )
-    out = validate(
+    return validate(
         transform_pulses(raw, cfg, run_ts=dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))
     ).drop("raw")  # struct column dropped for a stable flat schema
-    # materialize before the ephemeral server goes away
-    return spark.createDataFrame(out.collect(), schema=out.schema)
 
 
 @query("q53_near_dedup_corpus", oracle=None)  # iterative CC — not SQL-expressible
