@@ -15,8 +15,11 @@ algorithm used by distributed sort/quantile engines:
    order statistics from the cumulative bucket counts;
 4. one pushed-down-filter scan collects ONLY rows in those buckets
    (~n/buckets rows each); if a skewed bucket would collect more than
-   ``collect_limit`` rows the bucket is recursively re-bucketed, so the
-   driver never materializes more than a bounded candidate set;
+   ``collect_limit`` rows the bucket is recursively re-bucketed, and when
+   refinement bottoms out (ulp-wide range / _MAX_DEPTH skew levels) the
+   degenerate path aggregates to (value, count) pairs or bisects on value
+   — the driver NEVER materializes more than collect_limit rows, even
+   against an adversarial distribution;
 5. exact order statistics + linear interpolation
    (lo + (hi-lo)*frac — the same arithmetic DuckDB's quantile_cont and
    Spark's percentile use, so results are bit-comparable).
@@ -30,6 +33,72 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Range-refinement recursion cap; past it, _order_stats_degenerate takes
+#: over with distinct-value aggregation / value bisection (still bounded).
+_MAX_DEPTH = 3
+
+
+def _order_stats_degenerate(
+    df: DataFrame, col: str, ranks: list[int], offset: int, collect_limit: int
+) -> dict[int, float]:
+    """Exact order stats when range refinement has bottomed out (ulp-wide
+    range or _MAX_DEPTH consecutive ~buckets-fold skew refinements),
+    with driver memory still bounded by ``collect_limit``:
+
+    - one (value, count) aggregation when the range's DISTINCT count fits
+      the limit — rank arithmetic on cumulative counts, no raw rows;
+    - otherwise per-rank value-range bisection (_rank_value_bisect).
+    """
+    n_distinct = df.select(F.count_distinct(col).alias("d")).first()["d"]
+    if n_distinct <= collect_limit:
+        pairs = sorted(
+            (r[0], r[1])
+            for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()
+        )
+        out: dict[int, float] = {}
+        i, cum = 0, offset
+        for rk in sorted(ranks):
+            while cum + pairs[i][1] <= rk:
+                cum += pairs[i][1]
+                i += 1
+            out[rk] = pairs[i][0]
+        return out
+    return {
+        rk: _rank_value_bisect(df, col, rk - offset, collect_limit) for rk in ranks
+    }
+
+
+def _rank_value_bisect(
+    df: DataFrame, col: str, rank: int, collect_limit: int
+) -> float:
+    """Exact ``rank``-th smallest (0-based) value of df[col] by value-range
+    bisection: each step one count/min/max aggregate plus one count-below
+    job; collect only once the candidate range holds <= collect_limit rows.
+    Converges in O(log(value range in ulps)) full-parallel jobs — driver
+    memory is O(collect_limit) regardless of the distribution.
+    """
+    cur = df
+    rk = rank
+    while True:
+        s = cur.agg(
+            F.count(col).alias("n"), F.min(col).alias("mn"), F.max(col).alias("mx")
+        ).first()
+        n, mn, mx = s["n"], s["mn"], s["mx"]
+        if mn == mx:
+            return float(mn)
+        if n <= collect_limit:
+            return float(sorted(r[0] for r in cur.select(col).collect())[rk])
+        mid = (float(mn) + float(mx)) / 2.0
+        if mid <= float(mn):
+            # adjacent doubles: split {mn} | (mn, mx]
+            mid = float(mn)
+        n_low = cur.filter(F.col(col) <= mid).count()
+        if rk < n_low:
+            cur = cur.filter(F.col(col) <= mid)
+        else:
+            cur = cur.filter(F.col(col) > mid)
+            rk -= n_low
 
 
 def _order_stats(

@@ -44,3 +44,44 @@ def test_edge_cases(spark):
     assert exact_quantiles(const, "v", [0.25, 0.75]) == [3.0, 3.0]
     two = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     assert exact_quantiles(two, "v", [0.5]) == pytest.approx([1.5])
+
+
+def test_depth_capped_skew_stays_bounded(spark):
+    """An epsilon-wide two-value cluster drives every refinement into the
+    same bucket until the depth cap; the degenerate branch must respect
+    collect_limit (distinct-value aggregation, no unbounded raw collect)
+    and still be quantile_cont-exact."""
+    eps = 2.0**-40
+    rows = [(1.0,)] * 600 + [(1.0 + eps,)] * 400 + [(2.0,)] * 5
+    df = spark.createDataFrame(rows, "v double")
+    got = exact_quantiles(df, "v", PROBS, buckets=4, collect_limit=10)
+    want = df.agg(F.percentile("v", F.lit(PROBS)).alias("qs")).collect()[0]["qs"]
+    assert got == pytest.approx(want, abs=0.0)
+
+
+def test_bisect_path_exact(spark):
+    """Force the value-bisection escape hatch (distinct count above
+    collect_limit at the depth cap) and check exact order statistics."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import (
+        _rank_value_bisect,
+    )
+
+    vals = [float(v) for v in range(1000, 0, -1)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    assert _rank_value_bisect(df, "v", 0, 10) == 1.0
+    assert _rank_value_bisect(df, "v", 137, 10) == 138.0
+    assert _rank_value_bisect(df, "v", 999, 10) == 1000.0
+
+
+def test_degenerate_many_distinct_in_ulp_range(spark):
+    """Ulp-dense distinct values (> collect_limit of them) inside a
+    degenerate range: the bisection path must return exact quantiles."""
+    base = 1.0
+    eps = 2.0**-50
+    rows = [(base + k * eps,) for k in range(64)] * 3
+    df = spark.createDataFrame(rows, "v double")
+    got = exact_quantiles(df, "v", [0.0, 0.5, 1.0], buckets=2, collect_limit=5)
+    want = df.agg(
+        F.percentile("v", F.lit([0.0, 0.5, 1.0])).alias("qs")
+    ).collect()[0]["qs"]
+    assert got == pytest.approx(want, abs=0.0)
