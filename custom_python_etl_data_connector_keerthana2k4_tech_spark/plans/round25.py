@@ -44,14 +44,34 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 # q354: SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------
 
-_SEM_BITS = 3  # sign bits -> 2^3 clusters (grow with corpus to cap cluster size)
+_SEM_MIN_BITS = 3  # floor: 8 clusters even on a tiny corpus
+_SEM_MAX_BITS = 16  # cap: embedding has 64 components; 2^16 clusters is plenty
+_SEM_TARGET = 64  # target expected cluster size (rows per cluster)
 _SEM_TAU = 0.3  # data-calibrated like q47: synthetic corpus max cosine ~0.44
+
+
+def _sem_bits(n: int) -> int:
+    """Sign bits so the expected cluster size stays ~_SEM_TARGET:
+    the smallest b in [MIN, MAX] with n <= _SEM_TARGET * 2^b — an integer
+    ladder, not ceil(log2(...)), so Spark/DuckDB/Python agree exactly."""
+    for b in range(_SEM_MIN_BITS, _SEM_MAX_BITS):
+        if n <= _SEM_TARGET << b:
+            return b
+    return _SEM_MAX_BITS
+
+
+def _sql_sem_bits() -> str:
+    branches = "".join(
+        f" WHEN n <= {_SEM_TARGET << b} THEN {b}"
+        for b in range(_SEM_MIN_BITS, _SEM_MAX_BITS)
+    )
+    return f"(SELECT CASE{branches} ELSE {_SEM_MAX_BITS} END AS bits FROM (SELECT count(*) AS n FROM embeddings))"
 
 
 def _sql_sem_cluster() -> str:
     terms = " + ".join(
-        f"(CASE WHEN qv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(_SEM_BITS)
+        f"(CASE WHEN {j} < p.bits AND qv[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SEM_MAX_BITS)
     )
     return f"({terms})"
 
@@ -59,10 +79,12 @@ def _sql_sem_cluster() -> str:
 @query(
     "q354_semantic_dedup",
     oracle=f"""
-    WITH q AS (
+    WITH p AS (
+      {_sql_sem_bits()}
+    ), q AS (
       SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
     ), c AS (
-      SELECT vec_id, qv, {_sql_sem_cluster()} AS cluster FROM q
+      SELECT vec_id, qv, {_sql_sem_cluster()} AS cluster FROM q CROSS JOIN p
     ), u AS (
       SELECT vec_id, cluster, unnest(qv) AS x,
              generate_subscripts(qv, 1) AS i
@@ -134,8 +156,13 @@ def q354_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", quantize("embedding").alias("qv")
     )
+    # cluster count grows with the corpus (2^bits ~ n / _SEM_TARGET) so the
+    # within-cluster quadratic stays capped at any scale; the count is a
+    # driver-scalar pull (one cheap aggregate) feeding a plan parameter,
+    # same pattern as dedup's strategy="auto"
+    bits = _sem_bits(e.count())
     cluster = None
-    for j in range(_SEM_BITS):
+    for j in range(bits):
         bit = F.when(F.element_at("qv", j + 1) >= 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         )

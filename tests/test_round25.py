@@ -35,6 +35,27 @@ def test_semantic_dedup_partition_invariant(spark, sf_dir):
         assert r.n_kept >= 1  # the first-ranked point of a cluster always survives
 
 
+def test_semantic_dedup_bits_scale_with_corpus():
+    """Cluster count must grow with the corpus so the within-cluster
+    quadratic stays capped: expected cluster size n / 2^bits <= target."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round25 import (
+        _SEM_MAX_BITS,
+        _SEM_MIN_BITS,
+        _SEM_TARGET,
+        _sem_bits,
+    )
+
+    assert _sem_bits(500) == 3
+    assert _sem_bits(2000) == 5
+    for n in (1, 500, 2000, 10**6, 10**9, 10**12):
+        b = _sem_bits(n)
+        assert _SEM_MIN_BITS <= b <= _SEM_MAX_BITS
+        if b < _SEM_MAX_BITS:
+            assert n <= _SEM_TARGET << b  # expected cluster size <= target
+        if b > _SEM_MIN_BITS:
+            assert n > _SEM_TARGET << (b - 1)  # and bits are minimal
+
+
 def test_semantic_dedup_drops_planted_duplicate(spark, tmp_path):
     """An exact duplicate vector must be pruned; near-orthogonal vectors
     must all survive."""
