@@ -38,12 +38,18 @@ def gaussian_mixture_1d(
     df: DataFrame,
     col: str,
     n_iter: int = 15,
+    tol: float = 1e-9,
 ) -> dict:
     """Fit a 2-component 1-D Gaussian mixture to ``df[col]`` by EM.
 
     Returns {"weight": [w1, w2], "mean": [m1, m2], "var": [v1, v2],
     "n": rows, "loglik": final observed-data log-likelihood}.
-    Components are ordered by mean. Deterministic for a given input.
+    Components are ordered by mean. Deterministic for a given input —
+    including the early stop: EM's log-likelihood is non-decreasing and
+    the per-iteration value is a single decimal-accumulated double, so
+    "improvement < tol" is an exact double comparison, not a race. On
+    well-separated data this cuts ~half the fixed-budget iterations
+    (n_iter stays the hard cap).
     """
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import exact_quantiles
 
@@ -95,7 +101,10 @@ def gaussian_mixture_1d(
             max(float(agg["sxx2"]) / s2 - mu[1] * mu[1], 1e-12),
         ]
         w = [s1 / n, s2 / n]
+        prev_ll = loglik
         loglik = float(agg["ll"])
+        if not math.isnan(prev_ll) and abs(loglik - prev_ll) < tol:
+            break
 
     data.unpersist()
     order = sorted(range(2), key=lambda i: mu[i])

@@ -1527,6 +1527,33 @@ def copurchase_pairs(
     )
 
 
+def copurchase_edges(li: DataFrame, min_orders: int = 1) -> DataFrame:
+    """Distinct oriented (u < v) co-purchase edges, PERSISTED.
+
+    Every graph-profile consumer (q117 triangles, q149 degrees, q296
+    assortativity, q307 rich club) reads the edge frame at least twice —
+    once for the degree aggregation and once for an edge join — so the
+    basket expansion + pair count is cached instead of recomputed per
+    branch. Callers needing the symmetric list union the reverse
+    projection on top (cheap: reads the cache, no recompute)."""
+    e = copurchase_pairs(li)
+    if min_orders > 1:
+        e = e.filter(F.col("n_orders") >= min_orders)
+    return e.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).persist()
+
+
+def copurchase_und_edges(li: DataFrame) -> DataFrame:
+    """Symmetric (both-direction) distinct co-purchase edge list over a
+    persisted oriented core — the shape q296/q307's moment/threshold
+    math expects (each undirected edge contributes both (u,v) and (v,u))."""
+    e = copurchase_edges(li)
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ratio-to-report (share of parent total)
 # ---------------------------------------------------------------------------
@@ -2478,11 +2505,7 @@ def q117_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-ordered wedges explode quadratically on the hottest node. Three
     hash joins total (wedge build + closure probe), all on edge keys."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        copurchase_pairs(li)
-        .filter(F.col("n_orders") >= 2)
-        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-    )
+    pairs = copurchase_edges(li, min_orders=2)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionByName(pairs.select(F.col("v").alias("node")))

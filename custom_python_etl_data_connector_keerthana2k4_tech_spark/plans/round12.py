@@ -213,23 +213,17 @@ def q296_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-and-spoke. Completes the graph-profile kit (q149 degrees, q117
     triangles, q254 modularity, q260 two-hop). The symmetric edge list
     makes x/y exchangeable, so the Pearson denominator reduces to the
-    x-variance alone. Scale: degrees are one groupBy of the edge frame;
-    the two degree joins are hash joins on node keys; every moment is an
-    exact BIGINT sum (degree products), so the single final division is
-    the only floating step. Reference has no graph surface
+    x-variance alone. Scale: the edge frame comes from the shared
+    PERSISTED copurchase_edges basket expansion (it feeds both the degree
+    aggregation and the edge join — no recompute); degrees are one
+    groupBy; the two degree joins are hash joins on node keys; every
+    moment is an exact BIGINT sum (degree products), so the single final
+    division is the only floating step. Reference has no graph surface
     (SURVEY §2.2)."""
-    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_und_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = copurchase_und_edges(li)
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     ed = (
         und.join(deg.select(F.col("u").alias("du"), F.col("d").alias("x")), F.col("u") == F.col("du"))

@@ -265,26 +265,19 @@ def q307_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi near 1 means hub products form a tightly interlocked club (one
     warehouse outage cascades), low phi means hubs are independent
     anchors. Completes the hub analysis started by q149 (degrees) and
-    q296 (assortativity). Scale: degrees come from one groupBy of the
-    edge frame; club membership is a broadcast threshold probe per k
-    (3-row ladder); the edge-among count joins the edge list to the
-    degree frame twice on node keys — no pair materialization beyond the
-    existing edges. Both-direction edge storage makes e2 = 2x undirected
-    count, cancelling against the ordered-pair denominator n(n-1).
-    Exact integers into one division. Reference has no graph surface
-    (SURVEY §2.2)."""
-    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    q296 (assortativity). Scale: the edge frame is the shared PERSISTED
+    copurchase_edges basket expansion (degree aggregation + edge-among
+    join both read the cache); club membership is a broadcast threshold
+    probe per k (3-row ladder); the edge-among count joins the edge list
+    to the degree frame twice on node keys — no pair materialization
+    beyond the existing edges. Both-direction edge storage makes e2 = 2x
+    undirected count, cancelling against the ordered-pair denominator
+    n(n-1). Exact integers into one division. Reference has no graph
+    surface (SURVEY §2.2)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_und_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    und = copurchase_und_edges(li)
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     ks = spark.range(0, 1).select(
         F.explode(F.array(F.lit(25), F.lit(50), F.lit(100))).alias("k")

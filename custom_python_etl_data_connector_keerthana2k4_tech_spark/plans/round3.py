@@ -843,23 +843,18 @@ def q149_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-order co-occurrence is an edge): the first profile you run on
     any graph before q117's triangles or q126's PageRank, because the
     tail of this histogram is what blows up wedge-generating
-    algorithms. Edge generation is q93's bounded within-order self-join
-    (fan-out capped by order size, not catalog size); degrees come from
-    one aggregation over the edge list counted from both endpoints, and
-    the histogram is metadata-sized. Orientation (u < v) halves the
-    join output; the union-all restores both endpoints for degree
-    counting without materializing reversed edges in the join."""
+    algorithms. Edge generation is q93's bounded basket expansion
+    (fan-out capped by order size, not catalog size), PERSISTED via the
+    shared copurchase_edges helper since both unioned degree branches
+    scan it; degrees come from one aggregation over the edge list
+    counted from both endpoints, and the histogram is metadata-sized.
+    Orientation (u < v) halves the edge list; the union-all restores
+    both endpoints for degree counting without materializing reversed
+    edges."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import copurchase_edges
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    e = copurchase_edges(li)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -15,7 +15,7 @@ import pytest
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.mixture import gaussian_mixture_1d, mixture_posteriors
 
 
-def numpy_em(xs, q1, q3, n_iter=15):
+def numpy_em(xs, q1, q3, n_iter=15, tol=1e-9):
     x = np.asarray(xs, dtype=np.float64)
     n = len(x)
     v0 = max(float(np.var(x)) / 4.0, 1e-12)
@@ -24,6 +24,7 @@ def numpy_em(xs, q1, q3, n_iter=15):
     if mu[0] == mu[1]:
         mu[1] = mu[0] + math.sqrt(v0) + 1e-9
     var = np.array([v0, v0])
+    prev_ll = None
     for _ in range(n_iter):
         d = np.stack(
             [
@@ -31,13 +32,18 @@ def numpy_em(xs, q1, q3, n_iter=15):
                 for k in range(2)
             ]
         )
-        r = d / d.sum(axis=0)
+        tot = d.sum(axis=0)
+        r = d / tot
         s = r.sum(axis=1)
         if s.min() <= 1e-9:
             break
         mu = (r * x).sum(axis=1) / s
         var = np.maximum((r * x * x).sum(axis=1) / s - mu**2, 1e-12)
         w = s / n
+        ll = float(np.log(tot).sum())
+        if prev_ll is not None and abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
     order = np.argsort(mu)
     return w[order], mu[order], var[order]
 
@@ -79,3 +85,17 @@ def test_posteriors_separate_components(spark):
     lo = scored.filter(F.col("x") < -3).agg(F.max("p_component2")).collect()[0][0]
     assert hi > 0.99
     assert lo < 0.01
+
+
+def test_em_early_stop_deterministic(spark):
+    """Sharply separated data converges long before the cap; a huge cap
+    must return bit-identical parameters to a moderate one (the early
+    stop engaged, so extra budget is never spent)."""
+    rng = np.random.RandomState(3)
+    xs = np.concatenate([rng.normal(-50, 1, 400), rng.normal(50, 1, 400)])
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    f1 = gaussian_mixture_1d(df, "x", n_iter=8)
+    f2 = gaussian_mixture_1d(df, "x", n_iter=60)
+    assert f1["mean"] == f2["mean"]
+    assert f1["var"] == f2["var"]
+    assert f1["weight"] == f2["weight"]
