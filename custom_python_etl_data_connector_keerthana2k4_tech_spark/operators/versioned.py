@@ -25,11 +25,22 @@ adding the properties a 100 TB pipeline actually needs:
   beyond the retention window; manifests stay (lineage), pointers stay
   valid.
 
-Single-writer by design (like Delta without a locking service): two
-concurrent writers would race the pointer rename; coordinate writes
-upstream. At 100 TB the merge itself is the same one-shuffle window-dedup
-plan as ``upsert_parquet``; the versioning layer adds one directory
-rename and one small JSON per batch.
+- **Optimistic concurrency.** The manifest file is the commit record and
+  it is claimed with create-if-absent (``_create_exclusive``): two
+  writers that both read parent version n race to create
+  ``_versions/v{n+1}.json`` — exactly one wins; the loser's data
+  directory (written under a unique name, never shared) stays invisible
+  and the loser raises ``ConcurrentWriteError`` without corrupting
+  anything. History stays linear by construction. The ``_LATEST``
+  pointer is a cache of max(manifest versions); ``current_version``
+  self-heals past a writer that crashed between manifest commit and
+  pointer update. (On HDFS/local the exclusive create is the primitive;
+  an object-store deployment would swap in a conditional put — same
+  protocol, same commit record.)
+
+At 100 TB the merge itself is the same one-shuffle window-dedup plan as
+``upsert_parquet``; the versioning layer adds one directory rename and
+one small JSON per batch.
 """
 
 from __future__ import annotations
@@ -44,6 +55,12 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert i
 
 _VERSIONS = "_versions"
 _LATEST = "_LATEST"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer was about to
+    publish. The losing write changed nothing visible (its data directory
+    is unreferenced; vacuum sweeps it) — re-read the table and retry."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -82,9 +99,53 @@ def _write_atomic(spark: SparkSession, path: str, content: str) -> None:
     fs.rename(tmp, dst)
 
 
+def _create_exclusive(spark: SparkSession, path: str, content: str) -> bool:
+    """Create ``path`` with ``content`` iff it does not already exist —
+    the commit primitive. Returns False (and writes nothing) if another
+    writer already claimed the path."""
+    fs, jvm = _fs(spark, path)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(dst):
+        return False
+    try:
+        stream = fs.create(dst, False)  # overwrite=False: fail if claimed
+    except Exception:
+        return False
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    return True
+
+
+def _max_manifest_version(spark: SparkSession, root: str) -> int | None:
+    """Newest committed manifest by file name (no content reads)."""
+    fs, jvm = _fs(spark, root)
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{root}/{_VERSIONS}")
+    if not fs.exists(vdir):
+        return None
+    best = None
+    for status in fs.listStatus(vdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            best = v if best is None or v > best else best
+    return best
+
+
 def current_version(spark: SparkSession, root: str) -> int | None:
+    """Latest committed version: the manifest directory is authoritative
+    (manifest creation is the commit point); the ``_LATEST`` pointer is a
+    fast-path cache that may trail by one if a writer crashed between
+    commit and pointer update — take the max to self-heal."""
     raw = _read_small(spark, f"{root}/{_LATEST}")
-    return None if raw is None else int(raw.strip())
+    pointed = None if raw is None else int(raw.strip())
+    committed = _max_manifest_version(spark, root)
+    if pointed is None:
+        return committed
+    if committed is None:
+        return pointed
+    return max(pointed, committed)
 
 
 def versions(spark: SparkSession, root: str) -> list[dict]:
@@ -115,15 +176,25 @@ def versioned_upsert(
     key: str | list[str],
     order_by: list[str],
     partition_by: str | None = None,
+    expected_parent: "int | None | object" = "_unset",
 ) -> int:
     """Merge ``batch`` into the latest snapshot (last-write-wins on key)
     and publish the result as a NEW version. Returns the version number.
 
-    The merge never rewrites history: the new data directory is written
-    completely, its manifest is written, and only then does the pointer
-    rename make it visible — a crash at any earlier point leaves the
-    previous version live and the orphan directory invisible (vacuum
-    sweeps it).
+    The merge never rewrites history: the new data directory (a UNIQUE
+    name — concurrent losers never collide with the winner's files) is
+    written completely, then the manifest is committed with
+    create-if-absent — the serialization point: if another writer already
+    published this version number, ``ConcurrentWriteError`` is raised and
+    nothing visible changed. Only after the commit does the pointer move.
+    A crash at any earlier point leaves the previous version live and the
+    orphan directory invisible (vacuum sweeps it).
+
+    ``expected_parent`` (optional CAS handle): the version this writer
+    read its inputs from — publish fails fast with ConcurrentWriteError
+    if the table has moved past it (pass ``None`` for "I expect an empty
+    table"). Without it, the parent is re-read at publish time and the
+    manifest claim alone serializes writers.
 
     **The 100 TB path is ``partition_by``** (e.g. a date column, stable
     per key): the new version rewrites ONLY the partitions the batch
@@ -136,8 +207,13 @@ def versioned_upsert(
     stably as a string (dates, ints, strings all do).
     """
     cur = current_version(spark, root)
+    if expected_parent != "_unset" and cur != expected_parent:
+        raise ConcurrentWriteError(
+            f"table at {root} is at version {cur}, writer expected "
+            f"{expected_parent}; re-read and retry"
+        )
     new_version = 1 if cur is None else cur + 1
-    data_rel = f"data/v{new_version:08d}"
+    data_rel = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
     data_dir = f"{root}/{data_rel}"
 
     if partition_by is None:
@@ -185,11 +261,16 @@ def versioned_upsert(
             "partitions": parts,
         }
 
-    _write_atomic(
+    if not _create_exclusive(
         spark,
         f"{root}/{_VERSIONS}/v{new_version:08d}.json",
         json.dumps(manifest, sort_keys=True),
-    )
+    ):
+        raise ConcurrentWriteError(
+            f"version {new_version} under {root} was committed by another "
+            f"writer; this write is invisible (orphan {data_rel}) — "
+            f"re-read and retry"
+        )
     _write_atomic(spark, f"{root}/{_LATEST}", str(new_version))
     return new_version
 
@@ -255,11 +336,15 @@ def rollback(spark: SparkSession, root: str, version: int) -> int:
     for field in ("n_rows", "partition_by", "partitions"):
         if field in m:
             manifest[field] = m[field]
-    _write_atomic(
+    if not _create_exclusive(
         spark,
         f"{root}/{_VERSIONS}/v{new_version:08d}.json",
         json.dumps(manifest, sort_keys=True),
-    )
+    ):
+        raise ConcurrentWriteError(
+            f"rollback lost the race for version {new_version} under "
+            f"{root}; re-read and retry"
+        )
     _write_atomic(spark, f"{root}/{_LATEST}", str(new_version))
     return new_version
 
@@ -269,8 +354,12 @@ def vacuum_versioned(
 ) -> list[int]:
     """Delete data directories not referenced by the newest ``keep_last``
     versions (rollbacks share dirs — a dir survives while ANY retained
-    version references it). Manifests are kept for lineage. Returns the
-    versions whose storage was reclaimed."""
+    version references it). Also sweeps CONCURRENCY ORPHANS: directories
+    written by writers that lost the manifest race or crashed pre-commit,
+    identified as unreferenced dirs whose claimed version number is
+    already committed (an in-flight writer always targets a HIGHER
+    number, so it is never swept). Manifests are kept for lineage.
+    Returns the versions whose storage was reclaimed."""
     all_versions = versions(spark, root)
     if not all_versions:
         return []
@@ -289,6 +378,23 @@ def vacuum_versioned(
         if fs.exists(p):
             fs.delete(p, True)
             reclaimed.append(m["version"])
+    referenced = set(keep_dirs)
+    for m in all_versions:
+        referenced.add(m["data"])
+        referenced.update(m.get("partitions", {}).values())
+    max_committed = all_versions[-1]["version"]
+    ddir = jvm.org.apache.hadoop.fs.Path(f"{root}/data")
+    if fs.exists(ddir):
+        for status in fs.listStatus(ddir):
+            name = status.getPath().getName()
+            if f"data/{name}" in referenced or not name.startswith("v"):
+                continue
+            try:
+                claimed = int(name[1:9])
+            except ValueError:
+                continue
+            if claimed <= max_committed:
+                fs.delete(status.getPath(), True)
     return reclaimed
 
 

@@ -189,3 +189,79 @@ def test_partitioned_rollback_vacuum_and_cdc(spark, tmp_path):
     assert {(r["op"], r["k"]) for r in ch.collect()} == {
         ("update", "a"), ("insert", "b"),
     }
+
+
+def test_concurrent_writer_loser_aborts_cleanly(spark, tmp_path):
+    """Two writers racing from the same parent: exactly one commits;
+    the loser raises ConcurrentWriteError, nothing visible changes, and
+    history stays linear. The race is staged deterministically via the
+    expected_parent CAS handle (both writers read parent=1)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        ConcurrentWriteError,
+    )
+
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    # writer A (parent=1) wins
+    va = versioned_upsert(
+        spark, _df(spark, [("a", "A", 2)]), root, "k", ["ts"], expected_parent=1
+    )
+    assert va == 2
+    # writer B also read parent=1 — must abort, not clobber A
+    with pytest.raises(ConcurrentWriteError):
+        versioned_upsert(
+            spark, _df(spark, [("a", "B", 3)]), root, "k", ["ts"], expected_parent=1
+        )
+    assert _state(spark, root) == {"a": "A"}
+    hist = versions(spark, root)
+    assert [m["version"] for m in hist] == [1, 2]
+    assert [m["parent"] for m in hist] == [None, 1]
+
+
+def test_manifest_claim_serializes_even_without_cas_handle(spark, tmp_path):
+    """A writer that crashed between manifest commit and pointer update
+    must not be overwritten: the manifest directory is authoritative, the
+    pointer self-heals, and the next writer builds on the committed
+    version."""
+    import json as _json
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        _create_exclusive,
+        _read_small,
+    )
+
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    # simulate a writer that committed v2's manifest then crashed before
+    # moving the pointer (reuses v1's data dir so the state stays readable)
+    m1 = _json.loads(_read_small(spark, f"{root}/_versions/v00000001.json"))
+    ghost = {"version": 2, "parent": 1, "data": m1["data"], "n_rows": m1["n_rows"]}
+    assert _create_exclusive(
+        spark, f"{root}/_versions/v00000002.json", _json.dumps(ghost)
+    )
+    assert _read_small(spark, f"{root}/_LATEST").strip() == "1"  # stale pointer
+    assert current_version(spark, root) == 2  # self-healed
+    v3 = versioned_upsert(spark, _df(spark, [("b", "w1", 1)]), root, "k", ["ts"])
+    assert v3 == 3
+    assert [m["version"] for m in versions(spark, root)] == [1, 2, 3]
+    # re-claiming a committed slot fails
+    assert not _create_exclusive(spark, f"{root}/_versions/v00000002.json", "x")
+
+
+def test_vacuum_sweeps_loser_orphans(spark, tmp_path):
+    """A losing writer's data directory (unreferenced, version already
+    committed) is reclaimed by vacuum; in-flight targets (higher than any
+    committed version) survive."""
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, _df(spark, [("a", "v1", 1)]), root, "k", ["ts"])
+    versioned_upsert(spark, _df(spark, [("a", "v2", 2)]), root, "k", ["ts"])
+    import os
+
+    loser = tmp_path / "t" / "data" / "v00000002-deadbeef"
+    inflight = tmp_path / "t" / "data" / "v00000003-cafef00d"
+    os.makedirs(loser)
+    os.makedirs(inflight)
+    vacuum_versioned(spark, root, keep_last=2)
+    assert not loser.exists()  # orphan of an already-committed version
+    assert inflight.exists()  # in-flight writer, never swept
+    assert _state(spark, root) == {"a": "v2"}
