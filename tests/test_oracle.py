@@ -119,3 +119,86 @@ def test_percentile_approx_error_bound(spark, sf_dir):
         spread = abs(e75 - e25) + 1e-9
         for a, e in ((a25, e25), (a50, e50), (a75, e75)):
             assert abs(a - e) <= 0.05 * spread + 1e-6, (k, a, e)
+
+
+# ---------------------------------------------------------------------------
+# Corner-case differentials: run selected oracle pairs on constructed
+# fixtures that the driver's synthetic tables never produce (empty inputs,
+# fractional quantities) — pinning the cross-engine edge semantics
+# (NULL-guarded ratios, coalesced empty sums, round-before-cast).
+# ---------------------------------------------------------------------------
+
+
+def _compare_corner(spark, dirpath, name):
+    import os
+
+    con = duckdb.connect()
+    for t in TABLES:
+        f = f"{dirpath}/{t}.parquet"
+        if os.path.exists(f):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{f}/*.parquet')")
+    try:
+        spark_pdf = _QUERIES[name](spark, str(dirpath)).toPandas()
+        oracle_pdf = con.sql(_ORACLES[name]).df()
+        _assert_match(name, spark_pdf, oracle_pdf)
+    finally:
+        con.close()
+
+
+def test_q344_empty_corpus_corner(spark, tmp_path):
+    """Empty documents: n_trigrams/vocab/hapax must be 0 (not NULL) and the
+    ratios NULL in BOTH engines (no Infinity, no NULL-vs-0 drift)."""
+    d = tmp_path / "sf_corner"
+    d.mkdir()
+    spark.createDataFrame([], "doc_id long, source string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    _compare_corner(spark, d, "q344_good_turing")
+
+
+def test_q344_hapax_free_corner(spark, tmp_path):
+    """A corpus where every trigram occurs >= 2 times: N1 = 0, so
+    r_star_hapax must be NULL in both engines (DuckDB ieee division would
+    otherwise yield Infinity vs Spark NULL)."""
+    d = tmp_path / "sf_corner"
+    d.mkdir()
+    txt = "a b c a b c a b c"
+    spark.createDataFrame(
+        [(1, "s", txt), (2, "s", txt)], "doc_id long, source string, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+    _compare_corner(spark, d, "q344_good_turing")
+
+
+def test_q345_fractional_quantity_corner(spark, tmp_path):
+    """Fractional (x.5) quantities: without round-before-cast Spark's
+    truncating long cast and DuckDB's half-away-from-zero cast would place
+    run boundaries differently."""
+    d = tmp_path / "sf_corner"
+    d.mkdir()
+    rows = [
+        (1, 1, 10, "N", 2.5),
+        (1, 2, 10, "N", 3.49),
+        (1, 3, 10, "N", 2.5),
+        (1, 4, 11, "N", 3.5),
+        (2, 1, 11, "R", 0.5),
+        (2, 2, 11, "R", 1.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_suppkey long, "
+        "l_returnflag string, l_quantity double",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    _compare_corner(spark, d, "q345_rle_profile")
+
+
+def test_q345_empty_lineitem_corner(spark, tmp_path):
+    """Empty lineitem: run counts 0 (not NULL) and rle_ratio NULL in both
+    engines."""
+    d = tmp_path / "sf_corner"
+    d.mkdir()
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber int, l_suppkey long, "
+        "l_returnflag string, l_quantity double",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    _compare_corner(spark, d, "q345_rle_profile")
