@@ -108,6 +108,8 @@ _INTENTIONAL_BNLJ = {
     "q264_lead_lag_ccf",  # one-row series-moment broadcast
     "q274_cramers_v",  # category-grid cross of two margin frames
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
+    "q361_source_mixture_weights",  # one-row sqrt-normalizer broadcast
+    "q366_training_order_audit",  # one-row corpus-count broadcast
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
     "q200_decayed_popularity",  # one-row anchor-date broadcast
     "q203_rare_token_exposure",  # one-row df-quartile-cutoff broadcast
