@@ -48,3 +48,33 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             *[chosen.getField(c).alias(c) for c in payload],
         )
     )
+
+
+def table_diff_wide(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Change feed carrying BOTH row images: (op, *keys, old_image struct,
+    new_image struct) — old_image is NULL for inserts, new_image NULL for
+    deletes, both present for updates.
+
+    This is what AGGREGATE incremental view maintenance needs
+    (operators/ivm.py): an update's delta is new - old, so the single-image
+    feed of ``table_diff`` (enough to reconstruct the new SNAPSHOT) cannot
+    maintain a sum without rescanning the base. Same one-full-outer-join
+    plan shape as ``table_diff``.
+    """
+    payload = [c for c in new.columns if c not in keys]
+    if payload != [c for c in old.columns if c not in keys]:
+        raise ValueError("old/new schemas must agree")
+
+    o = old.select(*keys, F.struct(*payload).alias("old_image"))
+    n = new.select(*keys, F.struct(*payload).alias("new_image"))
+    joined = o.join(n, keys, "full_outer")
+    op = (
+        F.when(F.col("old_image").isNull(), F.lit("insert"))
+        .when(F.col("new_image").isNull(), F.lit("delete"))
+        .when(~F.col("old_image").eqNullSafe(F.col("new_image")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *keys, "old_image", "new_image")
+    )

@@ -110,6 +110,7 @@ _INTENTIONAL_BNLJ = {
     "q190_norm_outliers",  # one-row median/MAD threshold broadcasts
     "q361_source_mixture_weights",  # one-row sqrt-normalizer broadcast
     "q366_training_order_audit",  # one-row corpus-count broadcast
+    "q368_hll_set_algebra",  # source x source pair grid (dimension-bounded theta cross)
     "q191_vocab_coverage",  # 5-row checkpoint-ladder broadcast (theta join)
     "q200_decayed_popularity",  # one-row anchor-date broadcast
     "q203_rare_token_exposure",  # one-row df-quartile-cutoff broadcast
