@@ -25,6 +25,23 @@ adding the properties a 100 TB pipeline actually needs:
   beyond the retention window; manifests stay (lineage), pointers stay
   valid.
 
+- **DELETE.** ``versioned_delete(root, predicate)`` publishes a new
+  version without the matching rows; the partitioned path rewrites ONLY
+  partitions that actually contain matches and references every other
+  partition from the parent (a targeted delete against a years-deep
+  table touches days, not years).
+- **OPTIMIZE.** ``compact_versioned(root)`` republishes the latest
+  content with bin-packed files (the small-files compaction every
+  long-lived table needs); the partitioned path rewrites only
+  fragmented partitions. Content-identical by construction — readers
+  of the old version are untouched, time travel still works.
+- **Zone maps.** ``versioned_upsert(..., stats_cols=[...])`` records
+  per-partition min/max for the named columns in the manifest;
+  ``read_versioned(..., prune={col: (lo, hi)})`` skips partitions whose
+  recorded range cannot overlap the predicate BEFORE any file listing —
+  partition-level data skipping on top of parquet's own row-group
+  skipping. Stats rows are tiny (columns x partitions), carried in the
+  same JSON commit record.
 - **Optimistic concurrency.** The manifest file is the commit record and
   it is claimed with create-if-absent (``_create_exclusive``): two
   writers that both read parent version n race to create
@@ -169,6 +186,39 @@ def _manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(raw)
 
 
+def _json_scalar(v):
+    """Stats values must round-trip through the JSON manifest: keep
+    JSON-native scalars as-is, render everything else (dates, decimals,
+    timestamps) as their string form — which sorts consistently for ISO
+    dates, the partition-column case that matters."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _collect_stats(
+    df: DataFrame, partition_by: str | None, stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-partition [min, max] zone maps for ``stats_cols`` (one
+    map-side-combinable aggregate over the data being written — cost is a
+    single extra pass over the REWRITTEN rows only, never the table).
+    Unpartitioned frames get a single entry under key ``""``."""
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    if partition_by is None:
+        row = df.agg(*aggs).collect()[0]
+        return {"": {c: [_json_scalar(row[f"__mn_{c}"]), _json_scalar(row[f"__mx_{c}"])] for c in stats_cols}}
+    out: dict[str, dict[str, list]] = {}
+    for row in df.groupBy(partition_by).agg(*aggs).collect():
+        out[str(row[partition_by])] = {
+            c: [_json_scalar(row[f"__mn_{c}"]), _json_scalar(row[f"__mx_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
 def versioned_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -177,6 +227,7 @@ def versioned_upsert(
     order_by: list[str],
     partition_by: str | None = None,
     expected_parent: "int | None | object" = "_unset",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Merge ``batch`` into the latest snapshot (last-write-wins on key)
     and publish the result as a NEW version. Returns the version number.
@@ -216,6 +267,11 @@ def versioned_upsert(
     data_rel = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
     data_dir = f"{root}/{data_rel}"
 
+    # stats_cols sticks: once a table records zone maps, later upserts
+    # keep maintaining them without re-passing the list
+    if stats_cols is None and cur is not None:
+        stats_cols = _manifest(spark, root, cur).get("stats_cols")
+
     if partition_by is None:
         existing = read_versioned(spark, root, cur) if cur is not None else None
         merged = upsert_dataframe(existing, batch, key, order_by)
@@ -226,6 +282,11 @@ def versioned_upsert(
             "data": data_rel,
             "n_rows": spark.read.parquet(data_dir).count(),
         }
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = _collect_stats(
+                spark.read.parquet(data_dir), None, stats_cols
+            )
     else:
         touched = sorted(
             str(r[0])
@@ -260,6 +321,20 @@ def versioned_upsert(
             "partition_by": partition_by,
             "partitions": parts,
         }
+        if stats_cols:
+            prev_stats: dict = {}
+            if cur is not None:
+                prev_stats = _manifest(spark, root, cur).get("stats", {})
+            stats = {
+                p: s for p, s in prev_stats.items() if p in parts
+            }
+            stats.update(
+                _collect_stats(
+                    spark.read.parquet(data_dir), partition_by, stats_cols
+                )
+            )
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = stats
 
     if not _create_exclusive(
         spark,
@@ -304,21 +379,327 @@ def _read_partitions(
     return out
 
 
+def _any_owner_dir(spark: SparkSession, root: str, m: dict) -> str:
+    """Some existing partitioned data directory reachable from manifest
+    ``m`` or its ancestors — used only to recover the SCHEMA of an empty
+    version (a table whose rows were all deleted)."""
+    fs, jvm = _fs(spark, root)
+    seen = m
+    while True:
+        candidates = sorted(set(seen.get("partitions", {}).values()))
+        candidates.append(seen["data"])
+        for rel in candidates:
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")):
+                # the dir must contain at least one parquet file
+                n, _ = _partition_dir_has_files(spark, f"{root}/{rel}")
+                if n:
+                    return rel
+        if seen.get("parent") is None:
+            raise FileNotFoundError(f"no data directories under {root}")
+        seen = _manifest(spark, root, seen["parent"])
+
+
+def _partition_dir_has_files(spark, path: str) -> tuple[int, int]:
+    """(n_files, bytes) of parquet files anywhere under ``path``."""
+    fs, jvm = _fs(spark, path)
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    n, b = 0, 0
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+            b += status.getLen()
+    return n, b
+
+
+def _zone_overlaps(stats: dict, prune: dict) -> bool:
+    """True if a partition with these zone maps COULD hold a row matching
+    every ``col: (lo, hi)`` range (inclusive). min/max of None means every
+    value is NULL — no row can match a range predicate on that column.
+    A column with no recorded stats keeps the partition (conservative)."""
+    for col, (lo, hi) in prune.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        if mn is None or mx is None:
+            return False
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
+def prune_report(
+    spark: SparkSession,
+    root: str,
+    prune: dict,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) partition values for ``prune`` ({col: (lo, hi)},
+    bounds inclusive, None = unbounded) against the recorded zone maps —
+    the observability half of data skipping. Partitions without stats are
+    kept (skipping must never lose rows)."""
+    v = current_version(spark, root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    m = _manifest(spark, root, v)
+    stats = m.get("stats", {})
+    values = sorted(m.get("partitions", {"": None}))
+    kept, skipped = [], []
+    for p in values:
+        (kept if _zone_overlaps(stats.get(p, {}), prune) else skipped).append(p)
+    return kept, skipped
+
+
 def read_versioned(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read the latest (default) or any historical version — time travel.
     Partitioned versions assemble from their referenced owner directories
-    (one pruned scan per distinct owner)."""
+    (one pruned scan per distinct owner).
+
+    ``prune`` ({col: (lo, hi)} inclusive ranges) applies the manifest's
+    zone maps BEFORE any directory listing: partitions whose recorded
+    min/max cannot overlap are never read. The result is a SUPERSET of
+    the rows matching the ranges (zone granularity) — the caller still
+    applies its row filter; Catalyst collapses the two into one scan.
+    At 100 TB this is the difference between listing a handful of
+    directories and listing the table."""
     v = current_version(spark, root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no published version under {root}")
     m = _manifest(spark, root, v)
     if "partitions" in m:
+        if not m["partitions"] or (prune and not prune_report(spark, root, prune, v)[0]):
+            # empty result — borrow schema from any owner dir in history
+            # (partition col included via hive discovery)
+            owner = _any_owner_dir(spark, root, m)
+            return spark.read.parquet(f"{root}/{owner}").filter(F.lit(False))
+        only = None
+        if prune:
+            only, _ = prune_report(spark, root, prune, v)
         return _read_partitions(
-            spark, root, m["partitions"], only=None, col=m["partition_by"]
+            spark, root, m["partitions"], only=only, col=m["partition_by"]
         )
-    return spark.read.parquet(f"{root}/{m['data']}")
+    df = spark.read.parquet(f"{root}/{m['data']}")
+    if prune and "stats" in m and not _zone_overlaps(m["stats"].get("", {}), prune):
+        return df.filter(F.lit(False))
+    return df
+
+
+def versioned_delete(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    expected_parent: "int | None | object" = "_unset",
+) -> int:
+    """DELETE: publish a new version without the rows matching
+    ``predicate`` (a Column or SQL string). History is untouched — the
+    deleted rows remain readable at older versions until vacuum.
+
+    The partitioned path first finds the partitions that actually CONTAIN
+    matches (one aggregate over the predicate, which Catalyst prunes with
+    the table's partition layout) and rewrites only those, referencing
+    every other partition from the parent; a partition left empty is
+    dropped from the manifest. At 100 TB a targeted delete (one user, one
+    day) rewrites a sliver of the table.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cur = current_version(spark, root)
+    if expected_parent != "_unset" and cur != expected_parent:
+        raise ConcurrentWriteError(
+            f"table at {root} is at version {cur}, writer expected "
+            f"{expected_parent}; re-read and retry"
+        )
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    m = _manifest(spark, root, cur)
+    new_version = cur + 1
+    data_rel = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+    data_dir = f"{root}/{data_rel}"
+    stats_cols = m.get("stats_cols")
+
+    if "partitions" not in m:
+        kept = read_versioned(spark, root, cur).filter(~pred)
+        kept.coalesce(max(1, min(kept.rdd.getNumPartitions(), 32))).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "deleted_where": str(predicate),
+            "n_rows": spark.read.parquet(data_dir).count(),
+        }
+        if stats_cols:
+            manifest["stats_cols"] = stats_cols
+            manifest["stats"] = _collect_stats(
+                spark.read.parquet(data_dir), None, stats_cols
+            )
+    else:
+        col = m["partition_by"]
+        cur_df = read_versioned(spark, root, cur)
+        touched = sorted(
+            str(r[0])
+            for r in cur_df.filter(pred).select(col).distinct().collect()
+        )
+        parts = {p: o for p, o in m["partitions"].items() if p not in touched}
+        stats = {
+            p: s for p, s in m.get("stats", {}).items() if p not in touched
+        }
+        if touched:
+            kept = _read_partitions(
+                spark, root, m["partitions"], only=touched, col=col
+            ).filter(~pred)
+            survivors = sorted(
+                str(r[0]) for r in kept.select(col).distinct().collect()
+            )
+            if survivors:
+                kept.write.partitionBy(col).mode("overwrite").parquet(data_dir)
+                for p in survivors:
+                    parts[p] = data_rel
+                if stats_cols:
+                    stats.update(
+                        _collect_stats(
+                            spark.read.parquet(data_dir), col, stats_cols
+                        )
+                    )
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "deleted_where": str(predicate),
+            "partition_by": col,
+            "partitions": parts,
+        }
+        if stats_cols:
+            manifest["stats_cols"] = stats_cols
+            manifest["stats"] = stats
+
+    if not _create_exclusive(
+        spark,
+        f"{root}/{_VERSIONS}/v{new_version:08d}.json",
+        json.dumps(manifest, sort_keys=True),
+    ):
+        raise ConcurrentWriteError(
+            f"version {new_version} under {root} was committed by another "
+            f"writer; this delete is invisible (orphan {data_rel}) — "
+            f"re-read and retry"
+        )
+    _write_atomic(spark, f"{root}/{_LATEST}", str(new_version))
+    return new_version
+
+
+def _partition_file_stats(spark, path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) of data files directly under ``path``."""
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return 0, 0
+    n, b = 0, 0
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            n += 1
+            b += status.getLen()
+    return n, b
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    expected_parent: "int | None | object" = "_unset",
+) -> int:
+    """OPTIMIZE: republish the latest content with bin-packed files and
+    return the new version (content-identical — readers, time travel and
+    CDC are unaffected; the fragmented version's files stay until
+    vacuum). A long-lived upsert table accretes one file set per batch;
+    compaction is what keeps the scan planner's file count proportional
+    to data size instead of batch count.
+
+    The partitioned path inspects each partition's CURRENT file layout
+    and rewrites only partitions holding more files than
+    ``ceil(bytes / target_file_bytes)`` — the rest keep their owner
+    directories untouched. Zone-map stats carry forward verbatim
+    (content is identical by construction).
+    """
+    cur = current_version(spark, root)
+    if expected_parent != "_unset" and cur != expected_parent:
+        raise ConcurrentWriteError(
+            f"table at {root} is at version {cur}, writer expected "
+            f"{expected_parent}; re-read and retry"
+        )
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    m = _manifest(spark, root, cur)
+    new_version = cur + 1
+    data_rel = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+    data_dir = f"{root}/{data_rel}"
+
+    if "partitions" not in m:
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.write import write_sized_parquet
+
+        write_sized_parquet(
+            read_versioned(spark, root, cur),
+            data_dir,
+            target_file_bytes=target_file_bytes,
+        )
+        manifest = {
+            k: m[k] for k in ("n_rows", "stats_cols", "stats") if k in m
+        }
+        manifest.update(
+            version=new_version, parent=cur, data=data_rel, compaction_of=cur
+        )
+    else:
+        col = m["partition_by"]
+        fragmented = []
+        for p, owner in sorted(m["partitions"].items()):
+            n_files, n_bytes = _partition_file_stats(
+                spark, f"{root}/{owner}/{col}={p}"
+            )
+            ideal = max(1, -(-n_bytes // target_file_bytes))
+            if n_files > ideal:
+                fragmented.append((p, ideal))
+        parts = dict(m["partitions"])
+        if fragmented:
+            values = [p for p, _ in fragmented]
+            df = _read_partitions(
+                spark, root, m["partitions"], only=values, col=col
+            )
+            # one shuffle keyed by partition value, sized per partition
+            df.repartition(
+                max(1, sum(i for _, i in fragmented)), F.col(col)
+            ).write.partitionBy(col).mode("overwrite").parquet(data_dir)
+            for p in values:
+                parts[p] = data_rel
+        manifest = {
+            k: m[k] for k in ("stats_cols", "stats") if k in m
+        }
+        manifest.update(
+            version=new_version,
+            parent=cur,
+            data=data_rel,
+            partition_by=col,
+            partitions=parts,
+            compaction_of=cur,
+        )
+
+    if not _create_exclusive(
+        spark,
+        f"{root}/{_VERSIONS}/v{new_version:08d}.json",
+        json.dumps(manifest, sort_keys=True),
+    ):
+        raise ConcurrentWriteError(
+            f"version {new_version} under {root} was committed by another "
+            f"writer; this compaction is invisible (orphan {data_rel}) — "
+            f"re-read and retry"
+        )
+    _write_atomic(spark, f"{root}/{_LATEST}", str(new_version))
+    return new_version
 
 
 def rollback(spark: SparkSession, root: str, version: int) -> int:

@@ -265,3 +265,168 @@ def test_vacuum_sweeps_loser_orphans(spark, tmp_path):
     assert not loser.exists()  # orphan of an already-committed version
     assert inflight.exists()  # in-flight writer, never swept
     assert _state(spark, root) == {"a": "v2"}
+
+
+# ---------------------------------------------------------------------------
+# DELETE / OPTIMIZE / zone-map pruning
+# ---------------------------------------------------------------------------
+
+
+def test_delete_unpartitioned(spark, tmp_path):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import versioned_delete
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark, _df(spark, [("a", "v1", 1), ("b", "w1", 1), ("c", "x1", 1)]),
+        root, "k", ["ts"],
+    )
+    v2 = versioned_delete(spark, root, F.col("k") == "b")
+    assert v2 == 2
+    assert _state(spark, root) == {"a": "v1", "c": "x1"}
+    # history untouched: the deleted row is still readable at v1
+    assert _state(spark, root, 1) == {"a": "v1", "b": "w1", "c": "x1"}
+    assert versions(spark, root)[1]["deleted_where"].find("k") >= 0
+    # a later upsert continues normally
+    versioned_upsert(spark, _df(spark, [("b", "w9", 9)]), root, "k", ["ts"])
+    assert _state(spark, root) == {"a": "v1", "b": "w9", "c": "x1"}
+
+
+def test_delete_partitioned_rewrites_only_matching_partitions(spark, tmp_path):
+    import os
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import versioned_delete
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("a", "v1", 1, "d1"), ("b", "w1", 1, "d2"), ("c", "x1", 1, "d2")]),
+        root, "k", ["ts"], partition_by="day",
+    )
+    versioned_delete(spark, root, "k = 'b'")
+    ms = versions(spark, root)
+    # d1 untouched (still referenced from v1's dir); d2 rewritten
+    assert ms[1]["partitions"]["d1"] == ms[0]["data"]
+    assert ms[1]["partitions"]["d2"] == ms[1]["data"]
+    assert not os.path.exists(f"{root}/{ms[1]['data']}/day=d1")
+    assert _state(spark, root) == {"a": "v1", "c": "x1"}
+    assert _state(spark, root, 1) == {"a": "v1", "b": "w1", "c": "x1"}
+    # deleting every row of a partition drops it from the manifest
+    versioned_delete(spark, root, "day = 'd2'")
+    assert set(versions(spark, root)[2]["partitions"]) == {"d1"}
+    assert _state(spark, root) == {"a": "v1"}
+    # deleting everything leaves a readable empty table with schema
+    versioned_delete(spark, root, "true")
+    empty = read_versioned(spark, root)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v", "ts", "day"}
+    # and the table comes back to life on the next upsert
+    versioned_upsert(
+        spark, _pdf(spark, [("z", "z1", 1, "d9")]), root, "k", ["ts"],
+        partition_by="day",
+    )
+    assert _state(spark, root) == {"z": "z1"}
+
+
+def test_compact_unpartitioned_is_content_identical(spark, tmp_path):
+    import glob
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import compact_versioned
+
+    root = str(tmp_path / "t")
+    # many tiny batches -> fragmented current version
+    for i in range(5):
+        versioned_upsert(
+            spark, _df(spark, [(f"k{i}", f"v{i}", i)]), root, "k", ["ts"]
+        )
+    before = _state(spark, root)
+    v = compact_versioned(spark, root)
+    assert v == 6
+    assert versions(spark, root)[-1]["compaction_of"] == 5
+    assert _state(spark, root) == before
+    files = glob.glob(f"{root}/{versions(spark, root)[-1]['data']}/*.parquet")
+    assert len(files) == 1  # bin-packed: tiny table -> one file
+
+
+def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
+    import glob
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import compact_versioned
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("a", "v1", 1, "d1"), ("b", "w1", 1, "d2"),
+                     ("b2", "w2", 2, "d2"), ("b3", "w3", 3, "d2")]),
+        root, "k", ["ts"], partition_by="day",
+    )
+    # fragment d2's layout in place (same rows, 3 files — the shape a
+    # 32-shuffle-partition merge write leaves at scale; d1 stays 1-file)
+    ms = versions(spark, root)
+    owner = f"{root}/{ms[-1]['partitions']['d2']}"
+    d2_rows = spark.read.parquet(f"{owner}/day=d2")
+    d2_rows.repartition(3).write.mode("overwrite").parquet(f"{owner}/day=d2")
+    d2_files = glob.glob(f"{root}/{ms[-1]['partitions']['d2']}/day=d2/*.parquet")
+    assert len(d2_files) > 1
+    before = _state(spark, root)
+    compact_versioned(spark, root)
+    ms = versions(spark, root)
+    # d1 still referenced from its ORIGINAL owner; d2 rewritten compact
+    assert ms[-1]["partitions"]["d1"] == ms[0]["data"]
+    assert ms[-1]["partitions"]["d2"] == ms[-1]["data"]
+    d2_after = glob.glob(f"{root}/{ms[-1]['data']}/day=d2/*.parquet")
+    assert len(d2_after) == 1
+    assert _state(spark, root) == before
+    # idempotent second pass: nothing fragmented, nothing rewritten
+    compact_versioned(spark, root)
+    assert set(versions(spark, root)[-1]["partitions"].values()) == set(
+        ms[-1]["partitions"].values()
+    )
+
+
+def test_zone_map_stats_and_pruned_read(spark, tmp_path):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import prune_report
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("a", "v1", 10, "d1"), ("b", "w1", 20, "d1"),
+                     ("c", "x1", 100, "d2"), ("d", "y1", 200, "d3")]),
+        root, "k", ["ts"], partition_by="day", stats_cols=["ts"],
+    )
+    m = versions(spark, root)[-1]
+    assert m["stats"]["d1"]["ts"] == [10, 20]
+    assert m["stats"]["d3"]["ts"] == [200, 200]
+    kept, skipped = prune_report(spark, root, {"ts": (15, 120)})
+    assert (kept, skipped) == (["d1", "d2"], ["d3"])
+    got = read_versioned(spark, root, prune={"ts": (15, 120)})
+    # superset of matching rows, d3 never read
+    assert {r["k"] for r in got.collect()} == {"a", "b", "c"}
+    # prune that matches nothing -> schema-preserving empty frame
+    none = read_versioned(spark, root, prune={"ts": (1000, 2000)})
+    assert none.count() == 0 and "day" in none.columns
+    # stats stick across later upserts without re-passing stats_cols
+    versioned_upsert(
+        spark, _pdf(spark, [("e", "z1", 500, "d3")]), root, "k", ["ts"],
+        partition_by="day",
+    )
+    m2 = versions(spark, root)[-1]
+    assert m2["stats"]["d3"]["ts"] == [200, 500]
+    assert m2["stats"]["d1"]["ts"] == [10, 20]  # carried forward
+    # delete maintains stats for rewritten partitions
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import versioned_delete
+
+    versioned_delete(spark, root, "ts = 500")
+    assert versions(spark, root)[-1]["stats"]["d3"]["ts"] == [200, 200]
+
+
+def test_zone_map_unpartitioned_whole_table_skip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark, _df(spark, [("a", "v1", 10), ("b", "w1", 20)]), root, "k",
+        ["ts"], stats_cols=["ts"],
+    )
+    assert versions(spark, root)[-1]["stats"][""]["ts"] == [10, 20]
+    hit = read_versioned(spark, root, prune={"ts": (15, 30)})
+    assert hit.count() == 2  # zone overlap: whole (single-zone) table kept
+    miss = read_versioned(spark, root, prune={"ts": (30, 40)})
+    assert miss.count() == 0
