@@ -1,0 +1,176 @@
+"""Round-28 additions: the versioned-table DML verbs under the oracle
+gate.
+
+- q370 runs the full table lifecycle — upsert, update batch, targeted
+  DELETE, OPTIMIZE compaction — through the REAL ``operators/versioned``
+  machinery (manifests, immutable data dirs, atomic commits) and returns
+  the final state as a grouped aggregate; the ORACLE reproduces the same
+  state relationally in DuckDB, so value equality proves upsert
+  last-write-wins, delete semantics, and compaction content-identity end
+  to end.
+- q371 reads a zone-mapped versioned table through manifest pruning
+  (``read_versioned(prune=...)`` skips partitions whose recorded min/max
+  cannot overlap) and aggregates after the row filter; the ORACLE is the
+  plain filtered aggregate — equality proves data skipping loses no rows.
+
+The reference has no table format at all (its Mongo sink mutates one
+collection in place, /root/reference/etl_connector.py:167-191); these
+queries are the north-star extension exercising SURVEY §2.4's versioned
+rows. Both write to a per-invocation temp directory (left for the OS to
+reap — the returned frame is LAZY over those files, exactly like any
+external table).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# q370: versioned-table lifecycle (upsert -> update -> DELETE -> OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q370_versioned_lifecycle",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final
+    WHERE cents >= 1000000
+    GROUP BY o_orderpriority
+    """,
+)
+def q370_versioned_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four DML verbs through the real versioned-table machinery:
+
+    v1 upserts every order (integer cents keep the arithmetic
+    bit-stable), v2 upserts an update batch (+1000.00 for keys % 10 == 0
+    — last-write-wins via a revision column), v3 DELETEs cents below
+    10,000.00 (rewrites only partitions containing matches), v4 OPTIMIZEs
+    (content-identical bin-packing). The returned aggregate reads v4
+    through the manifest; the oracle recomputes the same final state
+    relationally. Any fault in merge priority, delete rewrite, manifest
+    referencing, or compaction equality shows up as a value mismatch.
+
+    100 TB shape: each version writes only the partitions it touches
+    (here the update batch spans all 5 priorities, but the manifest-
+    reference mechanics are the same ones tests/test_versioned.py pins
+    on sliver-sized batches); the final read is one pruned scan per
+    distinct owner directory, never per partition."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        compact_versioned,
+        read_versioned,
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="q370_versioned_") + "/t"
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(1).alias("rev"),
+    )
+    versioned_upsert(
+        spark, base, root, "o_orderkey", ["rev"],
+        partition_by="o_orderpriority", stats_cols=["cents"],
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("cents") + F.lit(100000)).alias("cents"),
+        F.lit(2).alias("rev"),
+    )
+    versioned_upsert(
+        spark, updates, root, "o_orderkey", ["rev"],
+        partition_by="o_orderpriority",
+    )
+    versioned_delete(spark, root, "cents < 1000000")
+    compact_versioned(spark, root)
+    return (
+        read_versioned(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q371: zone-map pruned read (manifest data skipping loses no rows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q371_zone_pruned_read",
+    oracle="""
+    SELECT substr(strftime(l_shipdate, '%Y-%m-%d'), 1, 7) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m-%d') BETWEEN '1996-01-01' AND '1996-12-31'
+    GROUP BY 1
+    """,
+)
+def q371_zone_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level data skipping under the oracle gate: lineitem is
+    published as a versioned table partitioned by ship YEAR with
+    l_shipdate zone maps; the read prunes to the 1996 window through the
+    MANIFEST (non-overlapping years are never listed, let alone scanned
+    — tests/test_versioned.py pins the skip list) and then applies the
+    row filter. The oracle is the plain filtered aggregate over the raw
+    table — equality proves the pruned read returns a faithful superset
+    and the filter the exact rows. At 100 TB this is the planner path
+    where a one-year query against a decade-deep table touches one-tenth
+    of the directory tree; parquet row-group skipping only starts AFTER
+    file listing, which is exactly what the manifest prune avoids."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        read_versioned,
+        versioned_upsert,
+    )
+
+    root = tempfile.mkdtemp(prefix="q371_zone_") + "/t"
+    # the synthetic lineitem has no unique key (orderkey+linenumber
+    # collide) — a surrogate id keeps the keyed upsert lossless; it is
+    # frozen by the parquet write and never surfaces in the result
+    li = load(spark, sf_dir, "lineitem").select(
+        F.monotonically_increasing_id().alias("item_id"),
+        # 'yyyy-MM-dd' rendering on BOTH engines: a raw timestamp cast
+        # would append ' 00:00:00' and DuckDB silently coerces varchar
+        # BETWEEN back to timestamp semantics — boundary rows diverge
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.year("l_shipdate").cast("string").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    versioned_upsert(
+        spark, li, root, "item_id", ["ship_date"],
+        partition_by="ship_year", stats_cols=["ship_date"],
+    )
+    pruned = read_versioned(
+        spark, root, prune={"ship_date": ("1996-01-01", "1996-12-31")}
+    )
+    return (
+        pruned.filter(F.col("ship_date").between("1996-01-01", "1996-12-31"))
+        .groupBy(F.substring("ship_date", 1, 7).alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
