@@ -805,13 +805,56 @@ def q52_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("raw")  # struct column dropped for a stable flat schema
 
 
-@query("q53_near_dedup_corpus", oracle=None)  # iterative CC — not SQL-expressible
+_CC_PAIRS = f"""
+    s AS (
+      SELECT doc_id, list_distinct({TXT.sql_words('text')}) AS sh FROM {{base}}
+    ),
+    p AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            >= 0.9
+    ),
+    e AS (SELECT ia AS u, ib AS v FROM p UNION ALL SELECT ib, ia FROM p),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM {{base}}
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    surv AS (
+      SELECT d.source, d.doc_id FROM {{base}} d JOIN comp c ON d.doc_id = c.node
+      WHERE d.doc_id = c.component
+    )"""
+
+
+@query(
+    "q53_near_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_CC_PAIRS.format(base='documents')}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_surviving,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM surv GROUP BY source
+    """,
+)
 def q53_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup of the corpus: exact Jaccard similarity graph
     (J >= 0.9) -> connected components (iterative min-label propagation
     with lineage checkpointing) -> keep the lowest-id doc per cluster.
-    The operator a training pipeline actually runs; clusters are verified
-    against a driver-side union-find in tests/test_dedup.py."""
+    The operator a training pipeline actually runs; clusters are ALSO
+    verified against a driver-side union-find in tests/test_dedup.py.
+
+    Oracle-paired (round 3): DuckDB reproduces the similarity graph with
+    q43's all-pairs SQL and the component labels with a recursive-CTE
+    min-label fixpoint (reach = every (node, label-of-ancestor) pair;
+    min per node == the cluster's lowest id, because labels ARE ids).
+    The engine clusters at the canonical-SET level and expands members
+    afterwards — identical-text docs share a fingerprint AND have
+    Jaccard 1.0, so both formulations pick the same survivors; the
+    empty-word-set corner (the one place they could diverge) is absent
+    from the corpus by construction and guarded in tests/test_dedup.py."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import near_dedup
 
     d = load(spark, sf_dir, "documents")
@@ -822,12 +865,37 @@ def q53_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q54_curate_corpus", oracle=None)  # composition incl. iterative CC — rows-only
+@query(
+    "q54_curate_corpus",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE ({TXT.sql_quality_score('text')}) >= 0.5
+    ),
+    x AS (
+      SELECT doc_id, source, text FROM (
+        SELECT g.*,
+               min(doc_id) OVER (PARTITION BY {TXT.sql_fingerprint('text')}) AS mn
+        FROM g
+      ) WHERE doc_id = mn
+    ),
+    {_CC_PAIRS.format(base='x')}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM surv GROUP BY source
+    """,
+)
 def q54_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline (quality gate -> exact dedup ->
     near-dup dedup) rolled up per source. Stage semantics are individually
     oracle-checked (q40/q42/q43); the composition and its accounting are
-    pinned by tests/test_curate.py."""
+    pinned by tests/test_curate.py.
+
+    Oracle-paired (round 3): the DuckDB mirror composes the SAME three
+    stages relationally — sql_quality_score gate, min-id-per-fingerprint
+    window for exact dedup, then q53's recursive-CTE component fixpoint
+    over the survivors' similarity graph."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.curate import curate
 
     d = load(spark, sf_dir, "documents")
