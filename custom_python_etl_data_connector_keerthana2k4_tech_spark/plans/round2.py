@@ -533,14 +533,65 @@ def pagerank(
     return ranks
 
 
-@query("q126_pagerank", oracle=None)  # iterative fixpoint — not SQL-expressible
+def _pagerank_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB — the engine's exact
+    twin. Contributions are snapped to DECIMAL(38,18) before the sum in
+    BOTH engines, so the per-iteration aggregate is order-independent and
+    exact; the only float ops are scalar (division, damping blend), which
+    agree across engines to ~1e-19 — far inside the 1e8 readout grid."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / nn.n
+               + 0.85 * coalesce(m.mass, 0.0) AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT a.dst AS node,
+               CAST(sum(CAST(r.rank / a.out_deg AS DECIMAL(38,18))) AS DOUBLE) AS mass
+        FROM ann a JOIN {prev} r ON a.src = r.node GROUP BY 1
+      ) m ON m.node = n.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH p AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+    ann AS (SELECT e.src, e.dst, d.out_deg FROM e JOIN deg d ON e.src = d.src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),{",".join(steps)}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(round(rank * 100000000) AS BIGINT) AS rank_e8
+    FROM {prev}
+    """
+
+
+@query("q126_pagerank", oracle=_pagerank_oracle_sql(6))
 def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality of the co-purchase graph (edges from q93's
     basket pairs, symmetrized). Six join+aggregate rounds; the edge set
     and node set are localCheckpointed once so every iteration reuses
-    materialized inputs instead of replaying the basket build.
-    Verified in tests/test_round2.py against a dense NumPy power
-    iteration on the same graph (rows-only for the driver gate)."""
+    materialized inputs instead of replaying the basket build. ALSO
+    verified in tests/test_round2.py against a dense NumPy power
+    iteration on the same graph.
+
+    Oracle-paired (round 3): the iteration count is FIXED, so the
+    "iterative fixpoint" objection dissolves — DuckDB unrolls the six
+    rounds as chained CTEs. Reproducibility across engines comes from
+    the same device the engine already used for run-to-run determinism:
+    per-edge contributions snap to DECIMAL(38,18) before the aggregate,
+    making the sum exact and order-free; ranks then read out on a 1e8
+    integer grid (scalar float ops agree to ~1e-19, so the grid never
+    straddles)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
         copurchase_pairs(li)
@@ -550,7 +601,11 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, iterations=6, damping=0.85)
+    ranks = pagerank(edges, iterations=6, damping=0.85)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.round(F.col("rank") * F.lit(100000000.0)).cast("long").alias("rank_e8"),
+    )
 
 
 # ---------------------------------------------------------------------------

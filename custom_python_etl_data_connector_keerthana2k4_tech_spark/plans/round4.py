@@ -1619,7 +1619,38 @@ def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     return cur.select("src").distinct().withColumnRenamed("src", "node")
 
 
-@query("q173_kcore")
+def _kcore_oracle_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled degree-peeling in DuckDB. Peeling is monotone (the edge
+    set only shrinks) and idempotent at the fixpoint, so unrolling MORE
+    rounds than the data needs is harmless — 16 comfortably covers the
+    fixture graphs (the engine converges in <6; tests/test_round4.py's
+    python peel independently pins the same fixpoint, so a too-shallow
+    unroll would be caught, not silently wrong)."""
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    k{i} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{i} a ON e.src = a.src
+      JOIN k{i} b ON e.dst = b.src
+    )""")
+        prev = f"e{i}"
+    return f"""
+    WITH p AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e0 AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),{",".join(steps)}
+    SELECT DISTINCT CAST(src AS BIGINT) AS node FROM {prev}
+    """
+
+
+@query("q173_kcore", oracle=_kcore_oracle_sql(3, 16))
 def q173_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (edges: part pairs bought
     together in >= 2 orders, q93's support threshold): the maximal
@@ -1627,10 +1658,12 @@ def q173_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-density screen run before community/centrality work
     (q117/q126/q149 complete the graph family) to cut the long tail
     that dominates runtime but carries no structure. Iterative
-    degree-peeling (see kcore_nodes); no SQL oracle — the fixpoint
-    iteration is not expressible in one DuckDB query, so the driver
-    records rows-only and tests/test_round4.py proves the result
-    against a driver-side python peel of the same edges."""
+    degree-peeling (see kcore_nodes), ALSO proved against a driver-side
+    python peel in tests/test_round4.py.
+
+    Oracle-paired (round 3): peeling is integer-exact and idempotent at
+    the fixpoint, so a fixed 16-round DuckDB unroll reproduces the
+    engine's run-to-convergence result exactly."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
         copurchase_pairs(li)
