@@ -1298,7 +1298,47 @@ def q108_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FFD_BUDGET = 4096
 
 
-@query("q109_ffd_packing", oracle=None)  # imperative algorithm — rows-only
+@query(
+    "q109_ffd_packing",
+    oracle=f"""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ),
+    -- one fold step per item per source: ``bins`` carries remaining
+    -- capacities, ``assigned`` the 0-based bin ids in rn order.
+    -- list_position returns 0 (not NULL) on no-fit in DuckDB -> nullif.
+    st(source, rn, bins, assigned) AS (
+      SELECT source, 0, CAST([] AS BIGINT[]), CAST([] AS INT[])
+      FROM (SELECT DISTINCT source FROM documents)
+      UNION ALL
+      SELECT s.source, s.rn + 1,
+             CASE WHEN fit IS NULL
+                  THEN s.bins || [{_FFD_BUDGET} - o.n_chars]
+                  ELSE s.bins[:fit-1] || [s.bins[fit] - o.n_chars]
+                       || s.bins[fit+1:]
+             END,
+             s.assigned || [CAST(coalesce(fit, len(s.bins) + 1) - 1 AS INT)]
+      FROM st s
+      JOIN ordered o ON o.source = s.source AND o.rn = s.rn + 1
+      LEFT JOIN LATERAL (
+        SELECT nullif(list_position(
+                 list_transform(s.bins, x -> x >= o.n_chars), true), 0) AS fit
+      ) ON true
+    ),
+    final AS (
+      SELECT st.source, st.assigned FROM st
+      JOIN (SELECT source, max(rn) AS mx FROM st GROUP BY source) m
+        ON m.source = st.source AND m.mx = st.rn
+    )
+    SELECT CAST(o.doc_id AS BIGINT) AS doc_id, o.source,
+           CAST(o.n_chars AS BIGINT) AS n_chars,
+           f.assigned[CAST(o.rn AS INT)] AS bin_id
+    FROM ordered o JOIN final f ON f.source = o.source
+    """,
+)
 def q109_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-budget sequence packing: first-fit-decreasing within each
     source shard — documents sorted by size descending, each placed in the
@@ -1309,7 +1349,13 @@ def q109_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the packing scope, so no cross-shard state exists. Guarantees
     (tests/test_ffd_packing.py): every doc assigned, no bin over budget,
     deterministic bin ids, and FFD's 11/9·OPT+1 bin-count bound vs the
-    naive lower bound."""
+    naive lower bound.
+
+    Oracle-paired (round 3): the per-shard first-fit fold is reproduced
+    in DuckDB as a recursive CTE advancing one item per step and
+    carrying the remaining-capacity list as a LIST column — per-doc
+    bin-id equality proves the imperative Arrow path against a pure-SQL
+    formulation of the same algorithm."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
