@@ -79,6 +79,10 @@ def kmeans(
         assigned = assign(df, vec_col, centroids)
         # Update: per-(cluster, dim) mean via posexplode — the shuffled
         # frame is k*dim rows of partial sums, metadata-sized at any SF.
+        # per-dim sums snap to DECIMAL(38,18) so the distributed aggregate
+        # is order-independent and exact — run-to-run AND cross-engine
+        # bit-stable (the same device as pagerank's contribution sums);
+        # only the final mean division happens in double
         sums = (
             assigned.select(
                 "cluster",
@@ -87,14 +91,17 @@ def kmeans(
                 ).alias("pos", "x"),
             )
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new = [list(c) for c in centroids]  # empty clusters keep position
         acc: dict[int, list[float]] = {}
         cnt: dict[int, int] = {}
         for r in sums:
-            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = r.s
+            acc.setdefault(r.cluster, [0.0] * dim)[r.pos] = float(r.s)
             cnt[r.cluster] = r.n
         for cl, vec in acc.items():
             new[cl] = [x / cnt[cl] for x in vec]

@@ -907,7 +907,79 @@ def q150_current_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q136_kmeans_embeddings")  # no SQL oracle: iterative; NumPy twin in tests
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB, bit-matched to the engine:
+
+    - init = first k vectors by vec_id (both engines);
+    - distances are LEFT-FOLD 64-term double chains (same op order as
+      Spark's ``aggregate``/``zip_with`` fold -> bit-equal doubles);
+    - argmin tie-break toward the lowest cluster index (ORDER BY dsq,
+      cluster == array_position's first match);
+    - the update snaps per-dim sums to DECIMAL(38,18) exactly like
+      operators/kmeans.py, so centroids stay bit-identical through every
+      iteration and assignments can never straddle.
+    All CTEs MATERIALIZED (DuckDB would otherwise inline the iteration
+    cascade exponentially)."""
+
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"({e}[{j}] - {c}[{j}]) * ({e}[{j}] - {c}[{j}])"
+            for j in range(1, dim + 1)
+        )
+
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, e, cluster FROM (
+        SELECT p.vec_id, p.e, c.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist('p.e', 'c.c')}, c.cluster) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT cluster, list(s / n ORDER BY pos) AS c FROM (
+        SELECT a.cluster, t.i AS pos,
+               CAST(sum(CAST(a.e[CAST(t.i AS INT)] AS DECIMAL(38,18))) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM a{i} a CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT p.cluster, coalesce(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN m{i} m ON m.cluster = p.cluster
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, e AS c
+      FROM (SELECT vec_id, e FROM pts ORDER BY vec_id LIMIT {k})
+    ),{",".join(steps)},
+    afinal AS MATERIALIZED (
+      SELECT vec_id, cluster, dsq FROM (
+        SELECT p.vec_id, c.cluster,
+               {dist('p.e', 'c.c')} AS dsq,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist('p.e', 'c.c')}, c.cluster) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(sum(dsq), 6) AS inertia
+    FROM afinal GROUP BY cluster
+    """
+
+
+@query("q136_kmeans_embeddings", oracle=_kmeans_oracle_sql(8, 5, 64))
 def q136_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=8, 5 iterations) over the embeddings
     table: the semantic-clustering primitive behind corpus mixing,
