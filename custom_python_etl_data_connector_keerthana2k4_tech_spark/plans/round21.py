@@ -224,22 +224,95 @@ def q339_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q340_value_mixture_fit", oracle=None)
+def _em_oracle_sql(iters: int = 10) -> str:
+    """Unrolled EM in DuckDB, matched to operators/mixture.py: the same
+    quantile_cont init, the same closed-form responsibilities, and the
+    same DECIMAL(38,15) snap on every sufficient statistic before the
+    aggregate — so the only cross-engine noise is 1-ulp libm (exp/sqrt)
+    divergence, which the decimal grid quantizes to ~1e-12 drift over 10
+    iterations, orders of magnitude inside the float tolerance. The
+    query side runs the full fixed iteration budget (tol=0) so the
+    engine's early stop cannot create a step-count mismatch."""
+    steps = []
+    prev = "p0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT p.n,
+             s.s1 / p.n AS w1, (p.n - s.s1) / p.n AS w2,
+             s.sx1 / s.s1 AS mu1, s.sx2 / (p.n - s.s1) AS mu2,
+             greatest(s.sxx1 / s.s1
+                      - (s.sx1 / s.s1) * (s.sx1 / s.s1), 1e-12) AS var1,
+             greatest(s.sxx2 / (p.n - s.s1)
+                      - (s.sx2 / (p.n - s.s1)) * (s.sx2 / (p.n - s.s1)),
+                      1e-12) AS var2
+      FROM (
+        SELECT CAST(sum(CAST(r1 AS DECIMAL(38,15))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(r1 * x AS DECIMAL(38,15))) AS DOUBLE) AS sx1,
+               CAST(sum(CAST(r1 * x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx1,
+               CAST(sum(CAST((1 - r1) * x AS DECIMAL(38,15))) AS DOUBLE) AS sx2,
+               CAST(sum(CAST((1 - r1) * x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx2
+        FROM (
+          SELECT x, d1 / (d1 + d2) AS r1 FROM (
+            SELECT b.x,
+                   p.w1 * (1.0 / sqrt(2 * pi() * p.var1))
+                     * exp(-(b.x - p.mu1) * (b.x - p.mu1) / (2.0 * p.var1)) AS d1,
+                   p.w2 * (1.0 / sqrt(2 * pi() * p.var2))
+                     * exp(-(b.x - p.mu2) * (b.x - p.mu2) / (2.0 * p.var2)) AS d2
+            FROM base b CROSS JOIN {prev} p
+          )
+        )
+      ) s CROSS JOIN {prev} p
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+    ),
+    init AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             greatest(var_pop(x) / 4.0, 1e-12) AS v0,
+             quantile_cont(x, 0.25) AS q1,
+             quantile_cont(x, 0.75) AS q3
+      FROM base
+    ),
+    p0 AS (
+      SELECT n, 0.5 AS w1, 0.5 AS w2, q1 AS mu1, q3 AS mu2,
+             v0 AS var1, v0 AS var2
+      FROM init
+    ),{",".join(steps)}
+    SELECT CASE WHEN mu1 <= mu2 THEN 1 ELSE 2 END AS component,
+           w1 AS weight, mu1 AS mean, var1 AS variance, n
+    FROM {prev}
+    UNION ALL
+    SELECT CASE WHEN mu1 <= mu2 THEN 2 ELSE 1 END AS component,
+           w2 AS weight, mu2 AS mean, var2 AS variance, n
+    FROM {prev}
+    """
+
+
+@query("q340_value_mixture_fit", oracle=_em_oracle_sql(10))
 def q340_value_mixture_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-component 1-D Gaussian mixture over event values via
-    distributed EM (operators/mixture.py): weights, means, variances and
-    the final log-likelihood, components ordered by mean — the soft
-    regime-separation that k-means (q136) answers only with hard
-    assignments. Iterative and hence not SQL-expressible: registered
-    rows-only, with EM semantics pinned against a NumPy twin and planted
-    mixtures in tests/test_mixture.py (same gate pattern as
-    q126 PageRank / q136 k-means). Scale: each EM iteration is ONE
-    map-side-combinable aggregate (six decimal sufficient statistics);
-    driver state is the 6 parameters. Reference has no ML surface
-    (SURVEY §2.2)."""
+    distributed EM (operators/mixture.py): weights, means, variances,
+    components ordered by mean — the soft regime-separation that k-means
+    (q136) answers only with hard assignments. EM semantics are ALSO
+    pinned against a NumPy twin and planted mixtures in
+    tests/test_mixture.py (same gate pattern as q126 PageRank / q136
+    k-means). Scale: each EM iteration is ONE map-side-combinable
+    aggregate (six decimal sufficient statistics); driver state is the
+    6 parameters. Reference has no ML surface (SURVEY §2.2).
+
+    Oracle-paired (round 3): fixed 10 iterations (tol=0 — the early
+    stop stays an operator feature, but a step-count mismatch would
+    break cross-engine equality), DuckDB unrolls the same decimal-
+    snapped E+M aggregate per iteration."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.mixture import gaussian_mixture_1d
 
-    fit = gaussian_mixture_1d(load(spark, sf_dir, "events").select("value"), "value", n_iter=10)
+    fit = gaussian_mixture_1d(
+        load(spark, sf_dir, "events").select("value"), "value", n_iter=10,
+        tol=0.0,
+    )
     rows = [
         (
             int(k + 1),
