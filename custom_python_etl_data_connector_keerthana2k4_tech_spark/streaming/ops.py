@@ -135,6 +135,60 @@ def foreach_batch_upsert(
     )
 
 
+def foreach_batch_versioned_upsert(
+    stream_df: DataFrame,
+    table_root: str,
+    key: str | list[str],
+    order_by: list[str],
+    checkpoint: str,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+    max_commit_retries: int = 3,
+) -> DataStreamWriter:
+    """Streaming ingestion into a VERSIONED table: each micro-batch
+    publishes one snapshot-isolated version (operators/versioned) —
+    readers never see a half-applied batch, every batch is time-
+    travelable, CDC/materialized views ride the version feed, and zone
+    maps stay maintained (``stats_cols``).
+
+    Exactly-once here is belt-and-braces: the upsert itself is keyed
+    last-write-wins (a replayed batch converges to identical table
+    CONTENT, it just burns one extra version — vacuum reclaims it), and
+    the optimistic-concurrency commit retries ``max_commit_retries``
+    times when a concurrent writer (another stream, a batch backfill, a
+    compaction job) claims the version first; the loser's directory is
+    invisible and swept. At 100 TB pass ``partition_by`` so each batch
+    rewrites only the partitions it touches.
+    """
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        ConcurrentWriteError,
+        versioned_upsert,
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        for attempt in range(max_commit_retries + 1):
+            try:
+                versioned_upsert(
+                    batch_df.sparkSession,
+                    batch_df,
+                    table_root,
+                    key=key,
+                    order_by=order_by,
+                    partition_by=partition_by,
+                    stats_cols=stats_cols,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == max_commit_retries:
+                    raise
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def foreach_batch_near_dedup(
     stream_df: DataFrame,
     corpus_path: str,
