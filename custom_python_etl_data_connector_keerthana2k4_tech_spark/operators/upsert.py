@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PRIORITY = "__upsert_priority"
@@ -39,15 +39,24 @@ def dedup_last_write_wins(
 ) -> DataFrame:
     """Keep one row per key: the last write per ``order_by`` (desc).
 
-    Map-side partial aggregation doesn't apply to row_number, but AQE handles
-    skewed keys; for the common "latest record per key" this is the canonical
-    Spark idiom (one shuffle on the key).
+    Runs as ``max_by`` over the ordering tuple — a HASH AGGREGATION with
+    map-side partial combine, not a sort-window: each input partition
+    pre-collapses its keys to one candidate row before the shuffle, so
+    the exchange carries (distinct keys x partitions) rows instead of
+    every row, and the reduce side never sorts. Struct comparison puts a
+    NULL field lowest, which under max is exactly the window form's
+    ``desc_nulls_last``; ties on the full ordering tuple resolve
+    arbitrarily in both forms EXCEPT the priority column, which still
+    breaks existing-vs-batch (tests pin equivalence including null order
+    keys). At 100 TB this is the difference between shuffling the table
+    and shuffling its keys.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    ordering = [F.col(c).desc_nulls_last() for c in order_by]
+    ordering = [F.col(c) for c in order_by]
     if priority_col is not None:
-        ordering.append(F.col(priority_col).desc())
-    w = Window.partitionBy(*keys).orderBy(*ordering)
+        ordering.append(F.col(priority_col))
+    if not ordering:
+        raise ValueError("order_by and priority_col cannot both be empty")
 
     null_key = F.lit(False)
     for k in keys:
@@ -55,10 +64,15 @@ def dedup_last_write_wins(
 
     keyed = df.filter(~null_key)
     keyless = df.filter(null_key)  # insert fallback, etl_connector.py:185-187
+    cols = df.columns
     deduped = (
-        keyed.withColumn(_ROWNUM, F.row_number().over(w))
-        .filter(F.col(_ROWNUM) == 1)
-        .drop(_ROWNUM)
+        keyed.groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]), F.struct(*ordering)
+            ).alias(_ROWNUM)
+        )
+        .select(*[F.col(f"{_ROWNUM}.{c}").alias(c) for c in cols])
     )
     return deduped.unionByName(keyless)
 

@@ -24,6 +24,41 @@ def test_dedup_last_write_wins(spark):
     assert out.filter("k is null").count() == 2  # keyless rows pass through
 
 
+def test_dedup_null_order_keys_match_window_form(spark):
+    """max_by(struct) must reproduce the window form's desc_nulls_last:
+    a NULL ordering key loses to any non-null one, and with all-NULL
+    ordering the priority column still breaks existing-vs-batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "nullts", None, 0),
+            ("a", "realts", 1, 0),
+            ("b", "exist", None, 0),
+            ("b", "batch", None, 1),  # all-NULL ts: priority must win
+            ("c", "only", None, 0),
+        ],
+        "k string, v string, ts long, prio int",
+    )
+    out = dedup_last_write_wins(df, "k", ["ts"], priority_col="prio")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": "realts", "b": "batch", "c": "only"}
+
+    # exact equivalence with the canonical window formulation
+    w = Window.partitionBy("k").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("prio").desc()
+    )
+    win = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in win.collect()
+    )
+
+
 def test_upsert_batch_wins_ties(spark):
     """Equal order_by -> incoming batch replaces existing (replace_one, :181)."""
     existing = _df(spark, [("a", "existing", 5)])
