@@ -154,7 +154,27 @@ def run_batch(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(valid_predicate().cast("long")).alias("n_valid"),
     )
-    valid = observed.filter(valid_predicate())
+    # Within-run collapse first. The reference loops the batch and
+    # replace_one's each record, so whichever duplicate its iterator
+    # happens to visit last lands (etl_connector.py:176-181) — loop
+    # position is not a well-defined concept once the batch is a shuffled
+    # distributed frame, so the engine pins a deterministic,
+    # order-independent tie-break instead (SURVEY §7 hard part (a)):
+    # record recency (``pulse_modified``) wins within a run, and exact
+    # duplicates fall back to source position (monotonically_increasing_id
+    # = (partitionId << 33) + offset — source order for page-range REST
+    # partitions and file splits). Collapsing before the upsert keeps the
+    # position column out of the table schema.
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import dedup_last_write_wins
+
+    pos = "_src_pos"
+    valid = (
+        observed.filter(valid_predicate())
+        .withColumn(pos, F.monotonically_increasing_id())
+    )
+    valid = dedup_last_write_wins(
+        valid, "pulse_id", ["ingestion_timestamp", "pulse_modified", pos]
+    ).drop(pos)
     upsert_parquet(
         spark,
         valid,
