@@ -1,0 +1,190 @@
+"""Product-quantization ANN top-k (north-star similarity ops, SURVEY §2.3).
+
+The classic IVF-PQ recipe's PQ half: split each embedding into M
+subvectors, learn a tiny per-subspace codebook, store each vector as M
+one-byte codes, and answer queries with an asymmetric-distance (ADC)
+lookup — the query is compared against centroids, never against raw
+vectors. At 100 TB this is THE memory story for vector search: 64 floats
+(256 B) become M codes (M bytes), the codebook is O(M x K) and broadcast,
+and scoring a partition is a pure in-JVM projection (array lookups), no
+join, no shuffle except the final per-query top-k.
+
+Training-free sampled codebook: centroids are the subvectors of the K
+seed rows with the smallest deterministic ``hex_hash60(id)`` — a uniform
+hash-sample of the corpus. (A Lloyd-refined codebook drops in via
+``operators/kmeans.py`` per subspace; the hash-sample keeps the whole
+pipeline — seeds, codes, ADC, ranks — bit-reproducible in DuckDB, so the
+APPROXIMATE search result itself sits under the oracle gate, the q358/
+q359 pattern.)
+
+Cross-engine determinism: all arithmetic is exact BIGINT over
+1e-6-quantized components (functions/vectors.py); argmin ties break on
+the smallest centroid index; final ranks tie-break on neighbor id.
+
+Reference parity: /root/reference/etl_connector.py has no vector surface
+at all (evidence of absence, SURVEY §0) — this is north-star extension
+territory.
+
+Scale notes (100 TB):
+- Codebook fetch collects K seed rows (K ~ 8-256) — driver state is the
+  parameter vector, same contract as kmeans/mixture centroids.
+- Encoding is one narrow projection over the table: no explode, no join;
+  whole-stage codegen over fixed-width integer folds.
+- The per-query top-k shuffles only (id, query_id, adc) triples —
+  partitionBy(query_id) with Q partitions; for huge Q shard queries into
+  batches (the cosine_topk contract).
+- Exact rerank touches only the surviving top-k rows (narrow second
+  projection, no second scan: it rides the same frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import hex_hash60
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import quantize
+
+
+def _lit_long_array(vals: list[int]):
+    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+
+def _sq_l2_to_lit(sub_col, centroid: list[int]):
+    """Exact BIGINT squared L2 between a quantized subvector column and a
+    literal centroid (JVM-side fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(sub_col, _lit_long_array(centroid), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_fit_codebook(
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+) -> list[list[list[int]]]:
+    """Sampled PQ codebook: ``codebook[s][j]`` = subspace-``s`` slice of
+    the j-th seed (seeds = bottom-``k`` rows by ``hex_hash60(id)``, ties
+    by id). Returns driver-side ints (exact, cross-engine)."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"),
+            quantize(vec_col).alias("qv"),
+            hex_hash60(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input: cannot fit a PQ codebook")
+    dim = len(rows[0]["qv"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    sub = dim // m
+    return [
+        [[int(x) for x in r["qv"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k_centroids: int = 8,
+    topk: int = 10,
+) -> DataFrame:
+    """ADC top-k: encode every row as M centroid codes, score each
+    (query, row) pair by summing the query's precomputed per-subspace
+    distances to the row's assigned centroids, keep the ``topk`` smallest
+    per query (ties by neighbor id), and attach the exact full-dimension
+    distance of each survivor for audit.
+
+    Returns: query_id, neighbor_id, rank, adc_dist, exact_dist.
+    """
+    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+    sub = len(codebook[0][0])
+
+    qrows = (
+        queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
+        .orderBy("id")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set")
+
+    # Driver-side ADC tables: adc[qi][s][j] = exact int squared L2 between
+    # query qi's subvector s and codebook[s][j]. O(Q x M x K) ints.
+    def _sq(a: list[int], b: list[int]) -> int:
+        return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
+
+    adc_tables = [
+        [
+            [_sq(list(qr["qv"])[s * sub : (s + 1) * sub], c) for c in codebook[s]]
+            for s in range(m)
+        ]
+        for qr in qrows
+    ]
+
+    base = df.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv"))
+
+    # codes[s]: argmin over centroids (first occurrence = smallest j).
+    code_cols = []
+    for s in range(m):
+        sub_col = F.slice(F.col("qv"), s * sub + 1, sub)
+        dists = F.array(*[_sq_l2_to_lit(sub_col, c) for c in codebook[s]])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{s}")
+        )
+    coded = base.select("neighbor_id", "qv", *code_cols)
+
+    # One adc column per query (array lookup by code), then stack so a
+    # single scan serves every query.
+    adc_cols = [
+        sum(
+            F.element_at(_lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1)
+            for s in range(m)
+        ).alias(f"adc{qi}")
+        for qi in range(len(qrows))
+    ]
+    stack_args = ", ".join(
+        f"CAST({int(qr['id'])} AS BIGINT), adc{qi}" for qi, qr in enumerate(qrows)
+    )
+    stacked = coded.select("neighbor_id", "qv", *adc_cols).selectExpr(
+        "neighbor_id",
+        "qv",
+        f"stack({len(qrows)}, {stack_args}) AS (query_id, adc_dist)",
+    )
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ranked = (
+        stacked.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )
+
+    # Exact audit distance only for survivors (Q x topk rows).
+    exact = None
+    for qr in qrows:
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                _lit_long_array([int(x) for x in qr["qv"]]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        branch = (F.col("query_id") == int(qr["id"]), d)
+        exact = F.when(*branch) if exact is None else exact.when(*branch)
+
+    return ranked.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        F.col("adc_dist").cast("long").alias("adc_dist"),
+        exact.cast("long").alias("exact_dist"),
+    )
