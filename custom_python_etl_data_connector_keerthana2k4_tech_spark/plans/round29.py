@@ -1,4 +1,5 @@
-"""Round-29 additions: product-quantization ANN under the oracle gate.
+"""Round-29 additions: vector-search and spectral ops under the oracle
+gate.
 
 q372 runs the PQ half of the IVF-PQ vector-search recipe
 (``operators/pq.py``): hash-sampled per-subspace codebooks, one-byte
@@ -8,6 +9,12 @@ components, so the APPROXIMATE search result itself is bit-reproducible
 in DuckDB (the q358/q359 determinism pattern). The reference has no
 vector surface (/root/reference/etl_connector.py, evidence of absence,
 SURVEY §0); this is north-star extension territory.
+
+q373 is the oracle-paired sibling of q243's exact PCA
+(``operators/spectral.py``): a 16-dim matryoshka-head spectral axis via
+integer-snapped power iteration, unrolled in DuckDB as materialized CTE
+rounds (the q136 k-means device) — the engine-internal-vs-first-
+principles duality the sketch family established (q16 vs q359).
 """
 
 from __future__ import annotations
@@ -106,3 +113,81 @@ def q372_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, queries, "vec_id", "embedding",
         m=_PQ_M, k_centroids=_PQ_K, topk=_PQ_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# q373: spectral axis by integer-snapped power iteration (oracle-paired)
+# ---------------------------------------------------------------------------
+
+_SP_DIM = 16  # matryoshka head width
+_SP_ITERS = 8
+_SP_VS = 1_000_000_000  # AXIS_SCALE (operators/spectral.py)
+_SP_GCAP = 1_000_000  # GRAM_CAP
+
+
+def _spectral_oracle() -> str:
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding[1:{_SP_DIM}],
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), comp AS (
+      SELECT vec_id, qv, unnest(range({_SP_DIM})) AS i FROM e
+    ), gram AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(a.qv[a.i+1] * b.qv[b.i+1]) AS HUGEINT) AS g
+      FROM comp a JOIN comp b USING (vec_id)
+      GROUP BY 1, 2
+    ), gs AS (
+      SELECT max(abs(g)) // {_SP_GCAP} + 1 AS s FROM gram
+    ), gp AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN g < 0 THEN -1 ELSE 1 END
+               * (abs(g) // (SELECT s FROM gs)) AS g
+      FROM gram
+    ), v0 AS (
+      SELECT unnest(range({_SP_DIM})) AS j, CAST({_SP_VS} AS HUGEINT) AS vj
+    )"""
+    rounds = "".join(
+        f""",
+    w{t} AS MATERIALIZED (
+      SELECT gp.i AS j, CAST(sum(gp.g * v.vj) AS HUGEINT) AS w
+      FROM gp JOIN v{t - 1} v ON v.j = gp.j GROUP BY 1
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT j, CASE WHEN w < 0 THEN -1 ELSE 1 END *
+             ((abs(w) * {_SP_VS}) // (SELECT max(abs(w)) FROM w{t})) AS vj
+      FROM w{t}
+    )"""
+        for t in range(1, _SP_ITERS + 1)
+    )
+    tail = f"""
+    SELECT e.vec_id, e.label,
+           CAST(sum(e.qv[v.j+1] * v.vj) AS BIGINT) AS spec_score
+    FROM e, v{_SP_ITERS} v
+    GROUP BY 1, 2
+    """
+    return head + rounds + tail
+
+
+@query("q373_spectral_axis", oracle=_spectral_oracle())
+def q373_spectral_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding's 16-dim matryoshka head onto the corpus'
+    snapped power-iteration axis (operators/spectral.py). The Spark plan
+    is ONE map-side-combined aggregate (the 136 upper-triangle Gram sums,
+    a single row to the driver), a dim x dim exact-integer driver
+    recurrence, and ONE codegen projection — no shuffle, no UDF, no join;
+    the DuckDB oracle replays the identical recurrence as 8 materialized
+    CTE rounds, so the axis and every per-row score must agree bitwise.
+    q243 stays the exact-PCA surface (LAPACK eigensolve, NumPy-twinned);
+    this is its first-principles, oracle-gated sibling."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.spectral import (
+        power_iteration_axis,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    _, scored = power_iteration_axis(
+        e, "embedding", dim=_SP_DIM, iters=_SP_ITERS
+    )
+    return scored.select("vec_id", "label", "spec_score")
