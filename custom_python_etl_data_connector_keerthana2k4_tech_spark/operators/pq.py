@@ -88,6 +88,68 @@ def pq_fit_codebook(
     ]
 
 
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str) -> list:
+    """Driver-side query rows (id asc) with quantized + raw-double heads."""
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("id"),
+            quantize(vec_col).alias("qv"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ev"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("empty query set")
+    return qrows
+
+
+def _sq(a: list[int], b: list[int]) -> int:
+    return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
+
+
+def _adc_tables(qrows, codebook, m: int, sub: int) -> list:
+    """adc[qi][s][j] = exact int squared L2 between query qi's subvector s
+    and codebook[s][j]. O(Q x M x K) driver ints."""
+    return [
+        [
+            [_sq(list(qr["qv"])[s * sub : (s + 1) * sub], c) for c in codebook[s]]
+            for s in range(m)
+        ]
+        for qr in qrows
+    ]
+
+
+def _code_cols(codebook, m: int, sub: int) -> list:
+    """codes[s]: argmin over centroids (first occurrence = smallest j)."""
+    cols = []
+    for s in range(m):
+        sub_col = F.slice(F.col("qv"), s * sub + 1, sub)
+        dists = F.array(*[_sq_l2_to_lit(sub_col, c) for c in codebook[s]])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{s}")
+        )
+    return cols
+
+
+def _exact_dist_col(qrows):
+    """Exact full-dimension squared L2 to the matching query (CASE chain)."""
+    exact = None
+    for qr in qrows:
+        d = F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                _lit_long_array([int(x) for x in qr["qv"]]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        branch = (F.col("query_id") == int(qr["id"]), d)
+        exact = F.when(*branch) if exact is None else exact.when(*branch)
+    return exact
+
+
 def pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -108,38 +170,11 @@ def pq_topk(
     codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
     sub = len(codebook[0][0])
 
-    qrows = (
-        queries.select(F.col(id_col).alias("id"), quantize(vec_col).alias("qv"))
-        .orderBy("id")
-        .collect()
-    )
-    if not qrows:
-        raise ValueError("empty query set")
-
-    # Driver-side ADC tables: adc[qi][s][j] = exact int squared L2 between
-    # query qi's subvector s and codebook[s][j]. O(Q x M x K) ints.
-    def _sq(a: list[int], b: list[int]) -> int:
-        return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
-
-    adc_tables = [
-        [
-            [_sq(list(qr["qv"])[s * sub : (s + 1) * sub], c) for c in codebook[s]]
-            for s in range(m)
-        ]
-        for qr in qrows
-    ]
+    qrows = _collect_queries(queries, id_col, vec_col)
+    adc_tables = _adc_tables(qrows, codebook, m, sub)
 
     base = df.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv"))
-
-    # codes[s]: argmin over centroids (first occurrence = smallest j).
-    code_cols = []
-    for s in range(m):
-        sub_col = F.slice(F.col("qv"), s * sub + 1, sub)
-        dists = F.array(*[_sq_l2_to_lit(sub_col, c) for c in codebook[s]])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{s}")
-        )
-    coded = base.select("neighbor_id", "qv", *code_cols)
+    coded = base.select("neighbor_id", "qv", *_code_cols(codebook, m, sub))
 
     # One adc column per query (array lookup by code), then stack so a
     # single scan serves every query.
@@ -167,24 +202,114 @@ def pq_topk(
     )
 
     # Exact audit distance only for survivors (Q x topk rows).
-    exact = None
-    for qr in qrows:
-        d = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                _lit_long_array([int(x) for x in qr["qv"]]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        branch = (F.col("query_id") == int(qr["id"]), d)
-        exact = F.when(*branch) if exact is None else exact.when(*branch)
-
     return ranked.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "rank",
         F.col("adc_dist").cast("long").alias("adc_dist"),
-        exact.cast("long").alias("exact_dist"),
+        _exact_dist_col(qrows).cast("long").alias("exact_dist"),
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 8,
+    km_iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k_centroids: int = 8,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ: the full classic vector-search recipe. A deterministic
+    k-means coarse quantizer (operators/kmeans — decimal-exact updates)
+    splits the corpus into ``n_lists`` inverted lists; each query probes
+    only its ``nprobe`` nearest lists; candidates inside them are scored
+    by PQ asymmetric distance (codes + driver ADC tables, exactly
+    ``pq_topk``'s machinery) with the exact distance attached for audit.
+
+    Probe selection runs on the DRIVER over the k x dim centroid matrix
+    (left-fold double chains — the same op order as the distributed
+    assignment and the DuckDB mirror, so probe sets are bit-stable;
+    ties break toward the lower list index).
+
+    Plan shape: the kmeans scans + one narrow coded projection over the
+    corpus (codes, cluster, per-query gated ADC lookups — no join), one
+    stack, one per-query top-k. At 100 TB the index DataFrame is written
+    ``partitionBy("cluster")`` and the ``cluster IN probes`` gate becomes
+    directory pruning (the ivf_build contract, operators/ivf.py).
+
+    Returns: query_id, neighbor_id, cluster, rank, adc_dist, exact_dist.
+    """
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
+
+    assigned, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
+    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+    sub = len(codebook[0][0])
+
+    qrows = _collect_queries(queries, id_col, vec_col)
+    adc_tables = _adc_tables(qrows, codebook, m, sub)
+
+    # Driver probe selection: left-fold squared-distance chain per
+    # centroid (0.0 + t1 == t1 exactly, so Python's sum matches the SQL
+    # t1 + t2 + ... chain bit for bit), ties toward the lower index.
+    probes = []
+    for qr in qrows:
+        ev = [float(x) for x in qr["ev"]]
+        ds = []
+        for ci, c in enumerate(centroids):
+            acc = 0.0
+            for a, b in zip(ev, c):
+                acc += (a - b) * (a - b)
+            ds.append((acc, ci))
+        ds.sort()
+        probes.append([ci for _, ci in ds[:nprobe]])
+
+    coded = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("qv"),
+        "cluster",
+    ).select("neighbor_id", "qv", "cluster", *_code_cols(codebook, m, sub))
+
+    # Per-query ADC column, NULL outside the query's probed lists — the
+    # stack then drops unprobed candidates (IS NOT NULL), so each query
+    # scores only ~nprobe/n_lists of the corpus.
+    adc_cols = [
+        F.when(
+            F.col("cluster").isin([int(c) for c in probes[qi]]),
+            sum(
+                F.element_at(_lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1)
+                for s in range(m)
+            ),
+        ).alias(f"adc{qi}")
+        for qi in range(len(qrows))
+    ]
+    stack_args = ", ".join(
+        f"CAST({int(qr['id'])} AS BIGINT), adc{qi}" for qi, qr in enumerate(qrows)
+    )
+    stacked = coded.select("neighbor_id", "qv", "cluster", *adc_cols).selectExpr(
+        "neighbor_id",
+        "qv",
+        "cluster",
+        f"stack({len(qrows)}, {stack_args}) AS (query_id, adc_dist)",
+    )
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ranked = (
+        stacked.filter(
+            F.col("adc_dist").isNotNull()
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+    )
+    return ranked.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "rank",
+        F.col("adc_dist").cast("long").alias("adc_dist"),
+        _exact_dist_col(qrows).cast("long").alias("exact_dist"),
     )

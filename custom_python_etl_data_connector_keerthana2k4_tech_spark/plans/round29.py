@@ -191,3 +191,121 @@ def q373_spectral_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", dim=_SP_DIM, iters=_SP_ITERS
     )
     return scored.select("vec_id", "label", "spec_score")
+
+
+# ---------------------------------------------------------------------------
+# q374: full IVF-PQ vector search (coarse k-means lists + PQ/ADC scoring),
+# oracle-paired end to end
+# ---------------------------------------------------------------------------
+
+_IVF_LISTS = 8
+_IVF_ITERS = 3
+_IVF_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round3 import (
+        _kmeans_ctes,
+        _kmeans_dist_chain,
+    )
+
+    chain = _kmeans_dist_chain("p.e", "c.c", _PQ_DIM)
+    return f"""
+    WITH {_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
+    v AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {chain}, c.cluster) AS rn
+        FROM pts p CROSS JOIN c{_IVF_ITERS} c
+        WHERE p.vec_id < {_PQ_NQ}
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    hashed AS (
+      SELECT vec_id, qv, {sql_hex_hash60("CAST(vec_id AS VARCHAR)")} AS h FROM v
+    ),
+    seeds AS (
+      SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1 AS j
+      FROM hashed
+      QUALIFY j < {_PQ_K}
+    ),
+    cb AS (
+      SELECT m, j, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS c
+      FROM seeds, range({_PQ_M}) mm(m)
+    ),
+    subv AS (
+      SELECT vec_id, m, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS s
+      FROM v, range({_PQ_M}) mm(m)
+    ),
+    dist AS (
+      SELECT vec_id, m, j, {_SQ_SUB} AS d
+      FROM subv JOIN cb USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM dist) t
+      WHERE rn = 1
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, m, j, d FROM dist WHERE vec_id < {_PQ_NQ}
+    ),
+    cand AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster
+      FROM afinal a JOIN qprobe qp ON a.cluster = qp.cluster
+      WHERE a.vec_id <> qp.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.cluster,
+             CAST(sum(qd.d) AS BIGINT) AS adc_dist
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.neighbor_id
+      JOIN qd ON qd.query_id = cand.query_id AND qd.m = c.m AND qd.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cluster, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc
+    )
+    SELECT r.query_id, r.neighbor_id, CAST(r.cluster AS INT) AS cluster,
+           CAST(r.rk AS INT) AS rank, r.adc_dist,
+           CAST(list_sum(list_transform(range({_PQ_DIM}),
+                i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1])))
+                AS BIGINT) AS exact_dist
+    FROM ranked r
+    JOIN v vq ON vq.vec_id = r.query_id
+    JOIN v vn ON vn.vec_id = r.neighbor_id
+    WHERE r.rk <= {_PQ_TOPK}
+    """
+
+
+@query("q374_ivfpq_ann", oracle=_ivfpq_oracle())
+def q374_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ vector-search recipe, bit-reproducible in DuckDB:
+    the deterministic k-means coarse quantizer (q136's decimal-exact
+    Lloyd loop) splits the corpus into inverted lists; each query probes
+    its 2 nearest lists (driver-side over the k x dim centroid matrix,
+    the same left-fold double chains as the distributed assignment);
+    probed candidates are scored by PQ asymmetric distance (q372's
+    codes + ADC tables) with the exact distance attached for audit. The
+    oracle replays everything — Lloyd rounds as materialized CTEs, probe
+    ranks, codes, ADC sums — so both engines must agree on every
+    approximate neighbor AND which list it came from. Plan shape: the
+    kmeans scans plus ONE narrow coded projection (no join, unprobed
+    rows gated to NULL pre-stack) and one per-query top-k; at 100 TB the
+    index is written partitionBy(cluster) and the probe gate becomes
+    directory pruning (operators/ivf.py contract)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < _PQ_NQ)
+    return ivfpq_topk(
+        e, queries_df, "vec_id", "embedding",
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+        m=_PQ_M, k_centroids=_PQ_K, topk=_PQ_TOPK,
+    )

@@ -907,11 +907,23 @@ def q150_current_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations in DuckDB, bit-matched to the engine:
+def _kmeans_dist_chain(e: str, c: str, dim: int) -> str:
+    """LEFT-FOLD dim-term double distance chain — the same op order as
+    Spark's ``aggregate``/``zip_with`` fold, so doubles are bit-equal."""
+    return " + ".join(
+        f"({e}[{j}] - {c}[{j}]) * ({e}[{j}] - {c}[{j}])"
+        for j in range(1, dim + 1)
+    )
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations in DuckDB, bit-matched to the engine —
+    the WITH body (no ``WITH`` keyword, no final SELECT), ending at
+    ``afinal`` (vec_id, cluster, dsq under the final centroids); the
+    final centroid table is CTE ``c{iters}`` (cluster, c).
 
     - init = first k vectors by vec_id (both engines);
-    - distances are LEFT-FOLD 64-term double chains (same op order as
+    - distances are LEFT-FOLD dim-term double chains (same op order as
       Spark's ``aggregate``/``zip_with`` fold -> bit-equal doubles);
     - argmin tie-break toward the lowest cluster index (ORDER BY dsq,
       cluster == array_position's first match);
@@ -919,13 +931,9 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
       operators/kmeans.py, so centroids stay bit-identical through every
       iteration and assignments can never straddle.
     All CTEs MATERIALIZED (DuckDB would otherwise inline the iteration
-    cascade exponentially)."""
-
-    def dist(e: str, c: str) -> str:
-        return " + ".join(
-            f"({e}[{j}] - {c}[{j}]) * ({e}[{j}] - {c}[{j}])"
-            for j in range(1, dim + 1)
-        )
+    cascade exponentially). Composable: q136 appends its rollup, q374
+    (plans/round29.py) appends the IVF-PQ probe/score chain."""
+    dist = lambda e, c: _kmeans_dist_chain(e, c, dim)  # noqa: E731
 
     steps = []
     prev = "c0"
@@ -953,8 +961,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
       FROM {prev} p LEFT JOIN m{i} m ON m.cluster = p.cluster
     )""")
         prev = f"c{i}"
-    return f"""
-    WITH pts AS MATERIALIZED (
+    return f"""pts AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
@@ -971,7 +978,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
                                   ORDER BY {dist('p.e', 'c.c')}, c.cluster) AS rn
         FROM pts p CROSS JOIN {prev} c
       ) WHERE rn = 1
-    )
+    )"""
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    return f"""
+    WITH {_kmeans_ctes(k, iters, dim)}
     SELECT CAST(cluster AS INT) AS cluster,
            CAST(count(*) AS BIGINT) AS n_points,
            round(sum(dsq), 6) AS inertia
