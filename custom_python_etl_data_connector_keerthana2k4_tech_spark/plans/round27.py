@@ -98,33 +98,34 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    und = copurchase_und_edges(li).persist()
-    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    und = copurchase_und_edges(li)
     oriented = copurchase_edges(li).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
 
     # Wedge enumeration WITHOUT a self-join: one shuffle groups each
-    # middle's (distinct, sorted) neighbor list; the a<b pairs explode
-    # JVM-side inside the task PRE-PACKED into one BIGINT key
-    # (a*2^32 + b — monotone in (a, b), so count DESC, key ASC is the
-    # same ranking), halving shuffle row width vs a struct; the middle's
-    # 1/ln(degree) weight rides along. Aggregation runs BEFORE the
-    # adjacency anti-join (map-side combine; the anti-join probes the
-    # pair-sized aggregate, not raw wedges) and the edge side is
-    # BROADCAST — sort-merge would re-sort the ~100M-pair aggregate.
+    # middle's (distinct, sorted) neighbor list (degree = array size, no
+    # separate groupBy); the a<b pairs explode JVM-side inside the task
+    # PRE-PACKED into one BIGINT key (a*2^32 + b — monotone in (a, b),
+    # so count DESC, key ASC is the same ranking). TWO-PHASE scoring
+    # keeps the ~100M-key hot aggregate as narrow as possible: phase 1
+    # counts wedges per packed key ONLY (a bare 8-byte key + count — no
+    # float column riding every wedge), anti-joins the BROADCAST
+    # adjacency, and takes the top-k via sort-limit; phase 2 recomputes
+    # the 1/ln(degree) Adamic-Adar weights for just the {k} winners by
+    # intersecting their (tiny, broadcast-joined) neighbor arrays.
     # Degree-threshold top-k pruning does NOT apply here: the measured
     # graph has top-50 n_common ~10 with every degree above it; exact
-    # scoring of every candidate pair is the honest cost, so the plan
-    # optimizes constants (packed keys, one shuffle, broadcast anti).
+    # counting of every candidate pair is the honest cost, so the plan
+    # optimizes constants (packed keys, one narrow shuffle, broadcast
+    # anti, O(k) rescoring).
     nbrs = (
         und.groupBy("u")
         .agg(F.sort_array(F.collect_set("v")).alias("ns"))
-        .join(deg, "u")
-        .filter(F.col("d") <= _AA_MAX_MID)
+        .withColumn("d", F.size("ns").cast("long"))
+        .persist()
     )
-    packed = nbrs.select(
-        (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("w"),
+    packed = nbrs.filter(F.col("d") <= _AA_MAX_MID).select(
         F.explode(
             F.expr(
                 """
@@ -138,29 +139,49 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented_pk = oriented.select(
         (F.col("a") * F.lit(4294967296).cast("long") + F.col("b")).alias("pk")
     )
-    scored_pk = (
+    top = (
         packed.groupBy("pk")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("w").alias("adamic_adar"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .join(F.broadcast(oriented_pk), "pk", "left_anti")
+        .orderBy(F.desc("n_common"), "pk")
+        .limit(_AA_TOPK)
+        .select(
+            F.expr("pk div 4294967296").alias("a"),
+            F.expr("pk % 4294967296").alias("b"),
+            "n_common",
+        )
     )
-    scored = scored_pk.select(
-        F.expr("pk div 4294967296").alias("a"),
-        F.expr("pk % 4294967296").alias("b"),
-        "n_common",
-        "adamic_adar",
+    # Phase 2: Adamic-Adar for the k winners only. Broadcast the k-row
+    # frame through both neighbor-list joins, intersect the sorted
+    # arrays, and weight each shared middle under the degree cap.
+    with_a = nbrs.select(F.col("u").alias("a"), F.col("ns").alias("ns_a")).join(
+        F.broadcast(top), "a"
+    )
+    with_b = nbrs.select(F.col("u").alias("b"), F.col("ns").alias("ns_b")).join(
+        F.broadcast(with_a), "b"
+    )
+    mids = with_b.select(
+        "a", "b", "n_common",
+        F.explode(F.array_intersect("ns_a", "ns_b")).alias("mid"),
     )
     return (
-        scored.select(
+        mids.join(
+            F.broadcast(nbrs.select(F.col("u").alias("mid"), "d")), "mid"
+        )
+        .filter(F.col("d") <= _AA_MAX_MID)
+        .groupBy("a", "b", "n_common")
+        .agg(
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias(
+                "adamic_adar"
+            )
+        )
+        .select(
             F.col("a").alias("part_a"),
             F.col("b").alias("part_b"),
             "n_common",
             "adamic_adar",
         )
         .orderBy(F.desc("n_common"), "part_a", "part_b")
-        .limit(_AA_TOPK)
     )
 
 
