@@ -1,0 +1,222 @@
+"""Grammar-based differential fuzzing of the relational surface
+(SURVEY §5.2.6 extension): hypothesis draws random plans from a bounded
+grammar (table -> filters -> project | aggregate | join+aggregate), each
+plan is rendered BOTH as a Spark DataFrame program and as DuckDB SQL,
+and the results must match canonically (sorted columns, sorted rows,
+doubles rounded to 6).
+
+This covers the combinational space BETWEEN the 374 hand-written
+oracle-paired queries: filter/projection/aggregation/join corners the
+fixed suite doesn't enumerate (operator x literal x null-order x
+group-cardinality interactions). Sums/averages go through the same
+decimal-accumulation pact as the main suite (plans/relational.py dsum/
+DSUM) so cross-engine float summation order can't produce flakes.
+
+Determinism: hypothesis derives examples from a fixed seed database in
+CI fashion (derandomize), so failures replay.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.relational import DAVG, DSUM, davg, dsum
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# numeric / key / date columns per table (narrow, known domains)
+_TABLES = {
+    "lineitem": {
+        "nums": {
+            "l_quantity": (1.0, 50.0),
+            "l_extendedprice": (900.0, 100_000.0),
+            "l_discount": (0.0, 0.10),
+            "l_tax": (0.0, 0.08),
+        },
+        "keys": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["F", "O"],
+        },
+        "ids": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "date": ("l_shipdate", "1992-01-01", "1998-12-01"),
+    },
+    "orders": {
+        "nums": {"o_totalprice": (800.0, 600_000.0)},
+        "keys": {"o_orderstatus": ["F", "O", "P"]},
+        "ids": ["o_orderkey", "o_custkey"],
+        "date": ("o_orderdate", "1992-01-01", "1998-08-02"),
+    },
+    "customer": {
+        "nums": {"c_acctbal": (-1_000.0, 10_000.0)},
+        "keys": {"c_mktsegment": None},  # sampled from data below
+        "ids": ["c_custkey", "c_nationkey"],
+        "date": None,
+    },
+}
+
+_CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+# --- plan grammar -----------------------------------------------------------
+
+
+@st.composite
+def _filter(draw, table: str):
+    """One predicate as (spark_condition_builder, sql_text)."""
+    spec = _TABLES[table]
+    kind = draw(st.sampled_from(["num", "key", "date"] if spec["date"] else ["num", "key"]))
+    if kind == "num":
+        col = draw(st.sampled_from(sorted(spec["nums"])))
+        lo, hi = spec["nums"][col]
+        lit = round(draw(st.floats(min_value=lo, max_value=hi, allow_nan=False)), 3)
+        op = draw(st.sampled_from(_CMP))
+        return (col, op, repr(lit)), f"{col} {op} {lit!r}"
+    if kind == "key":
+        col = draw(st.sampled_from(sorted(spec["keys"])))
+        vals = spec["keys"][col] or ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        lit = draw(st.sampled_from(vals))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return (col, op, f"'{lit}'"), f"{col} {op} '{lit}'"
+    col, dlo, dhi = spec["date"]
+    # draw a cutoff day inside the domain
+    year = draw(st.integers(int(dlo[:4]), int(dhi[:4])))
+    month = draw(st.integers(1, 12))
+    lit = f"{year:04d}-{month:02d}-01"
+    op = draw(st.sampled_from(["<", ">="]))
+    return (col, op, f"TIMESTAMP '{lit}'"), f"{col} {op} TIMESTAMP '{lit}'"
+
+
+@st.composite
+def plans(draw):
+    table = draw(st.sampled_from(sorted(_TABLES)))
+    spec = _TABLES[table]
+    filters = draw(st.lists(_filter(table), min_size=0, max_size=2))
+    shape = draw(st.sampled_from(["project", "agg", "join_agg"]))
+    num = draw(st.sampled_from(sorted(spec["nums"])))
+    key = draw(st.sampled_from(sorted(spec["keys"])))
+    return {
+        "table": table,
+        "filters": filters,
+        "shape": shape,
+        "num": num,
+        "key": key,
+        "distinct": draw(st.booleans()),
+    }
+
+
+# --- renderers --------------------------------------------------------------
+
+
+def _where_sql(filters) -> str:
+    if not filters:
+        return ""
+    return " WHERE " + " AND ".join(sql for _, sql in filters)
+
+
+def _apply_filters(df, filters):
+    for (col, op, lit), _sql in filters:
+        if lit.startswith("TIMESTAMP "):
+            c = F.lit(lit[len("TIMESTAMP '"):-1]).cast("timestamp")
+        elif lit.startswith("'"):
+            c = F.lit(lit.strip("'"))
+        else:
+            c = F.lit(float(lit))
+        cond = {
+            "<": F.col(col) < c, "<=": F.col(col) <= c,
+            ">": F.col(col) > c, ">=": F.col(col) >= c,
+            "=": F.col(col) == c, "<>": F.col(col) != c,
+        }[op]
+        df = df.filter(cond)
+    return df
+
+
+def _render(spark, plan):
+    """Return (spark_df, duckdb_sql) for one drawn plan."""
+    t, key, num = plan["table"], plan["key"], plan["num"]
+    ids = _TABLES[t]["ids"]
+    base = _apply_filters(load(spark, SF_DIR, t), plan["filters"])
+    where = _where_sql(plan["filters"])
+
+    if plan["shape"] == "project":
+        cols = [*ids[:2], key, num]
+        sdf = base.select(*cols, (F.col(num) * 2 + 1).alias("computed"))
+        sql = (
+            f"SELECT {', '.join(cols)}, {num} * 2 + 1 AS computed FROM {t}{where}"
+        )
+        if plan["distinct"]:
+            sdf = sdf.distinct()
+            sql = sql.replace("SELECT ", "SELECT DISTINCT ", 1)
+        return sdf, sql
+
+    if plan["shape"] == "agg" or t != "orders":
+        sdf = base.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(num).alias("s"),
+            F.min(num).alias("mn"),
+            F.max(num).alias("mx"),
+            davg(num).alias("av"),
+        )
+        sql = f"""
+            SELECT {key}, CAST(count(*) AS BIGINT) AS n, {DSUM(num)} AS s,
+                   min({num}) AS mn, max({num}) AS mx, {DAVG(num)} AS av
+            FROM {t}{where} GROUP BY {key}
+        """
+        return sdf, sql
+
+    # join_agg: orders ⋈ customer, aggregate by market segment
+    cust = load(spark, SF_DIR, "customer")
+    sdf = (
+        base.join(cust, base["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(num).alias("s"))
+    )
+    sql = f"""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, {DSUM(num)} AS s
+        FROM (SELECT * FROM orders{where}) o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """
+    return sdf, sql
+
+
+@given(plan=plans())
+@settings(
+    max_examples=30,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_random_plan_matches_duckdb(spark, ddb, plan):
+    sdf, sql = _render(spark, plan)
+    got = _canon(sdf.toPandas())
+    want = _canon(ddb.execute(sql).df())
+    assert list(got.columns) == list(want.columns), plan
+    assert len(got) == len(want), plan
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6, rtol=0,
+        obj=str(plan),
+    )
