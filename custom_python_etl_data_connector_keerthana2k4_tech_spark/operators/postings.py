@@ -1,0 +1,68 @@
+"""Positional inverted index: postings lists and exact phrase search.
+
+The missing sibling of q196's trigram SUBSTRING search: a positional
+postings table ``(token, doc_id, pos)`` answers exact PHRASE queries
+("w1 w2 w3" with adjacency) by joining the phrase's tokens on
+``(doc_id, pos + offset)`` — the classic IR phrase-query plan, done as
+plain co-partitioned equi-joins.
+
+Scale (100 TB): the postings table is built once (one narrow explode
+scan) and written bucketed/partitioned BY TOKEN, so a phrase query
+reads only its own tokens' lists — the join keys (doc_id, pos) arrive
+pre-grouped per token and never touch the corpus text again. At fixture
+scale the build is inlined into the query; ``phrase_match`` filters the
+explode to the phrase's tokens BEFORE any shuffle, so the joined frames
+are token-sliver-sized either way. Joins are equi-joins on
+``(doc_id, pos)`` — Catalyst picks broadcast for rare tokens.
+
+Reference parity: /root/reference/etl_connector.py has no text or
+search surface at all (SURVEY §0, §2.2) — north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional postings: one row per (token occurrence) —
+    ``token, doc_id, pos`` with 0-based ``pos`` over single-space
+    tokenization (empty tokens from repeated spaces keep their slot so
+    positions stay aligned with the raw split; they never match a real
+    phrase token)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).select("token", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_match(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase occurrences from a positional postings frame.
+
+    Returns ``doc_id, n_matches, first_pos`` for documents containing
+    the tokens of ``phrase`` at strictly consecutive positions. Plan:
+    filter the postings to the phrase's tokens (pushed to the scan),
+    then a semi-join per continuation token on BOTH keys
+    ``(doc_id, anchor_pos)`` — the continuation's position is shifted
+    by its phrase offset before the join, so adjacency IS the equi-join
+    condition (no doc-wide blowup, no post-join filter) and duplicate
+    occurrences can't multiply anchor rows.
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    anchor = (
+        postings.filter(F.col("token") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("token") == tok).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "p0"], "left_semi")
+    return anchor.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )
