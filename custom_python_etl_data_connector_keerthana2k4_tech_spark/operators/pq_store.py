@@ -1,0 +1,230 @@
+"""Persistent IVF-PQ index store: build once, append forever, query with
+directory-pruned ADC scans.
+
+``pq.py``'s query-time recipes train their parameters per call; a real
+vector-search deployment trains ONCE and then keeps the index fresh
+under ingest. This store freezes the trained parameters (k-means
+centroids + PQ codebook) as a JSON sidecar next to the data, encodes
+every vector to ``(id, c0..c{m-1}, cluster)`` — M bytes of payload per
+vector, the PQ memory story — and writes ``partitionBy("cluster")``, so
+a query's ``cluster IN probes`` predicate is DIRECTORY PRUNING: only the
+probed lists' files are ever opened.
+
+Appends (batch or streaming ``foreachBatch``) encode with the SAME
+frozen parameters, so an index grown incrementally is row-identical to
+one built in a single shot — tested in tests/test_pq_store.py. This is
+the standard production contract (FAISS-style: train on a sample,
+add() forever); re-training is an explicit rebuild, never implicit.
+
+Scale (100 TB): encoding is one narrow projection per batch (codes are
+literal-array argmins — JVM codegen, no join, no UDF); the store holds
+M+1 small ints per vector; query cost is |probed lists| × ADC lookups +
+one per-query top-k. Reference parity: the reference has no vector
+surface at all (/root/reference/etl_connector.py, SURVEY §0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
+    _adc_tables,
+    _code_cols,
+    _collect_queries,
+    _lit_long_array,
+    pq_fit_codebook,
+)
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import quantize
+
+_PARAMS_FILE = "_ivfpq_params.json"
+_DATA_DIR = "data"
+
+
+def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
+    """Driver probe selection: left-fold squared-distance chain per
+    centroid (same op order as the distributed assignment), ties toward
+    the lower list index."""
+    probes = []
+    for qr in qrows:
+        ev = [float(x) for x in qr["ev"]]
+        ds = []
+        for ci, c in enumerate(centroids):
+            acc = 0.0
+            for a, b in zip(ev, c):
+                acc += (a - b) * (a - b)
+            ds.append((acc, ci))
+        ds.sort()
+        probes.append([ci for _, ci in ds[:nprobe]])
+    return probes
+
+
+class IVFPQStore:
+    """A directory-backed IVF-PQ index with frozen parameters."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, _PARAMS_FILE)) as f:
+            p = json.load(f)
+        self.centroids: list[list[float]] = p["centroids"]
+        self.codebook: list[list[list[int]]] = p["codebook"]
+        self.m: int = p["m"]
+        self.id_col: str = p["id_col"]
+        self.vec_col: str = p["vec_col"]
+        self.sub: int = len(self.codebook[0][0])
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        n_lists: int = 8,
+        km_iters: int = 3,
+        m: int = 4,
+        k_centroids: int = 8,
+    ) -> "IVFPQStore":
+        """Train coarse quantizer + codebook on ``df``, freeze them, and
+        write the encoded corpus partitioned by list."""
+        _, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
+        codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+        os.makedirs(path, exist_ok=True)
+        params = {
+            "centroids": centroids,
+            "codebook": codebook,
+            "m": m,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        }
+        tmp = os.path.join(path, _PARAMS_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, os.path.join(path, _PARAMS_FILE))
+        store = cls(spark, path)
+        store._encode(df).write.mode("overwrite").partitionBy("cluster").parquet(
+            store._data_path()
+        )
+        return store
+
+    def _data_path(self) -> str:
+        return os.path.join(self.path, _DATA_DIR)
+
+    # -- encode / ingest ----------------------------------------------------
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        """(id, c0..c{m-1}, cluster) under the FROZEN parameters — one
+        narrow projection, no join, no Python in the hot path."""
+        v = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in self.centroids
+            ]
+        )
+        base = df.select(
+            F.col(self.id_col).alias("vid"),
+            quantize(self.vec_col).alias("qv"),
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        return base.select(
+            "vid", *_code_cols(self.codebook, self.m, self.sub), "cluster"
+        )
+
+    def append(self, batch: DataFrame) -> None:
+        """Encode with the frozen parameters and append to the store."""
+        self._encode(batch).write.mode("append").partitionBy("cluster").parquet(
+            self._data_path()
+        )
+
+    def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
+        """Keep the index fresh under a stream of new vectors: each
+        micro-batch is encoded and appended with the frozen parameters
+        (idempotent per epoch via the checkpoint). Returns the started
+        StreamingQuery (caller picks the trigger by convention:
+        availableNow in tests, continuous in production)."""
+        return (
+            stream.writeStream.foreachBatch(lambda b, _eid: self.append(b))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # -- query --------------------------------------------------------------
+
+    def reader(self) -> DataFrame:
+        return self.spark.read.parquet(self._data_path())
+
+    def query(
+        self, queries: DataFrame, nprobe: int = 2, topk: int = 10
+    ) -> DataFrame:
+        """ADC top-k over the probed lists only.
+
+        Returns query_id, neighbor_id, cluster, rank, adc_dist. The
+        ``cluster IN probes`` predicate lands in PartitionFilters
+        (directory pruning — asserted in tests); scoring reads codes
+        only, never vectors. Exact-rerank consumers join the survivor
+        ids back to the raw vector source (O(Q×topk) lookups).
+        """
+        qrows = _collect_queries(queries, self.id_col, self.vec_col)
+        adc_tables = _adc_tables(qrows, self.codebook, self.m, self.sub)
+        probes = _select_probes(qrows, self.centroids, nprobe)
+        probed_all = sorted({c for ps in probes for c in ps})
+
+        coded = self.reader().filter(F.col("cluster").isin(probed_all))
+        adc_cols = [
+            F.when(
+                F.col("cluster").isin([int(c) for c in probes[qi]]),
+                sum(
+                    F.element_at(
+                        _lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1
+                    )
+                    for s in range(self.m)
+                ),
+            ).alias(f"adc{qi}")
+            for qi in range(len(qrows))
+        ]
+        stack_args = ", ".join(
+            f"CAST({int(qr['id'])} AS BIGINT), adc{qi}"
+            for qi, qr in enumerate(qrows)
+        )
+        stacked = coded.select("vid", "cluster", *adc_cols).selectExpr(
+            "vid",
+            "cluster",
+            f"stack({len(qrows)}, {stack_args}) AS (query_id, adc_dist)",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            "adc_dist", F.col("vid")
+        )
+        return (
+            stacked.filter(
+                F.col("adc_dist").isNotNull() & (F.col("vid") != F.col("query_id"))
+            )
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("vid").cast("long").alias("neighbor_id"),
+                F.col("cluster").cast("int").alias("cluster"),
+                "rank",
+                F.col("adc_dist").cast("long").alias("adc_dist"),
+            )
+        )

@@ -1,0 +1,86 @@
+"""IVF-PQ index store (operators/pq_store.py): frozen-parameter
+append-equivalence, directory pruning, and streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+EMB_DDL = "vec_id long, embedding array<float>, label int"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def parts(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e,
+        e.filter(F.col("vec_id") % 5 < 3),
+        e.filter(F.col("vec_id") % 5 == 3),
+        e.filter(F.col("vec_id") % 5 == 4),
+    )
+
+
+def test_incremental_append_equals_one_shot_encode(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(
+        spark, p0, "vec_id", "embedding", str(tmp_path / "idx")
+    )
+    store.append(p1)
+    store.append(p2)
+    # grown store == encoding the whole corpus with the same frozen params
+    assert _rows(store.reader()) == _rows(store._encode(e))
+    # reloading from disk sees the same frozen parameters
+    reloaded = IVFPQStore(spark, str(tmp_path / "idx"))
+    assert reloaded.centroids == store.centroids
+    assert reloaded.codebook == store.codebook
+
+
+def test_query_equals_full_store_query_and_prunes(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    grown = IVFPQStore.build(
+        spark, p0, "vec_id", "embedding", str(tmp_path / "a")
+    )
+    grown.append(p1)
+    grown.append(p2)
+    queries = e.filter(F.col("vec_id") < 3)
+    got = grown.query(queries, nprobe=2, topk=5)
+
+    # one-shot twin: same frozen params (copied sidecar), whole corpus
+    import os, shutil
+
+    os.makedirs(str(tmp_path / "b"), exist_ok=True)
+    shutil.copy(
+        str(tmp_path / "a" / "_ivfpq_params.json"),
+        str(tmp_path / "b" / "_ivfpq_params.json"),
+    )
+    oneshot = IVFPQStore(spark, str(tmp_path / "b"))
+    oneshot._encode(e).write.mode("overwrite").partitionBy("cluster").parquet(
+        oneshot._data_path()
+    )
+    assert _rows(got) == _rows(oneshot.query(queries, nprobe=2, topk=5))
+
+    # the probe predicate must land in PartitionFilters (directory pruning)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "cluster" in scan[: scan.index("]")]
+
+
+def test_streaming_append_keeps_index_fresh(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(
+        spark, p0, "vec_id", "embedding", str(tmp_path / "idx")
+    )
+    src = str(tmp_path / "incoming")
+    p1.unionByName(p2).write.parquet(src)
+    stream = spark.readStream.schema(EMB_DDL).parquet(src)
+    q = store.streaming_append(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert _rows(store.reader()) == _rows(store._encode(e))
