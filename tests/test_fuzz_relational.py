@@ -78,6 +78,9 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
             pdf[c] = pdf[c].round(6)
+        elif pdf[c].dtype == object:
+            # NULL group keys sort consistently on both engines
+            pdf[c] = pdf[c].where(pdf[c].notna(), "~null~")
     return pdf.sort_values(list(pdf.columns), ignore_index=True)
 
 
@@ -125,6 +128,12 @@ def plans(draw):
         "num": num,
         "key": key,
         "distinct": draw(st.booleans()),
+        # join_agg extras: join type and an optional dim-side filter that
+        # manufactures unmatched rows (NULL group keys under LEFT JOIN)
+        "join_how": draw(st.sampled_from(["inner", "left"])),
+        "cust_bal_min": draw(
+            st.one_of(st.none(), st.floats(min_value=-500, max_value=9_000, allow_nan=False))
+        ),
     }
 
 
@@ -187,17 +196,27 @@ def _render(spark, plan):
         """
         return sdf, sql
 
-    # join_agg: orders ⋈ customer, aggregate by market segment
+    # join_agg: orders ⋈ customer, aggregate by market segment. A LEFT
+    # join with a dim-side balance filter manufactures unmatched orders,
+    # so NULL group keys and null-skipping aggregates get fuzzed too.
+    how = plan["join_how"]
+    bal = plan["cust_bal_min"]
     cust = load(spark, SF_DIR, "customer")
+    cust_where = ""
+    if bal is not None:
+        bal = round(bal, 2)
+        cust = cust.filter(F.col("c_acctbal") >= bal)
+        cust_where = f" WHERE c_acctbal >= {bal!r}"
     sdf = (
-        base.join(cust, base["o_custkey"] == cust["c_custkey"])
+        base.join(cust, base["o_custkey"] == cust["c_custkey"], how)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(num).alias("s"))
     )
     sql = f"""
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, {DSUM(num)} AS s
         FROM (SELECT * FROM orders{where}) o
-        JOIN customer c ON o.o_custkey = c.c_custkey
+        {'LEFT ' if how == 'left' else ''}JOIN
+        (SELECT * FROM customer{cust_where}) c ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment
     """
     return sdf, sql
