@@ -168,6 +168,35 @@ class IVFPQStore:
             .start()
         )
 
+    def compact(self) -> None:
+        """Rewrite each inverted list into one file.
+
+        Streaming ingest appends one file batch per micro-batch per
+        touched list — the classic small-file problem: at 100 TB a probe
+        that should read a handful of large row groups instead opens
+        thousands of tiny footers. Compaction reads the store once,
+        repartitions by cluster (each list lands whole in one task, so
+        each list directory rewrites to one file; tasks run list-
+        parallel), and republishes via a same-filesystem directory swap
+        (write to ``data.compact``, retire ``data``) so a crash
+        mid-compact leaves the old data intact — the maintenance verb
+        every append-only store needs (the versioned table's OPTIMIZE,
+        applied to the index)."""
+        import shutil
+
+        data, tmp = self._data_path(), self._data_path() + ".compact"
+        old = self._data_path() + ".old"
+        (
+            self.reader()
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(tmp)
+        )
+        os.rename(data, old)
+        os.rename(tmp, data)
+        shutil.rmtree(old)
+
     # -- query --------------------------------------------------------------
 
     def reader(self) -> DataFrame:

@@ -84,3 +84,27 @@ def test_streaming_append_keeps_index_fresh(spark, parts, tmp_path):
     q = store.streaming_append(stream, str(tmp_path / "ckpt"))
     q.awaitTermination()
     assert _rows(store.reader()) == _rows(store._encode(e))
+
+
+def test_compact_collapses_small_files_preserving_rows(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(
+        spark, p0, "vec_id", "embedding", str(tmp_path / "idx")
+    )
+    # many tiny appends -> many files per list
+    for chunk in (p1, p2):
+        store.append(chunk.repartition(4))
+    import glob
+
+    before = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    rows_before = _rows(store.reader())
+    store.compact()
+    after = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    assert _rows(store.reader()) == rows_before
+    assert len(after) < len(before)
+    # one file per list directory
+    import os as _os
+    per_dir = {}
+    for f in after:
+        per_dir.setdefault(_os.path.dirname(f), []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values())
