@@ -168,6 +168,75 @@ class IVFPQStore:
             .start()
         )
 
+    def _swap_lists(self, tmp: str, clusters: list[int]) -> None:
+        """Swap only the given list directories from ``tmp`` into the
+        store (partition-selective publish: an upsert of 100 vectors
+        rewrites the handful of lists it touches, never the corpus).
+        Per-list renames are atomic; cross-list atomicity is explicitly
+        NOT promised (the FAISS-style maintenance contract — wrap the
+        store in the versioned table when a transaction is required)."""
+        import shutil
+
+        data = self._data_path()
+        for c in clusters:
+            src = os.path.join(tmp, f"cluster={c}")
+            dst = os.path.join(data, f"cluster={c}")
+            old = dst + ".old"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def upsert(self, batch: DataFrame) -> None:
+        """Replace-or-insert vectors by id, rewriting ONLY the touched
+        lists: the lists the new encodings land in plus the lists that
+        currently hold older versions of the same ids."""
+        enc = self._encode(batch).persist()
+        touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
+        prior = (
+            self.reader()
+            .join(enc.select("vid"), "vid", "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        touched |= {int(r["cluster"]) for r in prior.collect()}
+        clusters = sorted(touched)
+        rewritten = (
+            self.reader()
+            .filter(F.col("cluster").isin(clusters))
+            .join(enc.select("vid"), "vid", "left_anti")
+            .unionByName(enc.filter(F.col("cluster").isin(clusters)))
+        )
+        tmp = self._data_path() + ".upsert"
+        rewritten.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+        enc.unpersist()
+        self._swap_lists(tmp, clusters)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Remove vectors by id (a one-column frame of ids), rewriting
+        only the lists that hold them."""
+        vids = ids.toDF("vid")
+        homes = (
+            self.reader()
+            .join(vids, "vid", "left_semi")
+            .select("cluster")
+            .distinct()
+        )
+        clusters = sorted(int(r["cluster"]) for r in homes.collect())
+        if not clusters:
+            return
+        kept = (
+            self.reader()
+            .filter(F.col("cluster").isin(clusters))
+            .join(vids, "vid", "left_anti")
+        )
+        tmp = self._data_path() + ".delete"
+        kept.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+        self._swap_lists(tmp, clusters)
+
     def compact(self) -> None:
         """Rewrite each inverted list into one file.
 

@@ -108,3 +108,48 @@ def test_compact_collapses_small_files_preserving_rows(spark, parts, tmp_path):
     for f in after:
         per_dir.setdefault(_os.path.dirname(f), []).append(f)
     assert all(len(v) == 1 for v in per_dir.values())
+
+
+def test_upsert_replaces_and_inserts_rewriting_touched_lists_only(
+    spark, parts, tmp_path
+):
+    import glob, os as _os
+
+    e, p0, p1, p2 = parts
+    # 16 lists >> the <=5-vector batch: untouched lists are guaranteed
+    store = IVFPQStore.build(
+        spark, p0.unionByName(p1), "vec_id", "embedding", str(tmp_path / "idx"),
+        n_lists=16,
+    )
+    # batch = a few brand-new vectors + replacements for 2 existing ids
+    # (negated embeddings, so replacements may migrate lists)
+    moved = p0.filter(F.col("vec_id") < 2).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    batch = p2.filter(F.col("vec_id") < 20).unionByName(moved)
+    before = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    store.upsert(batch)
+    after = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+
+    expected_src = (
+        p0.unionByName(p1)
+        .join(batch.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(batch)
+    )
+    assert _rows(store.reader()) == _rows(store._encode(expected_src))
+    # untouched lists keep their exact files (partition-selective rewrite)
+    assert before & after, "expected at least one list left untouched"
+
+
+def test_delete_removes_ids_rewriting_touched_lists_only(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", str(tmp_path / "idx")
+    )
+    victims = e.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    store.delete(victims)
+    expected_src = e.join(victims, "vec_id", "left_anti")
+    assert _rows(store.reader()) == _rows(store._encode(expected_src))
+    # deleting already-absent ids is a no-op
+    store.delete(victims)
+    assert _rows(store.reader()) == _rows(store._encode(expected_src))
