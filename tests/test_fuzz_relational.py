@@ -118,7 +118,11 @@ def plans(draw):
     table = draw(st.sampled_from(sorted(_TABLES)))
     spec = _TABLES[table]
     filters = draw(st.lists(_filter(table), min_size=0, max_size=2))
-    shape = draw(st.sampled_from(["project", "agg", "join_agg"]))
+    shape = draw(
+        st.sampled_from(["project", "agg", "join_agg", "window", "setop"])
+    )
+    setop = draw(st.sampled_from(["union_all", "union", "intersect", "except"]))
+    filters2 = draw(st.lists(_filter(table), min_size=1, max_size=2))
     num = draw(st.sampled_from(sorted(spec["nums"])))
     key = draw(st.sampled_from(sorted(spec["keys"])))
     return {
@@ -134,6 +138,8 @@ def plans(draw):
         "cust_bal_min": draw(
             st.one_of(st.none(), st.floats(min_value=-500, max_value=9_000, allow_nan=False))
         ),
+        "setop": setop,
+        "filters2": filters2,
     }
 
 
@@ -180,6 +186,52 @@ def _render(spark, plan):
             sdf = sdf.distinct()
             sql = sql.replace("SELECT ", "SELECT DISTINCT ", 1)
         return sdf, sql
+
+    if plan["shape"] == "window":
+        # rank + lag over a total order (num, unique id) per key group
+        from pyspark.sql import Window
+
+        uid = ids[0]
+        w = Window.partitionBy(key).orderBy(F.col(num), F.col(uid))
+        sdf = base.select(uid, key, num).select(
+            uid, key, num,
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag(num).over(w).alias("lg"),
+            F.sum(num).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("run"),
+        )
+        sql = f"""
+            SELECT {uid}, {key}, {num},
+                   CAST(row_number() OVER win AS BIGINT) AS rn,
+                   lag({num}) OVER win AS lg,
+                   sum({num}) OVER (PARTITION BY {key} ORDER BY {num}, {uid}
+                                    ROWS UNBOUNDED PRECEDING) AS run
+            FROM {t}{where}
+            WINDOW win AS (PARTITION BY {key} ORDER BY {num}, {uid})
+        """
+        return sdf, sql
+
+    if plan["shape"] == "setop":
+        # two filtered variants of the same keyed projection
+        base2 = _apply_filters(load(spark, SF_DIR, t), plan["filters2"])
+        where2 = _where_sql(plan["filters2"])
+        cols = [ids[0], key]
+        l, r = base.select(*cols), base2.select(*cols)
+        op = plan["setop"]
+        sdf = {
+            "union_all": l.unionAll(r),
+            "union": l.union(r).distinct(),
+            "intersect": l.intersect(r),
+            "except": l.exceptAll(r),
+        }[op]
+        kw = {
+            "union_all": "UNION ALL",
+            "union": "UNION",
+            "intersect": "INTERSECT",
+            "except": "EXCEPT ALL",
+        }[op]
+        sel = f"SELECT {', '.join(cols)} FROM {t}"
+        return sdf, f"{sel}{where} {kw} {sel}{where2}"
 
     if plan["shape"] == "agg" or t != "orders":
         sdf = base.groupBy(key).agg(
