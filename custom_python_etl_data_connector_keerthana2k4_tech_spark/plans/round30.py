@@ -78,3 +78,36 @@ def q375_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+@query("q376_postings_store_phrase", oracle=_phrase_oracle())
+def q376_postings_store_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q375's phrase search THROUGH the persistent bucket-partitioned
+    postings store (operators/postings_store.py): the index is built on
+    disk (token-hash-bucket partitioning), and each phrase reads only
+    its own tokens' bucket directories — the bucket IN predicate lands
+    in PartitionFilters (plan-asserted in tests/test_postings_store.py).
+    Same oracle as q375: the on-disk layout must be invisible to
+    results, so any encode/prune/layout fault surfaces as a value
+    mismatch under the driver gate."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q376_postings_") + "/ix"
+    store = PostingsStore.build(
+        spark, docs, "doc_id", "text", root, n_buckets=16
+    )
+    out = None
+    for ph in _PHRASES:
+        hit = store.phrase(ph).select(
+            F.lit(" ".join(ph)).alias("phrase"),
+            "doc_id",
+            "n_matches",
+            "first_pos",
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
