@@ -193,19 +193,29 @@ def _render(spark, plan):
 
         uid = ids[0]
         w = Window.partitionBy(key).orderBy(F.col(num), F.col(uid))
+        # the running sum goes through the decimal pact: DuckDB evaluates
+        # windowed aggregates with a segment tree (different float
+        # association than Spark's sequential fold), so raw-double
+        # cumulative sums drift past 1e-6 at sf0.01 group sizes — the
+        # sf0.01 widened sweep caught exactly this
+        run = (
+            F.sum(F.col(num).cast("decimal(30,10)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+        )
         sdf = base.select(uid, key, num).select(
             uid, key, num,
             F.row_number().over(w).cast("long").alias("rn"),
             F.lag(num).over(w).alias("lg"),
-            F.sum(num).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("run"),
+            run.alias("run"),
         )
         sql = f"""
             SELECT {uid}, {key}, {num},
                    CAST(row_number() OVER win AS BIGINT) AS rn,
                    lag({num}) OVER win AS lg,
-                   sum({num}) OVER (PARTITION BY {key} ORDER BY {num}, {uid}
-                                    ROWS UNBOUNDED PRECEDING) AS run
+                   CAST(sum(CAST({num} AS DECIMAL(30,10)))
+                        OVER (PARTITION BY {key} ORDER BY {num}, {uid}
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run
             FROM {t}{where}
             WINDOW win AS (PARTITION BY {key} ORDER BY {num}, {uid})
         """
