@@ -83,6 +83,7 @@ _INTENTIONAL_BNLJ = {
     "q301_ar1_backtest",  # one-row (phi, mu) fit broadcast into test frame
     "q288_kendall_tau_daily",  # daily-frame pair enumeration (<=365 rows broadcast)
     "q46_cosine_topk",  # tiny query-vector set broadcast against embeddings
+    "q378_retrieval_pipeline",  # same 1-row query-vector broadcast as q46 (cosine_topk rerank leg, operators/similarity.py)
     "q142_bigram_pmi",  # one-row corpus-total broadcast
     "q143_band_lookup",  # 4-row interval band dimension broadcast
     "q151_association_rules",  # one-row basket-total broadcast
