@@ -1527,21 +1527,61 @@ def copurchase_pairs(
     )
 
 
+# Session-scoped materialize-once registry: one persisted frame per
+# semantically-distinct plan, instead of a fresh .persist() per helper
+# invocation (which re-registered an identical plan with the CacheManager
+# on every call — "Asked to cache already cached data" warnings — and let
+# cached edge frames pile up across a 378-query bench session until LRU
+# eviction). Bounded: evicting the oldest entry also unpersists it.
+_MATERIALIZED: "OrderedDict[tuple[int, int], DataFrame]" = __import__(
+    "collections"
+).OrderedDict()
+_MATERIALIZED_CAP = 16
+
+
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Persist `df` exactly once per (session, semantic plan): repeat calls
+    with a semantically-equal plan return the SAME persisted frame, so the
+    CacheManager holds one copy no matter how many query builders ask."""
+    key = (id(df.sparkSession), df.semanticHash())
+    hit = _MATERIALIZED.get(key)
+    if hit is not None:
+        try:
+            if df.sameSemantics(hit) and (
+                hit.storageLevel.useMemory or hit.storageLevel.useDisk
+            ):
+                _MATERIALIZED.move_to_end(key)
+                return hit
+        except Exception:
+            pass  # stale session / evicted entry: fall through and re-persist
+        _MATERIALIZED.pop(key, None)
+    while len(_MATERIALIZED) >= _MATERIALIZED_CAP:
+        _, old = _MATERIALIZED.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # frame belonged to a stopped session
+    _MATERIALIZED[key] = df.persist()
+    return df
+
+
 def copurchase_edges(li: DataFrame, min_orders: int = 1) -> DataFrame:
-    """Distinct oriented (u < v) co-purchase edges, PERSISTED.
+    """Distinct oriented (u < v) co-purchase edges, materialized once.
 
     Every graph-profile consumer (q117 triangles, q149 degrees, q296
     assortativity, q307 rich club) reads the edge frame at least twice —
     once for the degree aggregation and once for an edge join — so the
     basket expansion + pair count is cached instead of recomputed per
-    branch. Callers needing the symmetric list union the reverse
-    projection on top (cheap: reads the cache, no recompute)."""
+    branch, and repeat invocations (across queries and bench iterations)
+    share ONE persisted copy via materialize_once. Callers needing the
+    symmetric list union the reverse projection on top (cheap: reads the
+    cache, no recompute)."""
     e = copurchase_pairs(li)
     if min_orders > 1:
         e = e.filter(F.col("n_orders") >= min_orders)
-    return e.select(
-        F.col("part_a").alias("u"), F.col("part_b").alias("v")
-    ).persist()
+    return materialize_once(
+        e.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+    )
 
 
 def copurchase_und_edges(li: DataFrame) -> DataFrame:

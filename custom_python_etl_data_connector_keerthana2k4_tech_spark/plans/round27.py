@@ -110,8 +110,12 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so count DESC, key ASC is the same ranking). TWO-PHASE scoring
     # keeps the ~100M-key hot aggregate as narrow as possible: phase 1
     # counts wedges per packed key ONLY (a bare 8-byte key + count — no
-    # float column riding every wedge), anti-joins the BROADCAST
-    # adjacency, and takes the top-k via sort-limit; phase 2 recomputes
+    # float column riding every wedge), anti-joins the adjacency on the
+    # SAME pk partitioning the aggregate just produced (a shuffled
+    # left-anti: the edge set is O(E), not constant, so broadcasting it
+    # would be a multi-GB driver broadcast at 100x scale — only the
+    # small edge side reshuffles), and takes the top-k via sort-limit;
+    # phase 2 recomputes
     # the 1/ln(degree) Adamic-Adar weights for just the {k} winners by
     # intersecting their (tiny, broadcast-joined) neighbor arrays.
     # Degree-threshold top-k pruning does NOT apply here: the measured
@@ -119,11 +123,12 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counting of every candidate pair is the honest cost, so the plan
     # optimizes constants (packed keys, one narrow shuffle, broadcast
     # anti, O(k) rescoring).
-    nbrs = (
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import materialize_once
+
+    nbrs = materialize_once(
         und.groupBy("u")
         .agg(F.sort_array(F.collect_set("v")).alias("ns"))
         .withColumn("d", F.size("ns").cast("long"))
-        .persist()
     )
     packed = nbrs.filter(F.col("d") <= _AA_MAX_MID).select(
         F.explode(
@@ -142,7 +147,7 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         packed.groupBy("pk")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-        .join(F.broadcast(oriented_pk), "pk", "left_anti")
+        .join(oriented_pk.hint("shuffle_hash"), "pk", "left_anti")
         .orderBy(F.desc("n_common"), "pk")
         .limit(_AA_TOPK)
         .select(
@@ -164,10 +169,13 @@ def q367_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", "n_common",
         F.explode(F.array_intersect("ns_a", "ns_b")).alias("mid"),
     )
+    # mids is bounded by top-k pairs x the degree cap (<= k*cap rows), so
+    # IT is the broadcast side; the O(V) degree frame streams through the
+    # probe instead of being broadcast (a node-count-sized broadcast would
+    # not survive a 100x scale-up any better than the edge one above).
     return (
-        mids.join(
-            F.broadcast(nbrs.select(F.col("u").alias("mid"), "d")), "mid"
-        )
+        F.broadcast(mids)
+        .join(nbrs.select(F.col("u").alias("mid"), "d"), "mid")
         .filter(F.col("d") <= _AA_MAX_MID)
         .groupBy("a", "b", "n_common")
         .agg(
