@@ -43,6 +43,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors 
 
 _PARAMS_FILE = "_ivfpq_params.json"
 _DATA_DIR = "data"
+_DATA_PTR = "_data_ptr"  # names the live data generation (crash-safe publish)
 
 
 def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
@@ -116,7 +117,48 @@ class IVFPQStore:
         return store
 
     def _data_path(self) -> str:
-        return os.path.join(self.path, _DATA_DIR)
+        """The LIVE data generation, resolved through the pointer file.
+
+        Maintenance verbs (compact/upsert/delete) never mutate the live
+        directory: they build a new generation (``data-0000000N``) and
+        flip the pointer atomically (_publish), versioned.py-style — so a
+        crash at any step leaves the pointer naming a complete directory
+        and the store readable. No pointer file (a freshly built store)
+        means the original ``data`` directory."""
+        ptr = os.path.join(self.path, _DATA_PTR)
+        try:
+            with open(ptr) as f:
+                return os.path.join(self.path, f.read().strip())
+        except OSError:
+            return os.path.join(self.path, _DATA_DIR)
+
+    def _next_data_path(self) -> str:
+        """Target directory for the next data generation; sweeps a
+        half-built leftover of the same name from an earlier crash."""
+        import shutil
+
+        cur = os.path.basename(self._data_path())
+        gen = int(cur.rsplit("-", 1)[1]) if "-" in cur else 0
+        new = os.path.join(self.path, f"{_DATA_DIR}-{gen + 1:08d}")
+        shutil.rmtree(new, ignore_errors=True)
+        return new
+
+    def _publish(self, new_data: str) -> None:
+        """Atomically flip the live-data pointer to ``new_data`` (the
+        commit point is one os.replace of the pointer file), then retire
+        the previous generation. Readers planned before the flip may race
+        the retire — single-maintainer contract, same as _swap_lists'
+        documented non-promise."""
+        import shutil
+
+        old = self._data_path()
+        ptr = os.path.join(self.path, _DATA_PTR)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(new_data))
+        os.replace(tmp, ptr)
+        if os.path.abspath(old) != os.path.abspath(new_data):
+            shutil.rmtree(old, ignore_errors=True)
 
     # -- encode / ingest ----------------------------------------------------
 
@@ -169,25 +211,37 @@ class IVFPQStore:
         )
 
     def _swap_lists(self, tmp: str, clusters: list[int]) -> None:
-        """Swap only the given list directories from ``tmp`` into the
-        store (partition-selective publish: an upsert of 100 vectors
-        rewrites the handful of lists it touches, never the corpus).
-        Per-list renames are atomic; cross-list atomicity is explicitly
-        NOT promised (the FAISS-style maintenance contract — wrap the
-        store in the versioned table when a transaction is required)."""
+        """Publish a partition-selective rewrite (an upsert of 100 vectors
+        rewrites the handful of lists it touches, never the corpus): a NEW
+        data generation takes the rewritten lists from ``tmp`` and
+        HARDLINKS every untouched list's files from the live generation
+        (no bytes copied), then the pointer flips atomically (_publish).
+        The live directory is never mutated, so a crash at any step
+        leaves the store fully readable under the old pointer, and no
+        transient ``cluster=N.old`` dirs ever appear under a live path
+        for hive partition discovery to misparse; a defunct half-built
+        generation is swept by the next maintenance call. Concurrent
+        maintenance is explicitly NOT supported (the FAISS-style
+        single-maintainer contract — wrap the store in the versioned
+        table when a transaction is required)."""
         import shutil
 
         data = self._data_path()
-        for c in clusters:
-            src = os.path.join(tmp, f"cluster={c}")
-            dst = os.path.join(data, f"cluster={c}")
-            old = dst + ".old"
-            if os.path.exists(dst):
-                os.rename(dst, old)
+        new = self._next_data_path()
+        os.makedirs(new)
+        touched = {f"cluster={c}" for c in clusters}
+        for name in os.listdir(data):
+            src = os.path.join(data, name)
+            if name in touched or not os.path.isdir(src):
+                continue
+            os.makedirs(os.path.join(new, name))
+            for f in os.listdir(src):
+                os.link(os.path.join(src, f), os.path.join(new, name, f))
+        for name in sorted(touched):
+            src = os.path.join(tmp, name)
             if os.path.exists(src):
-                os.rename(src, dst)
-            if os.path.exists(old):
-                shutil.rmtree(old)
+                os.rename(src, os.path.join(new, name))
+        self._publish(new)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(self, batch: DataFrame) -> None:
@@ -246,25 +300,20 @@ class IVFPQStore:
         thousands of tiny footers. Compaction reads the store once,
         repartitions by cluster (each list lands whole in one task, so
         each list directory rewrites to one file; tasks run list-
-        parallel), and republishes via a same-filesystem directory swap
-        (write to ``data.compact``, retire ``data``) so a crash
-        mid-compact leaves the old data intact — the maintenance verb
-        every append-only store needs (the versioned table's OPTIMIZE,
-        applied to the index)."""
-        import shutil
-
-        data, tmp = self._data_path(), self._data_path() + ".compact"
-        old = self._data_path() + ".old"
+        parallel), and republishes as a new data generation behind the
+        atomic pointer flip (_publish) — a crash at ANY point leaves the
+        pointer naming a complete directory, never a store with no data
+        dir. The maintenance verb every append-only store needs (the
+        versioned table's OPTIMIZE, applied to the index)."""
+        new = self._next_data_path()
         (
             self.reader()
             .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(tmp)
+            .parquet(new)
         )
-        os.rename(data, old)
-        os.rename(tmp, data)
-        shutil.rmtree(old)
+        self._publish(new)
 
     # -- query --------------------------------------------------------------
 

@@ -90,8 +90,13 @@ def _rank_value_bisect(
         if n <= collect_limit:
             return float(sorted(r[0] for r in cur.select(col).collect())[rk])
         mid = (float(mn) + float(mx)) / 2.0
-        if mid <= float(mn):
-            # adjacent doubles: split {mn} | (mn, mx]
+        if mid <= float(mn) or mid >= float(mx):
+            # adjacent doubles: the arithmetic midpoint rounds to one of the
+            # endpoints (either direction under ties-to-even — e.g.
+            # mn=1+2^-52, mx=1+2^-51 rounds UP to mx, where a mid==mx split
+            # would never shrink the range and the loop would spin Spark
+            # jobs forever). Split {mn} | (mn, mx] instead: both sides are
+            # nonempty because mn < mx, so every step makes progress.
             mid = float(mn)
         n_low = cur.filter(F.col(col) <= mid).count()
         if rk < n_low:

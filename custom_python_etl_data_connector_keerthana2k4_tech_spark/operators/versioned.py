@@ -714,7 +714,10 @@ def rollback(spark: SparkSession, root: str, version: int) -> int:
         "data": m["data"],  # shares the immutable data dir(s)
         "rollback_of": version,
     }
-    for field in ("n_rows", "partition_by", "partitions"):
+    # stats/stats_cols MUST carry over: versioned_upsert inherits the
+    # zone-map config from the PARENT manifest, so dropping them here would
+    # silently stop zone-map maintenance for every upsert after a rollback.
+    for field in ("n_rows", "partition_by", "partitions", "stats", "stats_cols"):
         if field in m:
             manifest[field] = m[field]
     if not _create_exclusive(
@@ -731,16 +734,23 @@ def rollback(spark: SparkSession, root: str, version: int) -> int:
 
 
 def vacuum_versioned(
-    spark: SparkSession, root: str, keep_last: int = 2
+    spark: SparkSession, root: str, keep_last: int = 2,
+    grace_seconds: float = 600.0,
 ) -> list[int]:
     """Delete data directories not referenced by the newest ``keep_last``
     versions (rollbacks share dirs — a dir survives while ANY retained
     version references it). Also sweeps CONCURRENCY ORPHANS: directories
     written by writers that lost the manifest race or crashed pre-commit,
     identified as unreferenced dirs whose claimed version number is
-    already committed (an in-flight writer always targets a HIGHER
-    number, so it is never swept). Manifests are kept for lineage.
-    Returns the versions whose storage was reclaimed."""
+    already committed AND whose modification time is older than
+    ``grace_seconds``. The age guard matters: a writer that read parent n
+    while a concurrent writer commits n+1 is MID-WRITE to a dir claiming
+    n+1 <= max_committed — sweeping it under the running job would turn
+    the expected ConcurrentWriteError at commit time into an arbitrary
+    task failure. Within the grace window such a writer either commits
+    (dir becomes referenced) or loses the manifest race (dir goes quiet
+    and ages past the window for the next vacuum). Manifests are kept for
+    lineage. Returns the versions whose storage was reclaimed."""
     all_versions = versions(spark, root)
     if not all_versions:
         return []
@@ -764,6 +774,7 @@ def vacuum_versioned(
         referenced.add(m["data"])
         referenced.update(m.get("partitions", {}).values())
     max_committed = all_versions[-1]["version"]
+    now_ms = __import__("time").time() * 1000.0
     ddir = jvm.org.apache.hadoop.fs.Path(f"{root}/data")
     if fs.exists(ddir):
         for status in fs.listStatus(ddir):
@@ -774,7 +785,8 @@ def vacuum_versioned(
                 claimed = int(name[1:9])
             except ValueError:
                 continue
-            if claimed <= max_committed:
+            fresh = now_ms - status.getModificationTime() < grace_seconds * 1000.0
+            if claimed <= max_committed and not fresh:
                 fs.delete(status.getPath(), True)
     return reclaimed
 

@@ -99,7 +99,10 @@ def test_compact_collapses_small_files_preserving_rows(spark, parts, tmp_path):
     before = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
     rows_before = _rows(store.reader())
     store.compact()
-    after = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    # compaction publishes a NEW data generation behind the pointer file;
+    # the pre-compact directory is retired
+    assert store._data_path() != str(tmp_path / "idx" / "data")
+    after = set(glob.glob(store._data_path() + "/*/*.parquet"))
     assert _rows(store.reader()) == rows_before
     assert len(after) < len(before)
     # one file per list directory
@@ -127,9 +130,15 @@ def test_upsert_replaces_and_inserts_rewriting_touched_lists_only(
         "embedding", F.transform("embedding", lambda x: -x)
     )
     batch = p2.filter(F.col("vec_id") < 20).unionByName(moved)
-    before = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    before = {
+        _os.stat(f).st_ino
+        for f in glob.glob(store._data_path() + "/*/*.parquet")
+    }
     store.upsert(batch)
-    after = set(glob.glob(str(tmp_path / "idx" / "data" / "*/*.parquet")))
+    after = {
+        _os.stat(f).st_ino
+        for f in glob.glob(store._data_path() + "/*/*.parquet")
+    }
 
     expected_src = (
         p0.unionByName(p1)
@@ -137,8 +146,34 @@ def test_upsert_replaces_and_inserts_rewriting_touched_lists_only(
         .unionByName(batch)
     )
     assert _rows(store.reader()) == _rows(store._encode(expected_src))
-    # untouched lists keep their exact files (partition-selective rewrite)
+    # untouched lists carry over as HARDLINKS into the new generation
+    # (same inodes — partition-selective rewrite, no bytes copied)
     assert before & after, "expected at least one list left untouched"
+
+
+def test_publish_is_crash_safe(spark, parts, tmp_path):
+    """A half-built next generation (a crash before the pointer flip)
+    never affects readers, and the next maintenance pass sweeps it and
+    publishes cleanly over the same name."""
+    import os as _os
+
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(spark, p0, "vec_id", "embedding", str(tmp_path / "idx"))
+    rows = _rows(store.reader())
+    # simulate a compact that crashed after writing half a generation
+    junk = _os.path.join(str(tmp_path / "idx"), "data-00000001")
+    _os.makedirs(_os.path.join(junk, "cluster=0"))
+    with open(_os.path.join(junk, "cluster=0", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    # pointer still names the complete original dir: reads are unaffected
+    assert store._data_path().endswith("/data")
+    assert _rows(store.reader()) == rows
+    # next compact sweeps the leftover and publishes atomically
+    store.compact()
+    assert store._data_path().endswith("data-00000001")
+    assert _rows(store.reader()) == rows
+    # a reloaded handle resolves the same pointer
+    assert _rows(IVFPQStore(spark, str(tmp_path / "idx")).reader()) == rows
 
 
 def test_delete_removes_ids_rewriting_touched_lists_only(spark, parts, tmp_path):

@@ -73,6 +73,26 @@ def test_bisect_path_exact(spark):
     assert _rank_value_bisect(df, "v", 999, 10) == 1000.0
 
 
+def test_bisect_adjacent_doubles_midpoint_rounds_up(spark):
+    """Two ADJACENT doubles whose arithmetic midpoint rounds UP to the max
+    under ties-to-even (mn=1+2^-52, mx=1+2^-51), with more duplicates than
+    collect_limit: without the symmetric mid>=mx guard the bisection never
+    shrinks the candidate range and spins Spark jobs forever."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import (
+        _rank_value_bisect,
+    )
+
+    mn = 1.0 + 2.0**-52
+    mx = 1.0 + 2.0**-51
+    assert (mn + mx) / 2.0 == mx  # the adversarial rounding premise
+    rows = [(mn,)] * 30 + [(mx,)] * 30
+    df = spark.createDataFrame(rows, "v double")
+    assert _rank_value_bisect(df, "v", 0, 10) == mn
+    assert _rank_value_bisect(df, "v", 29, 10) == mn
+    assert _rank_value_bisect(df, "v", 30, 10) == mx
+    assert _rank_value_bisect(df, "v", 59, 10) == mx
+
+
 def test_degenerate_many_distinct_in_ulp_range(spark):
     """Ulp-dense distinct values (> collect_limit of them) inside a
     degenerate range: the bisection path must return exact quantiles."""

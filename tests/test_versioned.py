@@ -261,9 +261,14 @@ def test_vacuum_sweeps_loser_orphans(spark, tmp_path):
     inflight = tmp_path / "t" / "data" / "v00000003-cafef00d"
     os.makedirs(loser)
     os.makedirs(inflight)
+    # default grace window: a FRESH dir claiming a committed version may be
+    # a concurrent writer mid-write that read parent n just before someone
+    # else committed n+1 — never swept while younger than the grace window
     vacuum_versioned(spark, root, keep_last=2)
-    assert not loser.exists()  # orphan of an already-committed version
-    assert inflight.exists()  # in-flight writer, never swept
+    assert loser.exists()
+    vacuum_versioned(spark, root, keep_last=2, grace_seconds=0.0)
+    assert not loser.exists()  # past grace: orphan of a committed version
+    assert inflight.exists()  # claims an uncommitted version, never swept
     assert _state(spark, root) == {"a": "v2"}
 
 
@@ -417,6 +422,40 @@ def test_zone_map_stats_and_pruned_read(spark, tmp_path):
 
     versioned_delete(spark, root, "ts = 500")
     assert versions(spark, root)[-1]["stats"]["d3"]["ts"] == [200, 200]
+
+
+def test_zone_maps_survive_rollback(spark, tmp_path):
+    """rollback() must carry stats/stats_cols into the republished
+    manifest: versioned_upsert inherits the zone-map config from the
+    PARENT manifest, so dropping them would silently stop zone-map
+    maintenance for every upsert after a rollback."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import prune_report
+
+    root = str(tmp_path / "t")
+    versioned_upsert(
+        spark,
+        _pdf(spark, [("a", "v1", 10, "d1"), ("c", "x1", 100, "d2")]),
+        root, "k", ["ts"], partition_by="day", stats_cols=["ts"],
+    )
+    versioned_upsert(
+        spark, _pdf(spark, [("b", "w2", 20, "d1")]), root, "k", ["ts"],
+        partition_by="day",
+    )
+    v3 = rollback(spark, root, 1)
+    m3 = versions(spark, root)[-1]
+    assert m3["stats_cols"] == ["ts"]
+    assert m3["stats"]["d1"]["ts"] == [10, 10]  # v1's zone maps, not v2's
+    # an upsert AFTER the rollback still maintains zone maps (inherited)
+    versioned_upsert(
+        spark, _pdf(spark, [("e", "z1", 500, "d3")]), root, "k", ["ts"],
+        partition_by="day",
+    )
+    m4 = versions(spark, root)[-1]
+    assert m4["stats_cols"] == ["ts"]
+    assert m4["stats"]["d3"]["ts"] == [500, 500]
+    kept, skipped = prune_report(spark, root, {"ts": (400, 600)})
+    assert "d3" in kept and "d1" in skipped
+    assert v3 == 3
 
 
 def test_zone_map_unpartitioned_whole_table_skip(spark, tmp_path):
