@@ -31,8 +31,14 @@ Scale notes (100 TB):
 - Encoding is one narrow projection over the table: no explode, no join;
   whole-stage codegen over fixed-width integer folds.
 - The per-query top-k shuffles only (id, query_id, adc) triples —
-  partitionBy(query_id) with Q partitions; for huge Q shard queries into
-  batches (the cosine_topk contract).
+  partitionBy(query_id) with Q partitions. Queries are SHARDED into
+  fixed-size batches (``query_batch``, default 64): each batch gets its
+  own bounded projection + stack + top-k branch and the branches union,
+  so projection width, stack arity, codegen unit size, and the exact-
+  audit CASE depth are all O(batch), never O(Q) — a 10^4-query workload
+  compiles the same plan shapes as a 10-query one, just more branches.
+  Per-query results are independent, so the union over disjoint batches
+  is row-identical to the unsharded plan (tests pin this).
 - Exact rerank touches only the surviving top-k rows (narrow second
   projection, no second scan: it rides the same frame).
 """
@@ -150,34 +156,17 @@ def _exact_dist_col(qrows):
     return exact
 
 
-def pq_topk(
-    df: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
-    m: int = 4,
-    k_centroids: int = 8,
-    topk: int = 10,
+def _batches(seq: list, size: int):
+    """Consecutive slices of ``seq`` of at most ``size`` items."""
+    return [seq[lo : lo + size] for lo in range(0, len(seq), max(1, size))]
+
+
+def _rank_pq_batch(
+    coded: DataFrame, qrows, adc_tables, m: int, topk: int
 ) -> DataFrame:
-    """ADC top-k: encode every row as M centroid codes, score each
-    (query, row) pair by summing the query's precomputed per-subspace
-    distances to the row's assigned centroids, keep the ``topk`` smallest
-    per query (ties by neighbor id), and attach the exact full-dimension
-    distance of each survivor for audit.
-
-    Returns: query_id, neighbor_id, rank, adc_dist, exact_dist.
-    """
-    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
-    sub = len(codebook[0][0])
-
-    qrows = _collect_queries(queries, id_col, vec_col)
-    adc_tables = _adc_tables(qrows, codebook, m, sub)
-
-    base = df.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv"))
-    coded = base.select("neighbor_id", "qv", *_code_cols(codebook, m, sub))
-
-    # One adc column per query (array lookup by code), then stack so a
-    # single scan serves every query.
+    """One query-batch branch of the ADC top-k: bounded-width projection
+    (one adc column per batch query, array lookup by code), one stack so
+    a single scan serves the batch, one per-query top-k."""
     adc_cols = [
         sum(
             F.element_at(_lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1)
@@ -201,7 +190,7 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
     )
 
-    # Exact audit distance only for survivors (Q x topk rows).
+    # Exact audit distance only for survivors (batch x topk rows).
     return ranked.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -209,6 +198,50 @@ def pq_topk(
         F.col("adc_dist").cast("long").alias("adc_dist"),
         _exact_dist_col(qrows).cast("long").alias("exact_dist"),
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k_centroids: int = 8,
+    topk: int = 10,
+    query_batch: int = 64,
+) -> DataFrame:
+    """ADC top-k: encode every row as M centroid codes, score each
+    (query, row) pair by summing the query's precomputed per-subspace
+    distances to the row's assigned centroids, keep the ``topk`` smallest
+    per query (ties by neighbor id), and attach the exact full-dimension
+    distance of each survivor for audit.
+
+    Queries are sharded into ``query_batch``-sized branches that union
+    (see module header): every plan shape stays O(query_batch) wide no
+    matter how many queries arrive, and the result is row-identical to
+    the unsharded plan because per-query top-ks are independent.
+
+    Returns: query_id, neighbor_id, rank, adc_dist, exact_dist.
+    """
+    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+    sub = len(codebook[0][0])
+
+    qrows = _collect_queries(queries, id_col, vec_col)
+    adc_tables = _adc_tables(qrows, codebook, m, sub)
+
+    base = df.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv"))
+    coded = base.select("neighbor_id", "qv", *_code_cols(codebook, m, sub))
+
+    parts = [
+        _rank_pq_batch(coded, qb, tb, m, topk)
+        for qb, tb in zip(
+            _batches(qrows, query_batch), _batches(adc_tables, query_batch)
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ivfpq_topk(
@@ -222,6 +255,7 @@ def ivfpq_topk(
     m: int = 4,
     k_centroids: int = 8,
     topk: int = 10,
+    query_batch: int = 64,
 ) -> DataFrame:
     """IVF-PQ: the full classic vector-search recipe. A deterministic
     k-means coarse quantizer (operators/kmeans — decimal-exact updates)
@@ -273,9 +307,31 @@ def ivfpq_topk(
         "cluster",
     ).select("neighbor_id", "qv", "cluster", *_code_cols(codebook, m, sub))
 
-    # Per-query ADC column, NULL outside the query's probed lists — the
-    # stack then drops unprobed candidates (IS NOT NULL), so each query
-    # scores only ~nprobe/n_lists of the corpus.
+    parts = [
+        _rank_ivfpq_batch(coded, qb, tb, pb, m, topk)
+        for qb, tb, pb in zip(
+            _batches(qrows, query_batch),
+            _batches(adc_tables, query_batch),
+            _batches(probes, query_batch),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _rank_ivfpq_batch(
+    coded: DataFrame, qrows, adc_tables, probes, m: int, topk: int
+) -> DataFrame:
+    """One query-batch branch of the IVF-PQ top-k. Candidates outside the
+    BATCH's probed lists are filtered before scoring (at 100 TB, with the
+    index written partitionBy(cluster), that filter is directory pruning
+    per branch); per-query ADC columns are NULL outside the query's own
+    probed lists and the stack drops them (IS NOT NULL), so each query
+    scores only ~nprobe/n_lists of the corpus."""
+    batch_lists = sorted({int(c) for ps in probes for c in ps})
+    gated = coded.filter(F.col("cluster").isin(batch_lists))
     adc_cols = [
         F.when(
             F.col("cluster").isin([int(c) for c in probes[qi]]),
@@ -289,7 +345,7 @@ def ivfpq_topk(
     stack_args = ", ".join(
         f"CAST({int(qr['id'])} AS BIGINT), adc{qi}" for qi, qr in enumerate(qrows)
     )
-    stacked = coded.select("neighbor_id", "qv", "cluster", *adc_cols).selectExpr(
+    stacked = gated.select("neighbor_id", "qv", "cluster", *adc_cols).selectExpr(
         "neighbor_id",
         "qv",
         "cluster",

@@ -321,21 +321,44 @@ class IVFPQStore:
         return self.spark.read.parquet(self._data_path())
 
     def query(
-        self, queries: DataFrame, nprobe: int = 2, topk: int = 10
+        self, queries: DataFrame, nprobe: int = 2, topk: int = 10,
+        query_batch: int = 64,
     ) -> DataFrame:
         """ADC top-k over the probed lists only.
 
         Returns query_id, neighbor_id, cluster, rank, adc_dist. The
         ``cluster IN probes`` predicate lands in PartitionFilters
         (directory pruning — asserted in tests); scoring reads codes
-        only, never vectors. Exact-rerank consumers join the survivor
-        ids back to the raw vector source (O(Q×topk) lookups).
+        only, never vectors. Queries shard into ``query_batch``-sized
+        union branches (the pq.py contract): plan width, stack arity,
+        and each branch's probed-directory set stay O(batch) no matter
+        how many queries arrive, and per-query independence makes the
+        union row-identical to the unsharded plan. Exact-rerank
+        consumers join the survivor ids back to the raw vector source
+        (O(Q×topk) lookups).
         """
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import _batches
+
         qrows = _collect_queries(queries, self.id_col, self.vec_col)
         adc_tables = _adc_tables(qrows, self.codebook, self.m, self.sub)
         probes = _select_probes(qrows, self.centroids, nprobe)
-        probed_all = sorted({c for ps in probes for c in ps})
 
+        parts = [
+            self._query_batch(qb, tb, pb, topk)
+            for qb, tb, pb in zip(
+                _batches(qrows, query_batch),
+                _batches(adc_tables, query_batch),
+                _batches(probes, query_batch),
+            )
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _query_batch(self, qrows, adc_tables, probes, topk: int) -> DataFrame:
+        """One query-batch branch: scan only the batch's probed lists."""
+        probed_all = sorted({c for ps in probes for c in ps})
         coded = self.reader().filter(F.col("cluster").isin(probed_all))
         adc_cols = [
             F.when(
