@@ -24,27 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dist_sq(vec: F.Column, centroid: list[float]) -> F.Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _sql_dist_sq(vec_sql: str, centroid: list[float]) -> str:
+    """Squared L2 between a double-array expression and a literal centroid,
+    as SQL text: repr(x)+'D' round-trips every double bit-exactly (incl.
+    denormals and -0.0, checked in tests), and one JVM parse replaces a
+    py4j round trip per float — with k x dim literals the Column-builder
+    path was pure driver-side plan-construction time."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
 
 
 def assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Add ``cluster`` (int, argmin of squared distance, first-match tie
     break) and ``dist_sq`` (double) columns; no shuffle."""
+    cols = list(df.columns)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = F.array(*[_dist_sq(v, c) for c in centroids])
-    return df.withColumn("__dists", dists).select(
-        "*",
-        (F.array_position(F.col("__dists"), F.array_min("__dists")) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min("__dists").alias("dist_sq"),
-    ).drop("__dists")
+    dists = "array(" + ",".join(_sql_dist_sq("__ev", c) for c in centroids) + ")"
+    return (
+        df.withColumn("__ev", v)
+        .selectExpr("*", f"{dists} AS __dists")
+        .selectExpr(
+            *cols,
+            "CAST(array_position(__dists, array_min(__dists)) - 1 AS INT)"
+            " AS cluster",
+            "array_min(__dists) AS dist_sq",
+        )
+    )
 
 
 def kmeans(

@@ -56,13 +56,24 @@ def _lit_long_array(vals: list[int]):
     return F.array(*[F.lit(int(v)).cast("long") for v in vals])
 
 
-def _sq_l2_to_lit(sub_col, centroid: list[int]):
-    """Exact BIGINT squared L2 between a quantized subvector column and a
-    literal centroid (JVM-side fold, no UDF)."""
-    return F.aggregate(
-        F.zip_with(sub_col, _lit_long_array(centroid), lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+# Literal-heavy expressions (codebook centroids, ADC tables, exact-audit
+# vectors) are rendered as SQL TEXT and parsed JVM-side in one call: the
+# equivalent Column-builder path costs one py4j round trip per literal —
+# thousands per plan — and dominated wall time as pure driver-side plan
+# construction (~4 s per ivfpq_topk build at M=4, K=8, dim=64). The parsed
+# plans are identical; only the construction path changes.
+
+
+def _sql_long_array(vals) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _sql_sq_l2(sub_sql: str, centroid) -> str:
+    """Exact BIGINT squared L2 between a quantized subvector expression
+    and a literal centroid (JVM-side fold, no UDF)."""
+    return (
+        f"aggregate(zip_with({sub_sql}, {_sql_long_array(centroid)}, "
+        f"(x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
     )
 
 
@@ -126,34 +137,35 @@ def _adc_tables(qrows, codebook, m: int, sub: int) -> list:
     ]
 
 
-def _code_cols(codebook, m: int, sub: int) -> list:
-    """codes[s]: argmin over centroids (first occurrence = smallest j)."""
-    cols = []
-    for s in range(m):
-        sub_col = F.slice(F.col("qv"), s * sub + 1, sub)
-        dists = F.array(*[_sq_l2_to_lit(sub_col, c) for c in codebook[s]])
-        cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{s}")
+def with_code_cols(df: DataFrame, codebook, m: int, sub: int) -> DataFrame:
+    """Append ``c0..c{m-1}`` code columns to a frame carrying a quantized
+    ``qv`` column: per subspace, argmin of squared L2 over the centroids
+    (first occurrence = smallest j). Two selectExprs: distances land in a
+    ``__d{s}`` array column, codes derive from it, the temp drops."""
+    dist_exprs = [
+        "array("
+        + ",".join(
+            _sql_sq_l2(f"slice(qv, {s * sub + 1}, {sub})", c) for c in codebook[s]
         )
-    return cols
+        + f") AS __d{s}"
+        for s in range(m)
+    ]
+    code_exprs = [
+        f"CAST(array_position(__d{s}, array_min(__d{s})) - 1 AS INT) AS c{s}"
+        for s in range(m)
+    ]
+    cols = list(df.columns)
+    return df.selectExpr("*", *dist_exprs).selectExpr(*cols, *code_exprs)
 
 
-def _exact_dist_col(qrows):
+def _sql_exact_dist(qrows) -> str:
     """Exact full-dimension squared L2 to the matching query (CASE chain)."""
-    exact = None
-    for qr in qrows:
-        d = F.aggregate(
-            F.zip_with(
-                F.col("qv"),
-                _lit_long_array([int(x) for x in qr["qv"]]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        branch = (F.col("query_id") == int(qr["id"]), d)
-        exact = F.when(*branch) if exact is None else exact.when(*branch)
-    return exact
+    branches = " ".join(
+        f"WHEN {int(qr['id'])} THEN "
+        + _sql_sq_l2("qv", [int(x) for x in qr["qv"]])
+        for qr in qrows
+    )
+    return f"CASE query_id {branches} END"
 
 
 def _batches(seq: list, size: int):
@@ -167,17 +179,19 @@ def _rank_pq_batch(
     """One query-batch branch of the ADC top-k: bounded-width projection
     (one adc column per batch query, array lookup by code), one stack so
     a single scan serves the batch, one per-query top-k."""
-    adc_cols = [
-        sum(
-            F.element_at(_lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1)
+    adc_exprs = [
+        "("
+        + " + ".join(
+            f"element_at({_sql_long_array(adc_tables[qi][s])}, c{s} + 1)"
             for s in range(m)
-        ).alias(f"adc{qi}")
+        )
+        + f") AS adc{qi}"
         for qi in range(len(qrows))
     ]
     stack_args = ", ".join(
         f"CAST({int(qr['id'])} AS BIGINT), adc{qi}" for qi, qr in enumerate(qrows)
     )
-    stacked = coded.select("neighbor_id", "qv", *adc_cols).selectExpr(
+    stacked = coded.selectExpr("neighbor_id", "qv", *adc_exprs).selectExpr(
         "neighbor_id",
         "qv",
         f"stack({len(qrows)}, {stack_args}) AS (query_id, adc_dist)",
@@ -196,7 +210,7 @@ def _rank_pq_batch(
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "rank",
         F.col("adc_dist").cast("long").alias("adc_dist"),
-        _exact_dist_col(qrows).cast("long").alias("exact_dist"),
+        F.expr(_sql_exact_dist(qrows)).cast("long").alias("exact_dist"),
     )
 
 
@@ -209,6 +223,7 @@ def pq_topk(
     k_centroids: int = 8,
     topk: int = 10,
     query_batch: int = 64,
+    codebook: list | None = None,
 ) -> DataFrame:
     """ADC top-k: encode every row as M centroid codes, score each
     (query, row) pair by summing the query's precomputed per-subspace
@@ -221,16 +236,22 @@ def pq_topk(
     matter how many queries arrive, and the result is row-identical to
     the unsharded plan because per-query top-ks are independent.
 
+    ``codebook`` takes a pre-trained codebook (``pq_fit_codebook``'s
+    shape) so callers sharing one corpus train once — the FAISS-style
+    train-on-a-sample/search-forever contract; training is deterministic,
+    so a passed-in codebook is identical to the one this call would fit.
+
     Returns: query_id, neighbor_id, rank, adc_dist, exact_dist.
     """
-    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+    if codebook is None:
+        codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
     sub = len(codebook[0][0])
 
     qrows = _collect_queries(queries, id_col, vec_col)
     adc_tables = _adc_tables(qrows, codebook, m, sub)
 
     base = df.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv"))
-    coded = base.select("neighbor_id", "qv", *_code_cols(codebook, m, sub))
+    coded = with_code_cols(base, codebook, m, sub)
 
     parts = [
         _rank_pq_batch(coded, qb, tb, m, topk)
@@ -256,6 +277,8 @@ def ivfpq_topk(
     k_centroids: int = 8,
     topk: int = 10,
     query_batch: int = 64,
+    centroids: list | None = None,
+    codebook: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full classic vector-search recipe. A deterministic
     k-means coarse quantizer (operators/kmeans — decimal-exact updates)
@@ -275,12 +298,21 @@ def ivfpq_topk(
     ``partitionBy("cluster")`` and the ``cluster IN probes`` gate becomes
     directory pruning (the ivf_build contract, operators/ivf.py).
 
+    ``centroids`` / ``codebook`` take pre-trained parameters (the exact
+    shapes ``kmeans`` / ``pq_fit_codebook`` return) so callers sharing a
+    corpus train ONCE and search many times — training is deterministic,
+    so passed-in parameters are identical to what this call would fit.
+
     Returns: query_id, neighbor_id, cluster, rank, adc_dist, exact_dist.
     """
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import assign, kmeans
 
-    assigned, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
-    codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+    if centroids is None:
+        assigned, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
+    else:
+        assigned = assign(df, vec_col, centroids)
+    if codebook is None:
+        codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
     sub = len(codebook[0][0])
 
     qrows = _collect_queries(queries, id_col, vec_col)
@@ -301,11 +333,14 @@ def ivfpq_topk(
         ds.sort()
         probes.append([ci for _, ci in ds[:nprobe]])
 
-    coded = assigned.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(vec_col).alias("qv"),
-        "cluster",
-    ).select("neighbor_id", "qv", "cluster", *_code_cols(codebook, m, sub))
+    coded = with_code_cols(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(vec_col).alias("qv"),
+            "cluster",
+        ),
+        codebook, m, sub,
+    )
 
     parts = [
         _rank_ivfpq_batch(coded, qb, tb, pb, m, topk)
@@ -332,20 +367,21 @@ def _rank_ivfpq_batch(
     scores only ~nprobe/n_lists of the corpus."""
     batch_lists = sorted({int(c) for ps in probes for c in ps})
     gated = coded.filter(F.col("cluster").isin(batch_lists))
-    adc_cols = [
-        F.when(
-            F.col("cluster").isin([int(c) for c in probes[qi]]),
-            sum(
-                F.element_at(_lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1)
-                for s in range(m)
-            ),
-        ).alias(f"adc{qi}")
+    adc_exprs = [
+        f"CASE WHEN cluster IN ({','.join(str(int(c)) for c in probes[qi])}) THEN ("
+        + " + ".join(
+            f"element_at({_sql_long_array(adc_tables[qi][s])}, c{s} + 1)"
+            for s in range(m)
+        )
+        + f") END AS adc{qi}"
         for qi in range(len(qrows))
     ]
     stack_args = ", ".join(
         f"CAST({int(qr['id'])} AS BIGINT), adc{qi}" for qi, qr in enumerate(qrows)
     )
-    stacked = gated.select("neighbor_id", "qv", "cluster", *adc_cols).selectExpr(
+    stacked = gated.selectExpr(
+        "neighbor_id", "qv", "cluster", *adc_exprs
+    ).selectExpr(
         "neighbor_id",
         "qv",
         "cluster",
@@ -367,5 +403,5 @@ def _rank_ivfpq_batch(
         F.col("cluster").cast("int").alias("cluster"),
         "rank",
         F.col("adc_dist").cast("long").alias("adc_dist"),
-        _exact_dist_col(qrows).cast("long").alias("exact_dist"),
+        F.expr(_sql_exact_dist(qrows)).cast("long").alias("exact_dist"),
     )

@@ -34,10 +34,10 @@ from pyspark.sql import functions as F
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
     _adc_tables,
-    _code_cols,
     _collect_queries,
-    _lit_long_array,
+    _sql_long_array,
     pq_fit_codebook,
+    with_code_cols,
 )
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import quantize
 
@@ -93,11 +93,19 @@ class IVFPQStore:
         km_iters: int = 3,
         m: int = 4,
         k_centroids: int = 8,
+        centroids: list | None = None,
+        codebook: list | None = None,
     ) -> "IVFPQStore":
         """Train coarse quantizer + codebook on ``df``, freeze them, and
-        write the encoded corpus partitioned by list."""
-        _, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
-        codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
+        write the encoded corpus partitioned by list. Pre-trained
+        ``centroids`` / ``codebook`` (the shapes ``kmeans`` /
+        ``pq_fit_codebook`` return) skip training — e.g. parameters
+        shared with an online ``ivfpq_topk`` path over the same corpus;
+        training is deterministic, so they freeze identically."""
+        if centroids is None:
+            _, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
+        if codebook is None:
+            codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
         os.makedirs(path, exist_ok=True)
         params = {
             "centroids": centroids,
@@ -164,31 +172,32 @@ class IVFPQStore:
 
     def _encode(self, df: DataFrame) -> DataFrame:
         """(id, c0..c{m-1}, cluster) under the FROZEN parameters — one
-        narrow projection, no join, no Python in the hot path."""
-        v = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in self.centroids
-            ]
+        narrow projection, no join, no Python in the hot path. Centroid
+        literals render as SQL text (one parse, not a py4j round trip per
+        float — the pq.py device)."""
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import _sql_dist_sq
+
+        dists = (
+            "array("
+            + ",".join(
+                _sql_dist_sq("__ev", c) for c in self.centroids
+            )
+            + ")"
         )
         base = df.select(
             F.col(self.id_col).alias("vid"),
             quantize(self.vec_col).alias("qv"),
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster"),
+            F.transform(F.col(self.vec_col), lambda x: x.cast("double")).alias(
+                "__ev"
+            ),
+        ).selectExpr(
+            "vid",
+            "qv",
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+            " AS cluster",
         )
-        return base.select(
-            "vid", *_code_cols(self.codebook, self.m, self.sub), "cluster"
+        return with_code_cols(base, self.codebook, self.m, self.sub).select(
+            "vid", *[f"c{s}" for s in range(self.m)], "cluster"
         )
 
     def append(self, batch: DataFrame) -> None:
@@ -360,23 +369,21 @@ class IVFPQStore:
         """One query-batch branch: scan only the batch's probed lists."""
         probed_all = sorted({c for ps in probes for c in ps})
         coded = self.reader().filter(F.col("cluster").isin(probed_all))
-        adc_cols = [
-            F.when(
-                F.col("cluster").isin([int(c) for c in probes[qi]]),
-                sum(
-                    F.element_at(
-                        _lit_long_array(adc_tables[qi][s]), F.col(f"c{s}") + 1
-                    )
-                    for s in range(self.m)
-                ),
-            ).alias(f"adc{qi}")
+        adc_exprs = [
+            f"CASE WHEN cluster IN ({','.join(str(int(c)) for c in probes[qi])})"
+            " THEN ("
+            + " + ".join(
+                f"element_at({_sql_long_array(adc_tables[qi][s])}, c{s} + 1)"
+                for s in range(self.m)
+            )
+            + f") END AS adc{qi}"
             for qi in range(len(qrows))
         ]
         stack_args = ", ".join(
             f"CAST({int(qr['id'])} AS BIGINT), adc{qi}"
             for qi, qr in enumerate(qrows)
         )
-        stacked = coded.select("vid", "cluster", *adc_cols).selectExpr(
+        stacked = coded.selectExpr("vid", "cluster", *adc_exprs).selectExpr(
             "vid",
             "cluster",
             f"stack({len(qrows)}, {stack_args}) AS (query_id, adc_dist)",

@@ -73,6 +73,29 @@ def test_huge_query_set_bounded_plan(emb):
     assert _rows(small) == _rows(out.filter(F.col("query_id").isin(probe_ids)))
 
 
+def test_pretrained_params_equal_self_trained(emb):
+    """Passing pre-trained centroids/codebook (the train-once fixture
+    q374/q377 share) is value-invisible: training is deterministic, so
+    the pass-through path must be row-identical to self-training."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import pq_fit_codebook
+
+    _, cents = kmeans(emb, "embedding", "vec_id", k=8, iters=3)
+    cb = pq_fit_codebook(emb, "vec_id", "embedding", 4, 8)
+    qs = emb.filter(F.col("vec_id") < 3)
+    assert _rows(
+        ivfpq_topk(emb, qs, "vec_id", "embedding", topk=5)
+    ) == _rows(
+        ivfpq_topk(
+            emb, qs, "vec_id", "embedding", topk=5,
+            centroids=cents, codebook=cb,
+        )
+    )
+    assert _rows(pq_topk(emb, qs, "vec_id", "embedding", topk=5)) == _rows(
+        pq_topk(emb, qs, "vec_id", "embedding", topk=5, codebook=cb)
+    )
+
+
 def test_store_query_sharded_equals_unsharded(spark, emb, tmp_path):
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
 
