@@ -54,10 +54,16 @@ def gaussian_mixture_1d(
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.quantiles import exact_quantiles
 
     # every EM iteration re-aggregates this one column; persist so the
-    # source is scanned once, not once per iteration + quantile pass
+    # source is scanned once, not once per iteration + quantile pass.
+    # Spread the cached blocks across the parallelism: a single-file
+    # source plans ONE partition, which would run every iteration's
+    # aggregate on one core — the decimal sufficient statistics are
+    # order-independent, so the repartition is value-invisible.
+    sc = df.sparkSession.sparkContext
     data = (
         df.select(F.col(col).cast("double").alias("x"))
         .filter(F.col("x").isNotNull())
+        .repartition(sc.defaultParallelism)
         .persist()
     )
     q1, q3 = exact_quantiles(data, "x", [0.25, 0.75])
