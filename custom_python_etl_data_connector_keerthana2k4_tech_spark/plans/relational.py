@@ -450,9 +450,18 @@ def q15_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q16_distinct_approx", oracle=None)  # HLL sketch != DuckDB's — rows-only check
 def q16_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No oracle: sketch estimates
-    differ across engines by design; pytest bounds the relative error vs the
-    exact count instead (tests/test_oracle.py)."""
+    """approx_count_distinct (HyperLogLog++).
+
+    PERMANENTLY no-oracle, by design: this surfaces Spark's
+    engine-internal HLL++ sketch, whose register layout and hash differ
+    from DuckDB's approx sketch — no SQL can replay it cross-engine, so
+    the driver scoreboard records a rows-only check here forever.
+    Coverage comes from two siblings instead: pytest bounds this
+    estimate's relative error against the exact count
+    (tests/test_oracle.py::test_approx_distinct_error_bound), and
+    q359_hll_distinct (operators/hll.py) is the first-principles
+    HyperLogLog built from explicit registers — fully oracle-paired,
+    including its merge algebra (q368)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
