@@ -1,9 +1,10 @@
 """Grammar-based differential fuzzing of the relational surface
 (SURVEY §5.2.6 extension): hypothesis draws random plans from a bounded
-grammar (table -> filters -> project | aggregate | join+aggregate), each
-plan is rendered BOTH as a Spark DataFrame program and as DuckDB SQL,
-and the results must match canonically (sorted columns, sorted rows,
-doubles rounded to 6).
+grammar (table -> filters -> project | aggregate | window | set-op |
+join+aggregate | COMPOSED shapes: outer-join->window, set-op->aggregate,
+set-op->window), each plan is rendered BOTH as a Spark DataFrame program
+and as DuckDB SQL, and the results must match canonically (sorted
+columns, sorted rows, doubles rounded to 6).
 
 This covers the combinational space BETWEEN the 374 hand-written
 oracle-paired queries: filter/projection/aggregation/join corners the
@@ -119,7 +120,14 @@ def plans(draw):
     spec = _TABLES[table]
     filters = draw(st.lists(_filter(table), min_size=0, max_size=2))
     shape = draw(
-        st.sampled_from(["project", "agg", "join_agg", "window", "setop"])
+        st.sampled_from(
+            [
+                "project", "agg", "join_agg", "window", "setop",
+                # composed shapes: the round-3 grammar stopped at
+                # join+aggregate; these chain a second operator on top
+                "join_window", "setop_agg", "setop_window",
+            ]
+        )
     )
     setop = draw(st.sampled_from(["union_all", "union", "intersect", "except"]))
     filters2 = draw(st.lists(_filter(table), min_size=1, max_size=2))
@@ -133,8 +141,10 @@ def plans(draw):
         "key": key,
         "distinct": draw(st.booleans()),
         # join_agg extras: join type and an optional dim-side filter that
-        # manufactures unmatched rows (NULL group keys under LEFT JOIN)
-        "join_how": draw(st.sampled_from(["inner", "left"])),
+        # manufactures unmatched rows (NULL group keys under LEFT JOIN;
+        # FULL adds unmatched customers, so aggregates also see NULL
+        # measure inputs)
+        "join_how": draw(st.sampled_from(["inner", "left", "full"])),
         "cust_bal_min": draw(
             st.one_of(st.none(), st.floats(min_value=-500, max_value=9_000, allow_nan=False))
         ),
@@ -167,6 +177,33 @@ def _apply_filters(df, filters):
         }[op]
         df = df.filter(cond)
     return df
+
+
+def _setop(spark, plan, cols):
+    """The drawn set operation over two filtered variants of the same
+    keyed projection, as (spark_df, duckdb_sql_text)."""
+    t = plan["table"]
+    l = _apply_filters(load(spark, SF_DIR, t), plan["filters"]).select(*cols)
+    r = _apply_filters(load(spark, SF_DIR, t), plan["filters2"]).select(*cols)
+    op = plan["setop"]
+    sdf = {
+        "union_all": l.unionAll(r),
+        "union": l.union(r).distinct(),
+        "intersect": l.intersect(r),
+        "except": l.exceptAll(r),
+    }[op]
+    kw = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT ALL",
+    }[op]
+    sel = f"SELECT {', '.join(cols)} FROM {t}"
+    sql = (
+        f"{sel}{_where_sql(plan['filters'])} {kw}"
+        f" {sel}{_where_sql(plan['filters2'])}"
+    )
+    return sdf, sql
 
 
 def _render(spark, plan):
@@ -222,28 +259,108 @@ def _render(spark, plan):
         return sdf, sql
 
     if plan["shape"] == "setop":
-        # two filtered variants of the same keyed projection
-        base2 = _apply_filters(load(spark, SF_DIR, t), plan["filters2"])
-        where2 = _where_sql(plan["filters2"])
-        cols = [ids[0], key]
-        l, r = base.select(*cols), base2.select(*cols)
-        op = plan["setop"]
-        sdf = {
-            "union_all": l.unionAll(r),
-            "union": l.union(r).distinct(),
-            "intersect": l.intersect(r),
-            "except": l.exceptAll(r),
-        }[op]
-        kw = {
-            "union_all": "UNION ALL",
-            "union": "UNION",
-            "intersect": "INTERSECT",
-            "except": "EXCEPT ALL",
-        }[op]
-        sel = f"SELECT {', '.join(cols)} FROM {t}"
-        return sdf, f"{sel}{where} {kw} {sel}{where2}"
+        return _setop(spark, plan, [ids[0], key])
+
+    if plan["shape"] == "setop_agg":
+        # set-op feeding an aggregate: NULL-able group keys and duplicate
+        # rows (UNION ALL / EXCEPT ALL multiplicities) hit count/distinct
+        uid = ids[0]
+        inner_df, inner_sql = _setop(spark, plan, [uid, key])
+        sdf = inner_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(uid).alias("nd"),
+            F.min(uid).alias("mn"),
+            F.max(uid).alias("mx"),
+        )
+        sql = f"""
+            SELECT {key}, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT {uid}) AS BIGINT) AS nd,
+                   min({uid}) AS mn, max({uid}) AS mx
+            FROM ({inner_sql}) GROUP BY {key}
+        """
+        return sdf, sql
+
+    if plan["shape"] == "setop_window":
+        # set-op feeding a window. Deterministic even under UNION ALL /
+        # EXCEPT ALL duplicates: ordering is by uid, so rows tied in the
+        # order are bit-identical and any rank permutation among them
+        # yields the same output multiset; the running sum is exact
+        # BIGINT (no float association drift).
+        from pyspark.sql import Window
+
+        uid = ids[0]
+        inner_df, inner_sql = _setop(spark, plan, [uid, key])
+        w = Window.partitionBy(key).orderBy(uid)
+        sdf = inner_df.select(
+            uid, key,
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag(uid).over(w).alias("lg"),
+            F.sum(uid)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("run"),
+        )
+        sql = f"""
+            SELECT {uid}, {key},
+                   CAST(row_number() OVER win AS BIGINT) AS rn,
+                   lag({uid}) OVER win AS lg,
+                   CAST(sum({uid}) OVER (PARTITION BY {key} ORDER BY {uid}
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+            FROM ({inner_sql})
+            WINDOW win AS (PARTITION BY {key} ORDER BY {uid})
+        """
+        return sdf, sql
+
+    if plan["shape"] == "join_window" and t == "orders":
+        # outer join feeding a window: NULL partition keys (unmatched
+        # orders under LEFT) must group into one window partition on both
+        # engines. Ordering keys come from the preserved (orders) side,
+        # so they are never NULL and ranks stay deterministic; FULL draws
+        # degrade to LEFT (NULL ordering keys would tie unmatched
+        # customers arbitrarily).
+        from pyspark.sql import Window
+
+        how = "inner" if plan["join_how"] == "inner" else "left"
+        bal = plan["cust_bal_min"]
+        cust = load(spark, SF_DIR, "customer")
+        cust_where = ""
+        if bal is not None:
+            bal = round(bal, 2)
+            cust = cust.filter(F.col("c_acctbal") >= bal)
+            cust_where = f" WHERE c_acctbal >= {bal!r}"
+        joined = base.join(cust, base["o_custkey"] == cust["c_custkey"], how)
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col(num), F.col("o_orderkey")
+        )
+        run = (
+            F.sum(F.col(num).cast("decimal(30,10)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+        )
+        sdf = joined.select(
+            "o_orderkey", "c_mktsegment", num,
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.lag(num).over(w).alias("lg"),
+            run.alias("run"),
+        )
+        sql = f"""
+            SELECT o_orderkey, c_mktsegment, {num},
+                   CAST(row_number() OVER win AS BIGINT) AS rn,
+                   lag({num}) OVER win AS lg,
+                   CAST(sum(CAST({num} AS DECIMAL(30,10)))
+                        OVER (PARTITION BY c_mktsegment
+                              ORDER BY {num}, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run
+            FROM (SELECT * FROM orders{where}) o
+            {'LEFT ' if how == 'left' else ''}JOIN
+            (SELECT * FROM customer{cust_where}) c ON o.o_custkey = c.c_custkey
+            WINDOW win AS (PARTITION BY c_mktsegment
+                           ORDER BY {num}, o_orderkey)
+        """
+        return sdf, sql
 
     if plan["shape"] == "agg" or t != "orders":
+        # join shapes need orders as the fact side; other tables fall back
         sdf = base.groupBy(key).agg(
             F.count(F.lit(1)).alias("n"),
             dsum(num).alias("s"),
@@ -274,10 +391,11 @@ def _render(spark, plan):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum(num).alias("s"))
     )
+    jkw = {"inner": "", "left": "LEFT ", "full": "FULL "}[how]
     sql = f"""
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, {DSUM(num)} AS s
         FROM (SELECT * FROM orders{where}) o
-        {'LEFT ' if how == 'left' else ''}JOIN
+        {jkw}JOIN
         (SELECT * FROM customer{cust_where}) c ON o.o_custkey = c.c_custkey
         GROUP BY c_mktsegment
     """
@@ -292,6 +410,59 @@ def _render(spark, plan):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 def test_random_plan_matches_duckdb(spark, ddb, plan):
+    sdf, sql = _render(spark, plan)
+    got = _canon(sdf.toPandas())
+    want = _canon(ddb.execute(sql).df())
+    assert list(got.columns) == list(want.columns), plan
+    assert len(got) == len(want), plan
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, atol=1e-6, rtol=0,
+        obj=str(plan),
+    )
+
+
+# One pinned example per composed shape (plus the FULL-join aggregate), so
+# every new grammar production is exercised even if hypothesis's
+# derandomized draws happen to skip one.
+_PINNED = [
+    {
+        "table": "orders", "shape": "join_window",
+        "filters": [], "filters2": [(("o_totalprice", ">", "1000.0"), "o_totalprice > 1000.0")],
+        "num": "o_totalprice", "key": "o_orderstatus", "distinct": False,
+        "join_how": "left", "cust_bal_min": 4_000.0,
+        "setop": "union_all",
+    },
+    {
+        "table": "orders", "shape": "join_agg",
+        "filters": [(("o_orderstatus", "=", "'F'"), "o_orderstatus = 'F'")],
+        "filters2": [(("o_totalprice", ">", "1000.0"), "o_totalprice > 1000.0")],
+        "num": "o_totalprice", "key": "o_orderstatus", "distinct": False,
+        "join_how": "full", "cust_bal_min": 2_500.0,
+        "setop": "union_all",
+    },
+    {
+        "table": "lineitem", "shape": "setop_agg",
+        "filters": [(("l_quantity", "<", "25.0"), "l_quantity < 25.0")],
+        "filters2": [(("l_quantity", ">=", "10.0"), "l_quantity >= 10.0")],
+        "num": "l_quantity", "key": "l_returnflag", "distinct": False,
+        "join_how": "inner", "cust_bal_min": None,
+        "setop": "except",
+    },
+    {
+        "table": "customer", "shape": "setop_window",
+        "filters": [],
+        "filters2": [(("c_acctbal", ">", "0.0"), "c_acctbal > 0.0")],
+        "num": "c_acctbal", "key": "c_mktsegment", "distinct": False,
+        "join_how": "inner", "cust_bal_min": None,
+        "setop": "union_all",
+    },
+]
+
+
+@pytest.mark.parametrize(
+    "plan", _PINNED, ids=[p["shape"] for p in _PINNED]
+)
+def test_pinned_composed_shapes(spark, ddb, plan):
     sdf, sql = _render(spark, plan)
     got = _canon(sdf.toPandas())
     want = _canon(ddb.execute(sql).df())
