@@ -265,6 +265,58 @@ def pq_topk(
     return out
 
 
+def exact_l2_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topk: int = 10,
+    query_batch: int = 64,
+) -> DataFrame:
+    """Brute-force exact quantized-L2 top-k — the ANN ground truth every
+    recall audit compares against (and the baseline the approximate
+    paths must beat on cost). One narrow scan per query batch: per-query
+    exact distances are literal-array folds (SQL-text parsed, JVM
+    codegen), one stack, one per-query top-k — the same sharded plan
+    shapes as ``pq_topk``, with exact distances in place of ADC lookups.
+    Ties break on neighbor id. Returns: query_id, neighbor_id, rank,
+    exact_dist."""
+    qrows = _collect_queries(queries, id_col, vec_col)
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
+    )
+    parts = []
+    for qb in _batches(qrows, query_batch):
+        dist_exprs = [
+            f"{_sql_sq_l2('qv', [int(x) for x in qr['qv']])} AS d{qi}"
+            for qi, qr in enumerate(qb)
+        ]
+        stack_args = ", ".join(
+            f"CAST({int(qr['id'])} AS BIGINT), d{qi}"
+            for qi, qr in enumerate(qb)
+        )
+        stacked = base.selectExpr("neighbor_id", *dist_exprs).selectExpr(
+            "neighbor_id",
+            f"stack({len(qb)}, {stack_args}) AS (query_id, exact_dist)",
+        )
+        w = Window.partitionBy("query_id").orderBy("exact_dist", "neighbor_id")
+        parts.append(
+            stacked.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                "rank",
+                F.col("exact_dist").cast("long").alias("exact_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,

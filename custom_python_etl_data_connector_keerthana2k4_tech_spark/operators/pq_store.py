@@ -77,6 +77,7 @@ class IVFPQStore:
         self.m: int = p["m"]
         self.id_col: str = p["id_col"]
         self.vec_col: str = p["vec_col"]
+        self.attr_cols: list[str] = p.get("attr_cols", [])
         self.sub: int = len(self.codebook[0][0])
 
     # -- lifecycle ----------------------------------------------------------
@@ -95,13 +96,21 @@ class IVFPQStore:
         k_centroids: int = 8,
         centroids: list | None = None,
         codebook: list | None = None,
+        attr_cols: list[str] | None = None,
     ) -> "IVFPQStore":
         """Train coarse quantizer + codebook on ``df``, freeze them, and
         write the encoded corpus partitioned by list. Pre-trained
         ``centroids`` / ``codebook`` (the shapes ``kmeans`` /
         ``pq_fit_codebook`` return) skip training — e.g. parameters
         shared with an online ``ivfpq_topk`` path over the same corpus;
-        training is deterministic, so they freeze identically."""
+        training is deterministic, so they freeze identically.
+
+        ``attr_cols`` names metadata columns of ``df`` to carry into the
+        coded table for FILTERED search (``query(where=...)``) — the
+        standard production ANN feature (per-tenant / per-label / per-
+        freshness retrieval). Attributes ride the codes as plain parquet
+        columns, so predicates on them push down to the probed lists'
+        row groups."""
         if centroids is None:
             _, centroids = kmeans(df, vec_col, id_col, k=n_lists, iters=km_iters)
         if codebook is None:
@@ -113,6 +122,7 @@ class IVFPQStore:
             "m": m,
             "id_col": id_col,
             "vec_col": vec_col,
+            "attr_cols": list(attr_cols or []),
         }
         tmp = os.path.join(path, _PARAMS_FILE + ".tmp")
         with open(tmp, "w") as f:
@@ -186,18 +196,20 @@ class IVFPQStore:
         )
         base = df.select(
             F.col(self.id_col).alias("vid"),
+            *self.attr_cols,
             quantize(self.vec_col).alias("qv"),
             F.transform(F.col(self.vec_col), lambda x: x.cast("double")).alias(
                 "__ev"
             ),
         ).selectExpr(
             "vid",
+            *self.attr_cols,
             "qv",
             f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
             " AS cluster",
         )
         return with_code_cols(base, self.codebook, self.m, self.sub).select(
-            "vid", *[f"c{s}" for s in range(self.m)], "cluster"
+            "vid", *self.attr_cols, *[f"c{s}" for s in range(self.m)], "cluster"
         )
 
     def append(self, batch: DataFrame) -> None:
@@ -331,9 +343,18 @@ class IVFPQStore:
 
     def query(
         self, queries: DataFrame, nprobe: int = 2, topk: int = 10,
-        query_batch: int = 64,
+        query_batch: int = 64, where: str | None = None,
     ) -> DataFrame:
         """ADC top-k over the probed lists only.
+
+        ``where`` takes a SQL predicate over the store's ``attr_cols``
+        (e.g. ``"label = 3"``) for FILTERED search: candidates are
+        filtered BEFORE scoring, so the top-k is the best k *matching*
+        vectors in the probed lists (post-filter IVF semantics — a
+        match whose home list was not probed is missed, the same recall
+        contract as unfiltered IVF; raise nprobe for selective filters).
+        The predicate pushes down to the probed lists' parquet row
+        groups alongside the PartitionFilters pruning.
 
         Returns query_id, neighbor_id, cluster, rank, adc_dist. The
         ``cluster IN probes`` predicate lands in PartitionFilters
@@ -353,7 +374,7 @@ class IVFPQStore:
         probes = _select_probes(qrows, self.centroids, nprobe)
 
         parts = [
-            self._query_batch(qb, tb, pb, topk)
+            self._query_batch(qb, tb, pb, topk, where)
             for qb, tb, pb in zip(
                 _batches(qrows, query_batch),
                 _batches(adc_tables, query_batch),
@@ -365,10 +386,14 @@ class IVFPQStore:
             out = out.unionByName(p)
         return out
 
-    def _query_batch(self, qrows, adc_tables, probes, topk: int) -> DataFrame:
+    def _query_batch(
+        self, qrows, adc_tables, probes, topk: int, where: str | None = None
+    ) -> DataFrame:
         """One query-batch branch: scan only the batch's probed lists."""
         probed_all = sorted({c for ps in probes for c in ps})
         coded = self.reader().filter(F.col("cluster").isin(probed_all))
+        if where is not None:
+            coded = coded.filter(F.expr(where))
         adc_exprs = [
             f"CASE WHEN cluster IN ({','.join(str(int(c)) for c in probes[qi])})"
             " THEN ("

@@ -252,15 +252,19 @@ _IVF_ITERS = 3
 _IVF_NPROBE = 2
 
 
-def _ivfpq_oracle() -> str:
+def ivfpq_adc_ctes(cand_extra_join: str = "") -> str:
+    """The shared DuckDB replay of the whole IVF-PQ derivation — Lloyd
+    rounds (materialized CTEs), per-query probe ranks, the hash-sampled
+    PQ codebook, per-row codes, and per-(query, candidate) ADC sums —
+    ending at an ``adc`` CTE. ``cand_extra_join`` splices an extra JOIN
+    into the candidate set (the filtered-search oracle, round31)."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round3 import (
         _kmeans_ctes,
         _kmeans_dist_chain,
     )
 
     chain = _kmeans_dist_chain("p.e", "c.c", _PQ_DIM)
-    return f"""
-    WITH {_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
+    return f"""{_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
     v AS (
       SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
     ),
@@ -305,6 +309,7 @@ def _ivfpq_oracle() -> str:
     cand AS (
       SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster
       FROM afinal a JOIN qprobe qp ON a.cluster = qp.cluster
+      {cand_extra_join}
       WHERE a.vec_id <> qp.query_id
     ),
     adc AS (
@@ -314,7 +319,12 @@ def _ivfpq_oracle() -> str:
       JOIN codes c ON c.vec_id = cand.neighbor_id
       JOIN qd ON qd.query_id = cand.query_id AND qd.m = c.m AND qd.j = c.j
       GROUP BY 1, 2, 3
-    ),
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH {ivfpq_adc_ctes()},
     ranked AS (
       SELECT query_id, neighbor_id, cluster, adc_dist,
              row_number() OVER (PARTITION BY query_id
@@ -366,68 +376,8 @@ def _ivfpq_store_oracle() -> str:
     """q374's oracle minus the exact-audit column: the persistent store
     holds codes only (the PQ memory story), so its query surface is the
     ADC ranking — which must still match DuckDB's full replay."""
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round3 import (
-        _kmeans_ctes,
-        _kmeans_dist_chain,
-    )
-
-    chain = _kmeans_dist_chain("p.e", "c.c", _PQ_DIM)
     return f"""
-    WITH {_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
-    v AS (
-      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
-    ),
-    qprobe AS (
-      SELECT vec_id AS query_id, cluster FROM (
-        SELECT p.vec_id, c.cluster,
-               row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY {chain}, c.cluster) AS rn
-        FROM pts p CROSS JOIN c{_IVF_ITERS} c
-        WHERE p.vec_id < {_PQ_NQ}
-      ) WHERE rn <= {_IVF_NPROBE}
-    ),
-    hashed AS (
-      SELECT vec_id, qv, {sql_hex_hash60("CAST(vec_id AS VARCHAR)")} AS h FROM v
-    ),
-    seeds AS (
-      SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1 AS j
-      FROM hashed
-      QUALIFY j < {_PQ_K}
-    ),
-    cb AS (
-      SELECT m, j, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS c
-      FROM seeds, range({_PQ_M}) mm(m)
-    ),
-    subv AS (
-      SELECT vec_id, m, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS s
-      FROM v, range({_PQ_M}) mm(m)
-    ),
-    dist AS (
-      SELECT vec_id, m, j, {_SQ_SUB} AS d
-      FROM subv JOIN cb USING (m)
-    ),
-    codes AS (
-      SELECT vec_id, m, j FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
-        FROM dist) t
-      WHERE rn = 1
-    ),
-    qd AS (
-      SELECT vec_id AS query_id, m, j, d FROM dist WHERE vec_id < {_PQ_NQ}
-    ),
-    cand AS (
-      SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster
-      FROM afinal a JOIN qprobe qp ON a.cluster = qp.cluster
-      WHERE a.vec_id <> qp.query_id
-    ),
-    adc AS (
-      SELECT cand.query_id, cand.neighbor_id, cand.cluster,
-             CAST(sum(qd.d) AS BIGINT) AS adc_dist
-      FROM cand
-      JOIN codes c ON c.vec_id = cand.neighbor_id
-      JOIN qd ON qd.query_id = cand.query_id AND qd.m = c.m AND qd.j = c.j
-      GROUP BY 1, 2, 3
-    )
+    WITH {ivfpq_adc_ctes()}
     SELECT query_id, neighbor_id, CAST(cluster AS INT) AS cluster,
            CAST(rk AS INT) AS rank, adc_dist
     FROM (

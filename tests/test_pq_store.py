@@ -73,6 +73,48 @@ def test_query_equals_full_store_query_and_prunes(spark, parts, tmp_path):
     assert "cluster" in scan[: scan.index("]")]
 
 
+def test_filtered_query_semantics_and_pushdown(spark, parts, tmp_path):
+    """Attribute-filtered search: results equal the unfiltered top-k
+    recomputed over only the matching candidates, the attribute rides
+    the coded table, and BOTH predicates land where they scale — cluster
+    in PartitionFilters (directory pruning), label in PushedFilters
+    (row-group skipping)."""
+    e, _, _, _ = parts
+    store = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", str(tmp_path / "idx"),
+        attr_cols=["label"],
+    )
+    queries = e.filter(F.col("vec_id") < 3)
+    got = store.query(queries, nprobe=2, topk=5, where="label = 3")
+
+    # semantic twin: a store holding ONLY label-3 vectors (same frozen
+    # params) must return the same ranking — post-filter == pre-filter
+    # when the candidate sets match, because ADC scores are per-vector
+    import os, shutil
+
+    os.makedirs(str(tmp_path / "twin"), exist_ok=True)
+    shutil.copy(
+        str(tmp_path / "idx" / "_ivfpq_params.json"),
+        str(tmp_path / "twin" / "_ivfpq_params.json"),
+    )
+    twin = IVFPQStore(spark, str(tmp_path / "twin"))
+    twin._encode(e.filter(F.col("label") == 3)).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(twin._data_path())
+    assert _rows(got) == _rows(twin.query(queries, nprobe=2, topk=5))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "cluster" in scan[: scan.index("]")]
+    pushed = plan[plan.index("PushedFilters"):]
+    assert "label" in pushed[: pushed.index("]")]
+
+    # attrs survive reload and maintenance rewrites
+    reloaded = IVFPQStore(spark, str(tmp_path / "idx"))
+    assert reloaded.attr_cols == ["label"]
+    assert "label" in store.reader().columns
+
+
 def test_streaming_append_keeps_index_fresh(spark, parts, tmp_path):
     e, p0, p1, p2 = parts
     store = IVFPQStore.build(
