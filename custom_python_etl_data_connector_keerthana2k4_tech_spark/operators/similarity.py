@@ -345,3 +345,84 @@ def semantic_dedup(
     return q.groupBy("cluster").applyInPandas(
         _prune, schema="id long, cluster int, centroid_cos double, kept boolean"
     )
+
+
+def matryoshka_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    head_dim: int = 16,
+    shortlist: int = 50,
+    topk: int = 10,
+    query_batch: int = 64,
+) -> DataFrame:
+    """Matryoshka cascade search: rank the corpus by exact quantized L2
+    over the first ``head_dim`` components only (the cheap pass — a
+    matryoshka-trained embedding front-loads information into its head,
+    q348 measures how faithfully), keep each query's ``shortlist``
+    nearest heads, then rerank ONLY the shortlist by exact full-dimension
+    L2 and keep ``topk``. The adaptive-retrieval recipe (Kusupati et al.
+    2022): at 100 TB the head pass reads head_dim/dim of the arithmetic
+    per candidate and the full vectors are touched for Q x shortlist rows
+    only. Ties break on neighbor id at both stages; all arithmetic is
+    exact BIGINT over quantized components, so the cascade's result is
+    bit-reproducible in DuckDB. Queries shard into ``query_batch``-sized
+    union branches (the pq.py contract). Returns: query_id, neighbor_id,
+    rank, head_dist, exact_dist."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
+        _batches,
+        _collect_queries,
+        _sql_exact_dist,
+        _sql_sq_l2,
+    )
+
+    qrows = _collect_queries(queries, id_col, vec_col)
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
+    )
+    parts = []
+    for qb in _batches(qrows, query_batch):
+        head_exprs = [
+            f"{_sql_sq_l2(f'slice(qv, 1, {head_dim})', [int(x) for x in qr['qv'][:head_dim]])}"
+            f" AS h{qi}"
+            for qi, qr in enumerate(qb)
+        ]
+        stack_args = ", ".join(
+            f"CAST({int(qr['id'])} AS BIGINT), h{qi}"
+            for qi, qr in enumerate(qb)
+        )
+        stacked = base.selectExpr("neighbor_id", "qv", *head_exprs).selectExpr(
+            "neighbor_id",
+            "qv",
+            f"stack({len(qb)}, {stack_args}) AS (query_id, head_dist)",
+        )
+        w_head = Window.partitionBy("query_id").orderBy(
+            "head_dist", "neighbor_id"
+        )
+        short = (
+            stacked.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("hrank", F.row_number().over(w_head))
+            .filter(F.col("hrank") <= shortlist)
+        )
+        w_full = Window.partitionBy("query_id").orderBy(
+            "exact_dist", "neighbor_id"
+        )
+        parts.append(
+            short.withColumn(
+                "exact_dist", F.expr(_sql_exact_dist(qb)).cast("long")
+            )
+            .withColumn("rank", F.row_number().over(w_full).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                "rank",
+                F.col("head_dist").cast("long").alias("head_dist"),
+                "exact_dist",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

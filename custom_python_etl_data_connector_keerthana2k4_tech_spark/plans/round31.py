@@ -168,3 +168,74 @@ def q380_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q381: matryoshka cascade search (head shortlist -> exact full rerank)
+# ---------------------------------------------------------------------------
+
+_MK_HEAD = 16
+_MK_SHORT = 50
+
+
+@query(
+    "q381_matryoshka_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, head_dist FROM (
+        SELECT vq.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range({_MK_HEAD}),
+                 i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1])))
+                 AS BIGINT) AS head_dist,
+               row_number() OVER (
+                 PARTITION BY vq.vec_id
+                 ORDER BY list_sum(list_transform(range({_MK_HEAD}),
+                   i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1]))),
+                   vn.vec_id) AS hrank
+        FROM v vq JOIN v vn ON vn.vec_id <> vq.vec_id
+        WHERE vq.vec_id < {_PQ_NQ}
+      ) WHERE hrank <= {_MK_SHORT}
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+           head_dist, exact_dist
+    FROM (
+      SELECT s.query_id, s.neighbor_id, s.head_dist,
+             CAST(list_sum(list_transform(range({_PQ_DIM}),
+               i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1])))
+               AS BIGINT) AS exact_dist,
+             row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY list_sum(list_transform(range({_PQ_DIM}),
+                 i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1]))),
+                 s.neighbor_id) AS rk
+      FROM short s
+      JOIN v vq ON vq.vec_id = s.query_id
+      JOIN v vn ON vn.vec_id = s.neighbor_id
+    ) WHERE rk <= {_PQ_TOPK}
+    """,
+)
+def q381_matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka cascade search (operators/similarity.matryoshka_topk):
+    an exact {_MK_HEAD}-dim HEAD pass shortlists {_MK_SHORT} candidates
+    per query, then an exact full-dimension rerank keeps the top-k — the
+    adaptive-retrieval recipe that makes matryoshka-trained embeddings
+    cheap to serve (q348 measures the head's fidelity; this query SERVES
+    with it). Both stages are exact integer L2 over quantized components
+    with id tiebreaks, so the DuckDB oracle replays the cascade — which
+    candidates survive the head cut AND their final ranks — bit for bit.
+    Plan shape: one narrow scan per query batch for the head pass
+    (literal-fold distances over slice(qv, 1, head), JVM codegen), full
+    vectors touched only for the Q x shortlist survivors."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import matryoshka_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return matryoshka_topk(
+        e, e.filter(F.col("vec_id") < _PQ_NQ), "vec_id", "embedding",
+        head_dim=_MK_HEAD, shortlist=_MK_SHORT, topk=_PQ_TOPK,
+    )
