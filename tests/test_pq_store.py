@@ -114,6 +114,29 @@ def test_filtered_query_semantics_and_pushdown(spark, parts, tmp_path):
     assert reloaded.attr_cols == ["label"]
     assert "label" in store.reader().columns
 
+    # ...including upsert (rewritten lists keep the attribute column and
+    # the filtered query still matches the matching-only twin afterwards)
+    moved = e.filter(F.col("vec_id") < 20).withColumn(
+        "label", F.lit(3).cast("int")
+    )
+    store.upsert(moved)
+    assert "label" in store.reader().columns
+    twin2_dir = str(tmp_path / "twin2")
+    import os, shutil
+
+    os.makedirs(twin2_dir, exist_ok=True)
+    shutil.copy(
+        str(tmp_path / "idx" / "_ivfpq_params.json"),
+        twin2_dir + "/_ivfpq_params.json",
+    )
+    twin2 = IVFPQStore(spark, twin2_dir)
+    whole_after = e.filter(F.col("vec_id") >= 20).unionByName(moved)
+    twin2._encode(whole_after.filter(F.col("label") == 3)).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(twin2._data_path())
+    got2 = store.query(queries, nprobe=2, topk=5, where="label = 3")
+    assert _rows(got2) == _rows(twin2.query(queries, nprobe=2, topk=5))
+
 
 def test_streaming_append_keeps_index_fresh(spark, parts, tmp_path):
     e, p0, p1, p2 = parts

@@ -147,3 +147,79 @@ def test_minhash_planted_dups_100k_docs(spark):
     }
     expected = {(i, i + n) for i in range(planted)}
     assert expected <= found
+
+
+def test_exact_l2_topk_200k_line_closed_form(spark):
+    """Sharded brute-force exact-L2 top-k over 200k synthetic vectors on
+    a line (every dim = i*1e-4, so quantized dist(i,j) = 16*(100(i-j))^2
+    exactly): interior query i's top-2 must be {i-1 (rank 1, lower id on
+    the tie), i+1}, and the distances must equal the closed form. Q=130
+    queries crosses two shard boundaries (3 union branches at the default
+    batch of 64), so the sharded plan itself is what's being driven."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk
+
+    n, dim = 200_000, 16
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat((F.col("id") * 1e-4).cast("float"), dim).alias(
+            "embedding"
+        ),
+    )
+    q_ids = list(range(1000, 1130))  # interior: i-1 and i+1 both exist
+    queries = vecs.filter(F.col("vec_id").isin(q_ids))
+    out = exact_l2_topk(
+        vecs, queries, "vec_id", "embedding", topk=2
+    ).collect()
+    assert len(out) == 2 * len(q_ids)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["exact_dist"]) for r in out}
+    unit = dim * 100 * 100  # dist of adjacent points
+    for i in q_ids:
+        assert got[(i, 1)] == (i - 1, unit)
+        assert got[(i, 2)] == (i + 1, unit)
+
+
+def test_pq_topk_200k_exact_audit_consistent(spark):
+    """pq_topk over the same 200k line corpus: the APPROXIMATE ranking
+    may pick any neighbors (sampled codebook), but every returned row's
+    exact audit distance must equal the quantized-column distance
+    recomputed independently for that (query, neighbor) pair — a wrong
+    code table, a mis-aligned stack, or a query/neighbor mixup all break
+    this invariant at scale. (No float closed form: float32 components
+    drift off the 1e-6 grid at large i, so the ground truth is the
+    quantized frame itself.)"""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import quantize
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import pq_topk
+
+    n, dim, topk = 200_000, 16, 3
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat((F.col("id") * 1e-4).cast("float"), dim).alias(
+            "embedding"
+        ),
+    )
+    queries = vecs.filter(F.col("vec_id").isin([0, 77_777, 199_999]))
+    out = pq_topk(
+        vecs, queries, "vec_id", "embedding", m=4, k_centroids=8, topk=topk
+    )
+    qv = vecs.select("vec_id", quantize("embedding").alias("qv"))
+    recomputed = (
+        out.join(qv.withColumnRenamed("vec_id", "query_id").withColumnRenamed("qv", "qa"), "query_id")
+        .join(qv.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("qv", "qb"), "neighbor_id")
+        .withColumn(
+            "expected",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    rows = recomputed.collect()
+    assert len(rows) == 3 * topk
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["exact_dist"] == r["expected"], (
+            r["query_id"], r["neighbor_id"])
+    assert sorted(per_q) == [0, 77_777, 199_999]
+    assert all(len(v) == topk for v in per_q.values())
