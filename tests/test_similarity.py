@@ -135,3 +135,47 @@ def test_semantic_dedup_drops_planted_twin(spark, emb):
     a, b = decisions[3], decisions[10_000_000]
     assert a.cluster == b.cluster  # identical vectors share a cluster
     assert a.kept != b.kept, "exactly one of the identical twins survives"
+
+
+def test_matryoshka_full_head_equals_brute_force(spark, emb):
+    """With head_dim == full dim and an unbounded shortlist, the cascade
+    degenerates to exact brute force — results must be row-identical to
+    exact_l2_topk (ids, ranks, and distances)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import matryoshka_topk
+
+    qs = emb.filter(F.col("vec_id") < 4)
+    cascade = matryoshka_topk(
+        emb, qs, "vec_id", "embedding",
+        head_dim=64, shortlist=10_000, topk=5,
+    ).select("query_id", "neighbor_id", "rank", "exact_dist")
+    exact = exact_l2_topk(emb, qs, "vec_id", "embedding", topk=5)
+    assert sorted(map(tuple, cascade.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_matryoshka_widening_shortlist_converges_to_exact(spark, emb):
+    """Recall against the exact top-k is monotone in the shortlist and
+    reaches 1.0 once the shortlist covers the corpus — the adaptive-
+    retrieval budget knob behaves."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import matryoshka_topk
+
+    qs = emb.filter(F.col("vec_id") < 4)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact_l2_topk(emb, qs, "vec_id", "embedding", topk=5).collect()
+    }
+    recalls = []
+    for short in (5, 50, 10_000):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in matryoshka_topk(
+                emb, qs, "vec_id", "embedding",
+                head_dim=16, shortlist=short, topk=5,
+            ).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
