@@ -207,6 +207,12 @@ def q247_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y_cents")
         )
     )
+    # both sides of the pairwise self-join read wk; without caching the
+    # whole upstream (orders x customer join + decimal week aggregate)
+    # recomputes twice (plan audit: 5 FileScans, no ReusedExchange)
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import materialize_once
+
+    wk = materialize_once(wk)
     a = wk.alias("a")
     b = wk.alias("b")
     slopes = a.join(
