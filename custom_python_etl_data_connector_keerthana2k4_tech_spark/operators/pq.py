@@ -56,6 +56,12 @@ def _lit_long_array(vals: list[int]):
     return F.array(*[F.lit(int(v)).cast("long") for v in vals])
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr (reserved words,
+    spaces, dots — anything a user-supplied column name may carry)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 # Literal-heavy expressions (codebook centroids, ADC tables, exact-audit
 # vectors) are rendered as SQL TEXT and parsed JVM-side in one call: the
 # equivalent Column-builder path costs one py4j round trip per literal —
@@ -154,7 +160,7 @@ def with_code_cols(df: DataFrame, codebook, m: int, sub: int) -> DataFrame:
         f"CAST(array_position(__d{s}, array_min(__d{s})) - 1 AS INT) AS c{s}"
         for s in range(m)
     ]
-    cols = list(df.columns)
+    cols = [_bq(c) for c in df.columns]
     return df.selectExpr("*", *dist_exprs).selectExpr(*cols, *code_exprs)
 
 

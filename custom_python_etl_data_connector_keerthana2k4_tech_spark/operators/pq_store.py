@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
     _adc_tables,
+    _bq,
     _collect_queries,
     _sql_long_array,
     pq_fit_codebook,
@@ -164,19 +165,26 @@ class IVFPQStore:
     def _publish(self, new_data: str) -> None:
         """Atomically flip the live-data pointer to ``new_data`` (the
         commit point is one os.replace of the pointer file), then retire
-        the previous generation. Readers planned before the flip may race
-        the retire — single-maintainer contract, same as _swap_lists'
-        documented non-promise."""
+        the previous generation AND sweep every other ``data*`` sibling —
+        generations orphaned by a crash between an earlier flip and its
+        rmtree, and ``.upsert``/``.delete`` tmp dirs of crashed verbs
+        whose generation number has since advanced. Post-flip, anything
+        under ``data*`` that is not the live generation is garbage by
+        construction (single-maintainer contract), so each maintenance
+        call is also a full orphan sweep. Readers planned before the flip
+        may race the retire — same documented non-promise as
+        _swap_lists."""
         import shutil
 
-        old = self._data_path()
         ptr = os.path.join(self.path, _DATA_PTR)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
             f.write(os.path.basename(new_data))
         os.replace(tmp, ptr)
-        if os.path.abspath(old) != os.path.abspath(new_data):
-            shutil.rmtree(old, ignore_errors=True)
+        live = os.path.basename(new_data)
+        for name in os.listdir(self.path):
+            if name.startswith(_DATA_DIR) and name != live:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # -- encode / ingest ----------------------------------------------------
 
@@ -203,7 +211,7 @@ class IVFPQStore:
             ),
         ).selectExpr(
             "vid",
-            *self.attr_cols,
+            *[_bq(c) for c in self.attr_cols],
             "qv",
             f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
             " AS cluster",

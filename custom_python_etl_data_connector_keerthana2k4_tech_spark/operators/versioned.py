@@ -785,10 +785,28 @@ def vacuum_versioned(
                 claimed = int(name[1:9])
             except ValueError:
                 continue
-            fresh = now_ms - status.getModificationTime() < grace_seconds * 1000.0
+            # Freshness must consider the WHOLE tree, not the dir's own
+            # mtime: a partitioned in-flight write creates its partition
+            # subdirectories early and then only touches files inside
+            # them, so the top-level mtime goes stale while the write is
+            # still running — sweeping on it would kill a live job that
+            # merely outlasted the grace window.
+            newest = _tree_max_mtime(fs, status)
+            fresh = now_ms - newest < grace_seconds * 1000.0
             if claimed <= max_committed and not fresh:
                 fs.delete(status.getPath(), True)
     return reclaimed
+
+
+def _tree_max_mtime(fs, status) -> float:
+    """Max modification time (ms) over a FileStatus and everything under
+    it — the conservative 'was anything here touched recently?' signal
+    the vacuum grace window needs."""
+    newest = status.getModificationTime()
+    if status.isDirectory():
+        for child in fs.listStatus(status.getPath()):
+            newest = max(newest, _tree_max_mtime(fs, child))
+    return newest
 
 
 def table_changes(
