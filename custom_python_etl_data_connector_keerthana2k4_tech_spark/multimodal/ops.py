@@ -203,6 +203,94 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_featurize, schema=out_schema)
 
 
+#: perceptual-hash grid cells (9 x 7 keeps the fingerprint under the
+#: BIGINT sign bit, so arithmetic shifts are safe in both engines)
+AHASH_CELLS = 63
+
+
+def _ahash_payload(payload: bytes | None) -> int | None:
+    """Average-hash (aHash) of a decoded image: bin the grayscale stream
+    into AHASH_CELLS cells (floor-average per cell), set bit k iff cell k
+    is strictly above the global mean (compared exactly as
+    ``cells * g_k > sum(g)`` — no division). The real path would feed
+    PIL's resized grayscale pixels; the deterministic SGMM fallback's
+    "pixels" are the content bytes, which is what makes the fingerprint
+    replayable in SQL (the q50 device). Unknown formats raise
+    NotImplementedError (dead-letter per record, reference R7)."""
+    if payload is None:
+        return None
+    raw = bytes(payload)
+    if not raw.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real perceptual hashing requires PIL (not in this container); "
+            "only the synthetic SGMM format is decodable"
+        )
+    content = raw[len(_MAGIC) + 12 :]
+    n = len(content)
+    if n == 0:
+        return 0
+    sums = [0] * AHASH_CELLS
+    counts = [0] * AHASH_CELLS
+    for i, byte in enumerate(content):
+        k = i * AHASH_CELLS // n
+        sums[k] += byte
+        counts[k] += 1
+    g = [sums[k] // counts[k] if counts[k] else 0 for k in range(AHASH_CELLS)]
+    total = sum(g)
+    return sum(1 << k for k in range(AHASH_CELLS) if AHASH_CELLS * g[k] > total)
+
+
+def ahash_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage over IMAGE assets: one
+    mapInPandas pass emitting (asset_id, ahash, ahash_error). The same
+    bounded-batch contract as decode_assets — fingerprints are 8 bytes
+    per image no matter the payload size, so this is the standard first
+    step of multimodal corpus dedup at 100 TB: hash once, then all
+    pairwise work happens on fingerprints, never on payloads."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), True),
+            T.StructField("ahash_error", T.StringType(), True),
+        ]
+    )
+
+    def _hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, errs = [], []
+            for payload in pdf["payload"]:
+                try:
+                    h = _ahash_payload(payload)
+                    hashes.append(h)
+                    errs.append(None if h is not None else "null payload")
+                except NotImplementedError as exc:
+                    hashes.append(None)
+                    errs.append(str(exc)[:120])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "ahash_error": errs,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id", "payload"
+    ).mapInPandas(_hash_batches, schema=out_schema)
+
+
+def phash_neardup_pairs(assets: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: aHash fingerprints,
+    Hamming-banded exactly like SimHash text near-dup
+    (operators/dedup.hamming_band_pairs — pigeonhole-lossless, so the
+    banded result equals brute force and sits under a brute-force
+    oracle). Returns (id_a, id_b, hamming), id_a < id_b."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import hamming_band_pairs
+
+    hashes = ahash_assets(assets).filter(F.col("ahash").isNotNull())
+    return hamming_band_pairs(hashes, "asset_id", "ahash", AHASH_CELLS, max_hamming)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling stage for video assets: explode frame indices
     0, every_n, 2*every_n, ... from metadata — pure Column expressions

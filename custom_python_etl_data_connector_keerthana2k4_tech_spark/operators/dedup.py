@@ -562,23 +562,45 @@ def simhash_pairs(
     "crossengine" variant sits under a brute-force DuckDB oracle.
     """
     hashes = simhash64(df, id_col, text_col, hasher=hasher).persist()
-    nbits = SIMHASH_BITS[hasher]
+    return hamming_band_pairs(
+        hashes, "id", "simhash", SIMHASH_BITS[hasher], max_hamming
+    )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    nbits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pairs of rows whose ``hash_col`` fingerprints differ in at most
+    ``max_hamming`` bits — the banded candidate join shared by SimHash
+    text near-dup and perceptual-hash media near-dup (multimodal/ops.py).
+
+    The fingerprint splits into ``max_hamming + 1`` bands: a pair within
+    the bound must agree exactly on >= 1 band (pigeonhole), so candidates
+    come from an equi-join on (band, band_bits) — linear in matches,
+    never all-pairs — and exact Hamming verification makes the banding
+    LOSSLESS: output == brute force (how this sits under brute-force
+    DuckDB oracles). Fingerprints must keep the sign bit clear
+    (``nbits <= 63``) so arithmetic shiftright is safe.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
     n_bands = max_hamming + 1
     width = nbits // n_bands + 1
-
     bands = hashes.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("fp"),
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_bits",
-        F.expr(f"shiftright(simhash, band * {width}) & {(1 << width) - 1}"),
+        F.expr(f"shiftright(fp, band * {width}) & {(1 << width) - 1}"),
     )
     a = bands.select(
-        F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "band_bits"
+        F.col("id").alias("id_a"), F.col("fp").alias("h_a"), "band", "band_bits"
     )
     b = bands.select(
-        F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "band_bits"
+        F.col("id").alias("id_b"), F.col("fp").alias("h_b"), "band", "band_bits"
     )
     cands = (
         a.join(b, ["band", "band_bits"])

@@ -131,6 +131,54 @@ def _sq(a: list[int], b: list[int]) -> int:
     return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
 
 
+def select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
+    """Driver probe selection for the LITERAL query path: per query, the
+    ``nprobe`` nearest coarse centroids (squared L2 over doubles), ties
+    toward the lower list index.
+
+    Bit-exactness contract: the distributed assignment and the DuckDB
+    oracle both evaluate the distance as a LEFT-FOLD double chain
+    (0.0 + t0 + t1 + ...), so probe selection must reproduce exactly that
+    op order. The NumPy fast path vectorizes over (Q, n_lists) while
+    keeping the fold order by accumulating one dimension at a time —
+    ``acc += t*t`` elementwise is the same IEEE add sequence per cell as
+    the scalar loop — so it is bit-identical to the pure-Python fallback
+    (pinned in tests) while driver time stays flat as n_lists grows."""
+    if not qrows or nprobe <= 0:
+        return [[] for _ in qrows]
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        np = None
+    if np is not None:
+        q = np.array([[float(x) for x in qr["ev"]] for qr in qrows], dtype=np.float64)
+        c = np.array([[float(x) for x in cc] for cc in centroids], dtype=np.float64)
+        acc = np.zeros((q.shape[0], c.shape[0]), dtype=np.float64)
+        for d in range(c.shape[1]):
+            t = q[:, d, None] - c[None, :, d]
+            acc += t * t
+        order = np.argsort(acc, axis=1, kind="stable")  # stable = lower index wins ties
+        return [[int(j) for j in row[:nprobe]] for row in order]
+    return _select_probes_python(qrows, centroids, nprobe)
+
+
+def _select_probes_python(qrows, centroids, nprobe: int) -> list[list[int]]:
+    """The pure-Python left-fold reference for ``select_probes`` (kept
+    callable so tests can pin NumPy-path bit-equality)."""
+    probes = []
+    for qr in qrows:
+        ev = [float(x) for x in qr["ev"]]
+        ds = []
+        for ci, cc in enumerate(centroids):
+            a = 0.0
+            for x, y in zip(ev, cc):
+                a += (x - y) * (x - y)
+            ds.append((a, ci))
+        ds.sort()
+        probes.append([ci for _, ci in ds[:nprobe]])
+    return probes
+
+
 def _adc_tables(qrows, codebook, m: int, sub: int) -> list:
     """adc[qi][s][j] = exact int squared L2 between query qi's subvector s
     and codebook[s][j]. O(Q x M x K) driver ints."""
@@ -337,6 +385,7 @@ def ivfpq_topk(
     query_batch: int = 64,
     centroids: list | None = None,
     codebook: list | None = None,
+    query_mode: str = "literal",
 ) -> DataFrame:
     """IVF-PQ: the full classic vector-search recipe. A deterministic
     k-means coarse quantizer (operators/kmeans — decimal-exact updates)
@@ -361,6 +410,15 @@ def ivfpq_topk(
     corpus train ONCE and search many times — training is deterministic,
     so passed-in parameters are identical to what this call would fit.
 
+    ``query_mode``: ``"literal"`` (default) collects the Q query vectors
+    to the driver and compiles them into O(query_batch)-wide literal
+    plans — right for interactive / audit-sample query sets (Q up to
+    ~10^4). ``"join"`` keeps the queries a DATAFRAME end to end
+    (``encode_queries_join``): probe selection, ADC tables, candidate
+    gating, and the exact audit all run distributed, with O(1) driver
+    state — the path for query sets that are themselves tables
+    (Q ~ 10^6). Both modes are row-identical (pinned in tests).
+
     Returns: query_id, neighbor_id, cluster, rank, adc_dist, exact_dist.
     """
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import assign, kmeans
@@ -373,23 +431,17 @@ def ivfpq_topk(
         codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
     sub = len(codebook[0][0])
 
+    if query_mode == "join":
+        return _ivfpq_topk_join(
+            assigned, queries, id_col, vec_col, nprobe, m, topk,
+            centroids, codebook,
+        )
+    if query_mode != "literal":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
+
     qrows = _collect_queries(queries, id_col, vec_col)
     adc_tables = _adc_tables(qrows, codebook, m, sub)
-
-    # Driver probe selection: left-fold squared-distance chain per
-    # centroid (0.0 + t1 == t1 exactly, so Python's sum matches the SQL
-    # t1 + t2 + ... chain bit for bit), ties toward the lower index.
-    probes = []
-    for qr in qrows:
-        ev = [float(x) for x in qr["ev"]]
-        ds = []
-        for ci, c in enumerate(centroids):
-            acc = 0.0
-            for a, b in zip(ev, c):
-                acc += (a - b) * (a - b)
-            ds.append((acc, ci))
-        ds.sort()
-        probes.append([ci for _, ci in ds[:nprobe]])
+    probes = select_probes(qrows, centroids, nprobe)
 
     coded = with_code_cols(
         assigned.select(
@@ -412,6 +464,172 @@ def ivfpq_topk(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed (join-based) query side: queries stay a DataFrame
+# ---------------------------------------------------------------------------
+
+
+def encode_queries_join(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook,
+    m: int,
+    sub: int,
+    centroids,
+    nprobe: int,
+) -> DataFrame:
+    """Query-side encoding with NO driver collect: per query, the M
+    K-wide ADC distance arrays (exact BIGINT, the same ``_sql_sq_l2``
+    folds the driver-side ``_adc_tables`` computes in Python) and the
+    ``nprobe`` probed lists (left-fold double chains + stable struct
+    sort, the same op order and tie rule as ``select_probes``), all as
+    one JVM projection, exploded to one row per (query, probed cluster):
+
+        (query_id, cluster, __qd0..__qd{m-1})
+
+    This is the scale path for query sets that are themselves tables
+    (Q ~ 10^6): driver memory is O(1) — the codebook and coarse
+    centroids are the only literals — and probe selection runs where the
+    queries live instead of in a Python loop."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import _sql_dist_sq
+
+    qd_exprs = [
+        "array("
+        + ",".join(
+            _sql_sq_l2(f"slice(qqv, {s * sub + 1}, {sub})", c) for c in codebook[s]
+        )
+        + f") AS __qd{s}"
+        for s in range(m)
+    ]
+    cd = "array(" + ",".join(_sql_dist_sq("__ev", c) for c in centroids) + ")"
+    probes_expr = (
+        f"transform(slice(array_sort(zip_with({cd}, "
+        f"sequence(0, {len(centroids) - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i))), 1, {int(nprobe)}), "
+        "p -> p.i)"
+    )
+    base = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qqv"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__ev"),
+    )
+    enc = base.selectExpr("query_id", *qd_exprs, f"{probes_expr} AS __probes")
+    return enc.select(
+        "query_id",
+        *[f"__qd{s}" for s in range(m)],
+        F.explode("__probes").alias("cluster"),
+    )
+
+
+def adc_join_topk(
+    coded: DataFrame,
+    qenc: DataFrame,
+    m: int,
+    topk: int,
+    id_out: str = "neighbor_id",
+) -> DataFrame:
+    """Score an encoded-query frame (``encode_queries_join``'s shape)
+    against a coded corpus frame carrying (``id_out``, c0..c{m-1},
+    cluster): one equi-join on ``cluster`` gates candidates to the probed
+    lists, the ADC sum projects immediately (the __qd arrays never ride
+    past the join), and a per-query window keeps the top-k. Everything is
+    a shuffle-partitioned relational plan — no literals, no driver state;
+    Catalyst broadcasts the query side when it is small and AQE handles a
+    skewed list. Returns query_id, ``id_out``, cluster, rank, adc_dist."""
+    adc_sql = (
+        "(" + " + ".join(f"element_at(__qd{s}, c{s} + 1)" for s in range(m)) + ")"
+    )
+    cands = (
+        coded.join(qenc, "cluster")
+        .filter(F.col(id_out) != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            _bq(id_out),
+            "cluster",
+            f"CAST({adc_sql} AS BIGINT) AS adc_dist",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", id_out)
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col(id_out).cast("long").alias(id_out),
+            F.col("cluster").cast("int").alias("cluster"),
+            "rank",
+            "adc_dist",
+        )
+    )
+
+
+def _exact_audit_join(
+    ranked: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Attach the exact full-dimension distance to ranked survivors by
+    joining BACK to the raw vectors (O(Q x topk) lookups on both sides —
+    never the candidate stream), matching the literal path's
+    ``_sql_exact_dist`` BIGINT fold bit for bit."""
+    nvec = df.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__nqv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("__qqv")
+    )
+    return (
+        ranked.join(nvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "cluster",
+            "rank",
+            "adc_dist",
+            "CAST(aggregate(zip_with(__nqv, __qqv, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, v) -> acc + v) AS BIGINT) AS exact_dist",
+        )
+    )
+
+
+def _ivfpq_topk_join(
+    assigned: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    m: int,
+    topk: int,
+    centroids,
+    codebook,
+) -> DataFrame:
+    """IVF-PQ search with a DISTRIBUTED query side (``query_mode="join"``):
+    row-identical to the literal path (pinned in tests) but with queries
+    staying a DataFrame end to end — the 100 TB shape for query sets that
+    are themselves tables. ``assigned`` is the cluster-assigned corpus
+    (``kmeans``/``assign`` output). Column order matches ``ivfpq_topk``."""
+    sub = len(codebook[0][0])
+    coded = with_code_cols(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(vec_col).alias("qv"),
+            "cluster",
+        ),
+        codebook, m, sub,
+    ).select("neighbor_id", *[f"c{s}" for s in range(m)], "cluster")
+    qenc = encode_queries_join(
+        queries, id_col, vec_col, codebook, m, sub, centroids, nprobe
+    )
+    ranked = adc_join_topk(coded, qenc, m, topk)
+    return _exact_audit_join(ranked, assigned, queries, id_col, vec_col).select(
+        "query_id", "neighbor_id", "cluster", "rank", "adc_dist", "exact_dist"
+    )
 
 
 def _rank_ivfpq_batch(

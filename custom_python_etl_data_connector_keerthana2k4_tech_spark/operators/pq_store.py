@@ -48,21 +48,12 @@ _DATA_PTR = "_data_ptr"  # names the live data generation (crash-safe publish)
 
 
 def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
-    """Driver probe selection: left-fold squared-distance chain per
-    centroid (same op order as the distributed assignment), ties toward
-    the lower list index."""
-    probes = []
-    for qr in qrows:
-        ev = [float(x) for x in qr["ev"]]
-        ds = []
-        for ci, c in enumerate(centroids):
-            acc = 0.0
-            for a, b in zip(ev, c):
-                acc += (a - b) * (a - b)
-            ds.append((acc, ci))
-        ds.sort()
-        probes.append([ci for _, ci in ds[:nprobe]])
-    return probes
+    """Driver probe selection (literal mode): delegates to the shared
+    NumPy-vectorized left-fold (operators/pq.select_probes — bit-identical
+    to the scalar chain, ties toward the lower list index)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import select_probes
+
+    return select_probes(qrows, centroids, nprobe)
 
 
 class IVFPQStore:
@@ -352,6 +343,7 @@ class IVFPQStore:
     def query(
         self, queries: DataFrame, nprobe: int = 2, topk: int = 10,
         query_batch: int = 64, where: str | None = None,
+        query_mode: str = "literal",
     ) -> DataFrame:
         """ADC top-k over the probed lists only.
 
@@ -374,8 +366,43 @@ class IVFPQStore:
         union row-identical to the unsharded plan. Exact-rerank
         consumers join the survivor ids back to the raw vector source
         (O(Q×topk) lookups).
+
+        ``query_mode="join"`` keeps the queries a DATAFRAME end to end
+        (the operators/pq.encode_queries_join path): probe selection and
+        ADC tables compute distributed, driver state is O(n_lists) — the
+        only collect is the distinct probed-list ids, so the ``cluster
+        IN probes`` gate stays explicit PartitionFilters directory
+        pruning. Row-identical to literal mode (pinned in tests); use it
+        when the query set is itself a table (Q ~ 10^6).
         """
-        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import _batches
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
+            _batches,
+            adc_join_topk,
+            encode_queries_join,
+        )
+
+        if query_mode == "join":
+            qenc = encode_queries_join(
+                queries, self.id_col, self.vec_col, self.codebook,
+                self.m, self.sub, self.centroids, nprobe,
+            )
+            # Bounded collect: <= n_lists ints — keeps directory pruning a
+            # literal PartitionFilters predicate (plan-asserted) instead of
+            # relying on runtime DPP. The queries scan runs twice (here and
+            # in the join); at any Q that is noise next to the corpus scan.
+            probed = sorted(
+                int(r["cluster"])
+                for r in qenc.select("cluster").distinct().collect()
+            )
+            coded = self.reader().filter(F.col("cluster").isin(probed))
+            if where is not None:
+                coded = coded.filter(F.expr(where))
+            return adc_join_topk(
+                coded.withColumnRenamed("vid", "neighbor_id"),
+                qenc, self.m, topk,
+            )
+        if query_mode != "literal":
+            raise ValueError(f"unknown query_mode {query_mode!r}")
 
         qrows = _collect_queries(queries, self.id_col, self.vec_col)
         adc_tables = _adc_tables(qrows, self.codebook, self.m, self.sub)

@@ -105,3 +105,82 @@ def test_resize_assets(spark, sf_dir):
     orig_means = {r.asset_id: r.mean_value
                   for r in decode_assets(assets).filter("modality != 'audio'").collect()}
     assert all(orig_means[r.asset_id] == r.mean_value for r in redecoded)
+
+
+# -- perceptual-hash near-dup (round 5) ---------------------------------------
+
+
+def _payload(text: str, w: int = 8, h: int = 6) -> bytes:
+    return b"SGMM" + f"{w:05d}|{h:05d}|".encode() + text.encode()
+
+
+def _mk_assets(spark, items):
+    """items: list of (asset_id, modality, payload_bytes)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import ASSET_SCHEMA
+
+    rows = [
+        (i, m, p, {"width": 8, "height": 6, "sample_rate": 16000,
+                   "n_frames": 1, "format": "sgmm"})
+        for i, m, p in items
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_ahash_planted_near_identical_media(spark):
+    """Two images whose payloads differ by ONE byte must land within a
+    tiny Hamming distance and be mined as a pair; an unrelated image must
+    not pair with them at a tight threshold."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import phash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    tweaked = base[:-5] + "cat  "
+    noise = "".join(chr(33 + (i * 47) % 90) for i in range(len(base)))
+    assets = _mk_assets(spark, [
+        (1, "image", _payload(base)),
+        (2, "image", _payload(tweaked)),
+        (3, "image", _payload(noise)),
+        (4, "audio", _payload(base)),  # non-image: excluded from hashing
+    ])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_neardup_pairs(assets, max_hamming=6).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] <= 4
+
+
+def test_ahash_banding_equals_brute_force(spark, sf_dir):
+    """Pigeonhole losslessness on the real fixture: the banded pair set
+    equals brute force over the Python kernel's fingerprints."""
+    from itertools import combinations
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import (
+        ahash_assets,
+        assets_from_documents,
+        phash_neardup_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    assets = assets_from_documents(d)
+    got = sorted(
+        tuple(r) for r in phash_neardup_pairs(assets, max_hamming=16).collect()
+    )
+    fps = {r["asset_id"]: r["ahash"] for r in ahash_assets(assets).collect()}
+    exp = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 16
+    )
+    assert got == exp and len(exp) > 0
+
+
+def test_ahash_dead_letter_on_unknown_format(spark):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import ahash_assets
+
+    assets = _mk_assets(spark, [
+        (1, "image", b"\x89PNG not really"),
+        (2, "image", _payload("hello world, a real sgmm payload")),
+        (3, "image", None),
+    ])
+    rows = {r["asset_id"]: r for r in ahash_assets(assets).collect()}
+    assert rows[1]["ahash"] is None and "PIL" in rows[1]["ahash_error"]
+    assert rows[2]["ahash"] is not None and rows[2]["ahash_error"] is None
+    assert rows[3]["ahash"] is None and rows[3]["ahash_error"] == "null payload"
