@@ -121,3 +121,176 @@ def q383_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(
         assets_from_documents(d), max_hamming=_PH_MAX_HAMMING
     )
+
+
+# ---------------------------------------------------------------------------
+# q384: BM25 ranked retrieval over the persistent postings store
+# q385: hybrid retrieval (BM25 recall -> exact quantized cosine rerank)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "sort", "hash")
+_BM25_TOPK = 15
+_HY_SHORTLIST = 50
+_HY_K = 10
+
+
+def _bm25_scored_ctes() -> str:
+    """DuckDB replay of the store-backed BM25 derivation: store
+    tokenization (single-space split, empties kept), doclen sidecar
+    semantics (token-slot count per doc), query-term tf/df, and q171's
+    operand-identical scoring tree — ending at a ``scored`` CTE."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id AS d_id, CAST(count(*) AS BIGINT) AS dlen
+      FROM tok GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dlen) AS DOUBLE) / count(*) AS avg_len FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term AS f_term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(
+               ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1)
+               * ((tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * dl.dlen) / stats.avg_len)))
+             ) AS DOUBLE) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.f_term
+      JOIN dl ON tf.doc_id = dl.d_id, stats
+      GROUP BY 1
+    )"""
+
+
+@query(
+    "q384_bm25_store_ranked",
+    oracle=f"""
+    WITH {_bm25_scored_ctes()}
+    SELECT doc_id, bm25, n_terms_hit FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def q384_bm25_store_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RANKED retrieval through the persistent postings store — the
+    query a retrieval deployment actually serves (q375/q376 are the
+    exact-match siblings; q171 scores the full corpus from scratch).
+    The store prunes to the query terms' bucket directories
+    (PartitionFilters, <= |terms| dirs — plan-asserted in
+    tests/test_postings_store.py), tf/df derive from the pruned
+    postings, corpus length stats come from the doclen sidecar the store
+    maintains under ingest, and the top-k is an orderBy+limit
+    (TakeOrderedAndProject — distributed partial top-k). The oracle
+    replays tokenization, sidecar semantics, scoring, and the cut from
+    the raw documents, so index staleness or a pruning fault surfaces
+    as a value mismatch."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q384_bm25_") + "/ix"
+    store = PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
+    return store.ranked_bm25(list(_BM25_TERMS), topk=_BM25_TOPK)
+
+
+def _hybrid_oracle() -> str:
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import sql_quantize
+
+    return f"""
+    WITH {_bm25_scored_ctes()},
+    shortlist AS (
+      SELECT doc_id, bm25 FROM (
+        SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_HY_SHORTLIST}
+    ),
+    q AS (
+      SELECT unnest({sql_quantize('embedding')}) AS qx,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT e.vec_id, unnest({sql_quantize('e.embedding')}) AS cx,
+             generate_subscripts(e.embedding, 1) AS i
+      FROM embeddings e JOIN shortlist s ON e.vec_id = s.doc_id
+      WHERE e.vec_id <> 0
+    ),
+    dots AS (
+      SELECT c.vec_id AS doc_id,
+             sum(q.qx * c.cx) AS dot,
+             sum(q.qx * q.qx) AS q_nsq,
+             sum(c.cx * c.cx) AS c_nsq
+      FROM q JOIN c USING (i)
+      GROUP BY 1
+    ),
+    reranked AS (
+      SELECT doc_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE)))
+               AS cosine
+      FROM dots
+    )
+    SELECT r.doc_id, s.bm25, r.cosine, CAST(r.rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      FROM reranked
+    ) r JOIN shortlist s ON s.doc_id = r.doc_id
+    WHERE r.rank <= {_HY_K}
+    """
+
+
+@query("q385_hybrid_retrieval", oracle=_hybrid_oracle())
+def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the standard serving stack: BM25 lexical
+    RECALL from the persistent postings store (q384's ranked query,
+    shortlist {_HY_SHORTLIST}) followed by an exact quantized-integer
+    cosine RERANK of the shortlist's embeddings against the query
+    vector (q378's rerank leg, operators/similarity.cosine_topk).
+    Plan: bucket-pruned postings read + 1-row stats broadcast for the
+    recall leg; the rerank touches embeddings only for the shortlist
+    (semi-join gate) with one broadcast query vector; the composition
+    adds no extra shuffle. Oracle replays BOTH stages — BM25 scores,
+    the shortlist cut, cosines, and final ranks all sit under the
+    value gate."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q385_hybrid_") + "/ix"
+    store = PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
+    hits = store.ranked_bm25(list(_BM25_TERMS), topk=_HY_SHORTLIST)
+    cand = e.join(
+        hits.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    ranked = cosine_topk(
+        cand, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=_HY_K
+    )
+    return (
+        ranked.select(F.col("neighbor_id").alias("doc_id"), "cosine", "rank")
+        .join(hits.select("doc_id", "bm25"), "doc_id")
+        .select("doc_id", "bm25", "cosine", "rank")
+    )
