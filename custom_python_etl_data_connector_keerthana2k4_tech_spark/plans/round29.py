@@ -252,30 +252,43 @@ _IVF_ITERS = 3
 _IVF_NPROBE = 2
 
 
-def ivfpq_adc_ctes(cand_extra_join: str = "") -> str:
+def ivfpq_adc_ctes(
+    cand_extra_join: str = "",
+    nprobe: int | None = None,
+    keep_probe_rank: bool = False,
+) -> str:
     """The shared DuckDB replay of the whole IVF-PQ derivation — Lloyd
     rounds (materialized CTEs), per-query probe ranks, the hash-sampled
     PQ codebook, per-row codes, and per-(query, candidate) ADC sums —
     ending at an ``adc`` CTE. ``cand_extra_join`` splices an extra JOIN
-    into the candidate set (the filtered-search oracle, round31)."""
+    into the candidate set (the filtered-search oracle, round31);
+    ``nprobe`` overrides the probe budget; ``keep_probe_rank`` carries
+    each candidate's probe rank (``probe_rn`` on qprobe/cand/adc) so a
+    consumer can re-cut the SAME adc frame at several nprobe budgets
+    (the operating-curve oracle, round32)."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round3 import (
         _kmeans_ctes,
         _kmeans_dist_chain,
     )
 
+    np_ = _IVF_NPROBE if nprobe is None else int(nprobe)
+    rn_q = ", rn AS probe_rn" if keep_probe_rank else ""
+    rn_c = ", qp.probe_rn" if keep_probe_rank else ""
+    rn_a = ", cand.probe_rn" if keep_probe_rank else ""
+    rn_g = ", 4" if keep_probe_rank else ""
     chain = _kmeans_dist_chain("p.e", "c.c", _PQ_DIM)
     return f"""{_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
     v AS (
       SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
     ),
     qprobe AS (
-      SELECT vec_id AS query_id, cluster FROM (
+      SELECT vec_id AS query_id, cluster{rn_q} FROM (
         SELECT p.vec_id, c.cluster,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY {chain}, c.cluster) AS rn
         FROM pts p CROSS JOIN c{_IVF_ITERS} c
         WHERE p.vec_id < {_PQ_NQ}
-      ) WHERE rn <= {_IVF_NPROBE}
+      ) WHERE rn <= {np_}
     ),
     hashed AS (
       SELECT vec_id, qv, {sql_hex_hash60("CAST(vec_id AS VARCHAR)")} AS h FROM v
@@ -307,18 +320,18 @@ def ivfpq_adc_ctes(cand_extra_join: str = "") -> str:
       SELECT vec_id AS query_id, m, j, d FROM dist WHERE vec_id < {_PQ_NQ}
     ),
     cand AS (
-      SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster
+      SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster{rn_c}
       FROM afinal a JOIN qprobe qp ON a.cluster = qp.cluster
       {cand_extra_join}
       WHERE a.vec_id <> qp.query_id
     ),
     adc AS (
-      SELECT cand.query_id, cand.neighbor_id, cand.cluster,
+      SELECT cand.query_id, cand.neighbor_id, cand.cluster{rn_a},
              CAST(sum(qd.d) AS BIGINT) AS adc_dist
       FROM cand
       JOIN codes c ON c.vec_id = cand.neighbor_id
       JOIN qd ON qd.query_id = cand.query_id AND qd.m = c.m AND qd.j = c.j
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, 3{rn_g}
     )"""
 
 

@@ -26,6 +26,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round29 impo
     _IVF_ITERS,
     _IVF_LISTS,
     _IVF_NPROBE,
+    _PQ_DIM,
     _PQ_K,
     _PQ_M,
     _PQ_NQ,
@@ -33,6 +34,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round29 impo
     _coarse_centroids,
     _ivfpq_oracle,
     _pq_codebook,
+    ivfpq_adc_ctes,
 )
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 
@@ -293,4 +295,183 @@ def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(F.col("neighbor_id").alias("doc_id"), "cosine", "rank")
         .join(hits.select("doc_id", "bm25"), "doc_id")
         .select("doc_id", "bm25", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q386: nprobe/recall operating curve (recall@k + candidate cost per budget)
+# ---------------------------------------------------------------------------
+
+_NPROBES = (1, 2, 4, 8)
+
+
+def _curve_oracle() -> str:
+    exact_dist = (
+        f"list_sum(list_transform(range({_PQ_DIM}), "
+        "i -> (vq.qv[i+1]-vn.qv[i+1])*(vq.qv[i+1]-vn.qv[i+1])))"
+    )
+    return f"""
+    WITH {ivfpq_adc_ctes(nprobe=max(_NPROBES), keep_probe_rank=True)},
+    ns AS (SELECT unnest([{", ".join(str(n) for n in _NPROBES)}]) AS nprobe),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT vq.vec_id AS query_id, vn.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY vq.vec_id
+                                  ORDER BY {exact_dist}, vn.vec_id) AS rk
+        FROM v vq JOIN v vn ON vn.vec_id <> vq.vec_id
+        WHERE vq.vec_id < {_PQ_NQ}
+      ) WHERE rk <= {_PQ_TOPK}
+    ),
+    approx AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT ns.nprobe, a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY ns.nprobe, a.query_id
+                                  ORDER BY a.adc_dist, a.neighbor_id) AS rk
+        FROM adc a JOIN ns ON a.probe_rn <= ns.nprobe
+      ) WHERE rk <= {_PQ_TOPK}
+    ),
+    hits AS (
+      SELECT a.nprobe, a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM approx a JOIN exact e USING (query_id, neighbor_id)
+      GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT ns.nprobe, qp.query_id,
+             CAST(count(*) - 1 AS BIGINT) AS n_candidates
+      FROM qprobe qp
+      JOIN ns ON qp.probe_rn <= ns.nprobe
+      JOIN afinal a ON a.cluster = qp.cluster
+      GROUP BY 1, 2
+    ),
+    reach AS (
+      SELECT ns.nprobe, e.query_id, CAST(count(*) AS BIGINT) AS n_reachable
+      FROM exact e
+      JOIN afinal a ON a.vec_id = e.neighbor_id
+      JOIN qprobe qp ON qp.query_id = e.query_id AND qp.cluster = a.cluster
+      JOIN ns ON qp.probe_rn <= ns.nprobe
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c.nprobe AS INT) AS nprobe, c.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(r.n_reachable, 0) AS BIGINT) AS n_reachable,
+           c.n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {_PQ_TOPK} AS recall
+    FROM cands c
+    LEFT JOIN hits h ON h.nprobe = c.nprobe AND h.query_id = c.query_id
+    LEFT JOIN reach r ON r.nprobe = c.nprobe AND r.query_id = c.query_id
+    """
+
+
+@query("q386_nprobe_recall_curve", oracle=_curve_oracle())
+def q386_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe OPERATING CURVE a vector-search deployment reads before
+    picking a probe budget: recall@k AND candidate cost (rows scored) at
+    nprobe in {_NPROBES}, in one pass. q380 audits one budget; this
+    sweeps the tradeoff. Plan economics: the coded corpus frame builds
+    ONCE (materialize_once) and every budget's ranking re-cuts it with a
+    different probe gate; the exact ground-truth leg computes ONCE and
+    joins against each budget's top-k (the probe sets are nested
+    prefixes, so nothing re-scores); candidate counts come from the
+    bounded list-size aggregate, never a rescan. The oracle replays the
+    whole family from the raw parquet — one adc frame carrying each
+    candidate's probe rank, re-cut per budget — so every point on the
+    curve (hit counts AND costs) is hash-gated."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import quantize
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import assign
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
+        _adc_tables,
+        _collect_queries,
+        _rank_ivfpq_batch,
+        exact_l2_topk,
+        select_probes,
+        with_code_cols,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import materialize_once
+
+    e = load(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < _PQ_NQ)
+    centroids = _coarse_centroids(spark, sf_dir)
+    codebook = _pq_codebook(spark, sf_dir)
+    sub = len(codebook[0][0])
+
+    assigned = assign(e, "embedding", centroids)
+    coded = materialize_once(
+        with_code_cols(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                quantize("embedding").alias("qv"),
+                "cluster",
+            ),
+            codebook, _PQ_M, sub,
+        )
+    )
+    qrows = _collect_queries(qdf, "vec_id", "embedding")
+    adc_tables = _adc_tables(qrows, codebook, _PQ_M, sub)
+    probes_full = select_probes(qrows, centroids, max(_NPROBES))
+    exact = materialize_once(
+        exact_l2_topk(e, qdf, "vec_id", "embedding", topk=_PQ_TOPK).select(
+            "query_id", "neighbor_id"
+        )
+    )
+
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    probe_rows = [
+        (int(qr["id"]), int(n), int(c))
+        for qr, ps in zip(qrows, probes_full)
+        for n in _NPROBES
+        for c in ps[:n]
+    ]
+    pf = spark.createDataFrame(
+        probe_rows, "query_id long, nprobe int, cluster int"
+    )
+    ncand = pf.join(sizes, "cluster").groupBy("query_id", "nprobe").agg(
+        (F.sum("sz") - 1).cast("long").alias("n_candidates")
+    )
+
+    allhits = None
+    for n in _NPROBES:
+        ranked = _rank_ivfpq_batch(
+            coded, qrows, adc_tables, [p[:n] for p in probes_full],
+            _PQ_M, _PQ_TOPK,
+        ).select("query_id", "neighbor_id")
+        hits = ranked.join(exact, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        leg = hits.select(
+            F.lit(int(n)).cast("int").alias("nprobe"), "query_id", "n_hits"
+        )
+        allhits = leg if allhits is None else allhits.unionByName(leg)
+
+    # the probe-gating CEILING: ground-truth neighbors whose home list is
+    # probed at each budget — separates coarse-quantizer loss (raise
+    # nprobe) from ADC ranking loss (raise M/K); the decomposition a
+    # deployment actually reads off this curve
+    reach = (
+        exact.join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"), "cluster"
+            ),
+            "neighbor_id",
+        )
+        .join(pf, ["query_id", "cluster"])
+        .groupBy("query_id", "nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reachable"))
+    )
+
+    return (
+        ncand.join(allhits, ["nprobe", "query_id"], "left")
+        .join(reach, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_reachable"), F.lit(0)).cast("long").alias(
+                "n_reachable"
+            ),
+            "n_candidates",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_PQ_TOPK))
+            ).alias("recall"),
+        )
     )
