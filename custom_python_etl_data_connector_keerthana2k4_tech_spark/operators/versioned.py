@@ -593,6 +593,215 @@ def versioned_delete(
     return new_version
 
 
+def merge_apply(
+    target: DataFrame | None,
+    source: DataFrame,
+    keys: list[str],
+    matched_clauses: list[tuple[str | None, str]],
+    not_matched: str | None = "insert",
+    not_matched_cond: str | None = None,
+) -> DataFrame:
+    """Delta-parity MERGE semantics as one relational plan (the pure
+    transform behind ``versioned_merge``): full-outer join target to
+    source on ``keys``, then per row the FIRST satisfied clause wins —
+
+    - ``matched_clauses``: ordered ``(condition, action)`` pairs with
+      action ``"update"`` (take the source row — UPDATE SET *) or
+      ``"delete"``; ``condition`` is SQL seeing target columns as
+      ``t.<col>`` and source columns as ``s.<col>`` (``None`` =
+      unconditional). A NULL condition result is false (SQL semantics).
+      A matched row satisfying no clause is kept unchanged.
+    - ``not_matched``: ``"insert"`` (INSERT * for source-only rows,
+      gated by ``not_matched_cond`` over ``s.<col>``) or ``None`` (drop
+      source-only rows).
+    - Target-only rows are always kept.
+
+    Source must carry the target's columns (SET * / INSERT * semantics)
+    and be key-unique (the Delta multiple-match precondition; a
+    duplicate-key source applies an arbitrary winner per key, exactly
+    like a nondeterministic Delta merge would error on).
+    """
+    for cond, act in matched_clauses:
+        if act not in ("update", "delete"):
+            raise ValueError(f"unknown matched action {act!r}")
+    if not_matched not in ("insert", None):
+        raise ValueError(f"unknown not_matched action {not_matched!r}")
+    cols = source.columns if target is None else target.columns
+    if target is None:
+        if not_matched != "insert":
+            return source.filter(F.lit(False))
+        if not_matched_cond is not None:
+            s_only = source.alias("s").filter(F.expr(not_matched_cond))
+            return s_only.select(*[F.col(f"s.{c}").alias(c) for c in cols])
+        return source
+
+    t = target.withColumn("__te", F.lit(1)).alias("t")
+    s = source.withColumn("__se", F.lit(1)).alias("s")
+    on = None
+    for k in keys:
+        e = F.col(f"t.{k}") == F.col(f"s.{k}")
+        on = e if on is None else (on & e)
+    j = t.join(s, on, "full_outer")
+
+    mc = None
+    for cond, act in matched_clauses:
+        c = F.lit(True) if cond is None else F.expr(cond)
+        mc = F.when(c, F.lit(act)) if mc is None else mc.when(c, F.lit(act))
+    matched_action = mc.otherwise(F.lit("keep")) if mc is not None else F.lit("keep")
+
+    if not_matched == "insert":
+        ins_gate = (
+            F.lit(True) if not_matched_cond is None else F.expr(not_matched_cond)
+        )
+        unmatched_action = F.when(ins_gate, F.lit("insert")).otherwise(
+            F.lit("drop")
+        )
+    else:
+        unmatched_action = F.lit("drop")
+
+    action = (
+        F.when(F.col("t.__te").isNull(), unmatched_action)
+        .when(F.col("s.__se").isNull(), F.lit("keep"))
+        .otherwise(matched_action)
+    )
+    picked = [
+        F.when(F.col("__act") == "keep", F.col(f"t.{c}"))
+        .otherwise(F.col(f"s.{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        j.withColumn("__act", action)
+        .filter(~F.col("__act").isin("drop", "delete"))
+        .select(*picked)
+    )
+
+
+def versioned_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key: str | list[str],
+    matched_clauses: list[tuple[str | None, str]],
+    not_matched: str | None = "insert",
+    not_matched_cond: str | None = None,
+    expected_parent: "int | None | object" = "_unset",
+) -> int:
+    """Conditional-clause MERGE INTO the versioned table — Delta's
+    ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE`` +
+    ``WHEN NOT MATCHED [AND cond] THEN INSERT`` on plain parquet
+    (semantics in ``merge_apply``; ``versioned_upsert`` stays the
+    unconditional last-write-wins fast path). Publishes a new version;
+    history is untouched.
+
+    Partitioned tables rewrite ONLY the touched partitions: the ones the
+    source's rows land in plus the ones currently holding a matched key
+    (found with one key semi-join over the table — the standard merge
+    key-location pass), referencing every other partition from the
+    parent manifest; a partition left EMPTY by deletes is dropped, and
+    zone-map stats are recomputed for rewritten partitions and carried
+    for referenced ones — the exact rewrite discipline of
+    versioned_delete. Commit/CAS/crash contracts are versioned_upsert's
+    (unique data dir, create-if-absent manifest, pointer moves last).
+    """
+    ks = [key] if isinstance(key, str) else list(key)
+    cur = current_version(spark, root)
+    if expected_parent != "_unset" and cur != expected_parent:
+        raise ConcurrentWriteError(
+            f"table at {root} is at version {cur}, writer expected "
+            f"{expected_parent}; re-read and retry"
+        )
+    new_version = 1 if cur is None else cur + 1
+    data_rel = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+    data_dir = f"{root}/{data_rel}"
+    m = _manifest(spark, root, cur) if cur is not None else {}
+    stats_cols = m.get("stats_cols")
+
+    if cur is None or "partitions" not in m:
+        existing = read_versioned(spark, root, cur) if cur is not None else None
+        merged = merge_apply(
+            existing, source, ks, matched_clauses, not_matched, not_matched_cond
+        )
+        merged.write.mode("overwrite").parquet(data_dir)
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "merge_on": ks,
+            "n_rows": spark.read.parquet(data_dir).count(),
+        }
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = _collect_stats(
+                spark.read.parquet(data_dir), None, stats_cols
+            )
+    else:
+        col = m["partition_by"]
+        src_parts = {
+            str(r[0]) for r in source.select(col).distinct().collect()
+        }
+        cur_df = read_versioned(spark, root, cur)
+        hit_parts = {
+            str(r[0])
+            for r in cur_df.join(
+                source.select(*ks).distinct(), ks, "left_semi"
+            ).select(col).distinct().collect()
+        }
+        touched = sorted(src_parts | hit_parts)
+        prev_parts = dict(m["partitions"])
+        parts = {p: o for p, o in prev_parts.items() if p not in touched}
+        stats = {
+            p: s for p, s in m.get("stats", {}).items() if p not in touched
+        }
+        owned = [p for p in touched if p in prev_parts]
+        existing_touched = (
+            _read_partitions(spark, root, prev_parts, only=owned, col=col)
+            if owned
+            else None
+        )
+        merged = merge_apply(
+            existing_touched, source, ks, matched_clauses,
+            not_matched, not_matched_cond,
+        )
+        survivors = sorted(
+            str(r[0]) for r in merged.select(col).distinct().collect()
+        )
+        if survivors:
+            merged.write.partitionBy(col).mode("overwrite").parquet(data_dir)
+            for p in survivors:
+                parts[p] = data_rel
+            if stats_cols:
+                stats.update(
+                    _collect_stats(
+                        spark.read.parquet(data_dir), col, stats_cols
+                    )
+                )
+        manifest = {
+            "version": new_version,
+            "parent": cur,
+            "data": data_rel,
+            "merge_on": ks,
+            "partition_by": col,
+            "partitions": parts,
+        }
+        if stats_cols:
+            manifest["stats_cols"] = list(stats_cols)
+            manifest["stats"] = stats
+
+    if not _create_exclusive(
+        spark,
+        f"{root}/{_VERSIONS}/v{new_version:08d}.json",
+        json.dumps(manifest, sort_keys=True),
+    ):
+        raise ConcurrentWriteError(
+            f"version {new_version} under {root} was committed by another "
+            f"writer; this merge is invisible (orphan {data_rel}) — "
+            f"re-read and retry"
+        )
+    _write_atomic(spark, f"{root}/{_LATEST}", str(new_version))
+    return new_version
+
+
 def _partition_file_stats(spark, path: str) -> tuple[int, int]:
     """(file_count, total_bytes) of data files directly under ``path``."""
     fs, jvm = _fs(spark, path)

@@ -299,6 +299,112 @@ def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q387: conditional-clause MERGE lifecycle on the versioned table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q387_versioned_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    tgt AS (SELECT * FROM base WHERE k % 5 <> 0),
+    src AS (
+      SELECT k, pr,
+             CASE WHEN k % 3 = 0 THEN cents + 50000
+                  ELSE cents - 50000 END AS cents
+      FROM base WHERE k % 7 = 0
+    ),
+    t_rows AS (
+      SELECT t.k,
+             CASE WHEN s.k IS NULL THEN 'keep'
+                  WHEN t.cents < 500000 THEN 'delete'
+                  WHEN s.cents > t.cents THEN 'update'
+                  ELSE 'keep' END AS act,
+             t.pr AS t_pr, t.cents AS t_cents,
+             s.pr AS s_pr, s.cents AS s_cents
+      FROM tgt t LEFT JOIN src s ON s.k = t.k
+    ),
+    kept AS (
+      SELECT k,
+             CASE WHEN act = 'update' THEN s_pr ELSE t_pr END AS pr,
+             CASE WHEN act = 'update' THEN s_cents ELSE t_cents END AS cents
+      FROM t_rows WHERE act <> 'delete'
+    ),
+    ins AS (
+      SELECT s.k, s.pr, s.cents
+      FROM src s LEFT JOIN tgt t ON t.k = s.k
+      WHERE t.k IS NULL AND s.cents >= 200000
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT pr AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY 1
+    """,
+)
+def q387_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-parity conditional MERGE through the real versioned-table
+    machinery (operators/versioned.versioned_merge): v1 publishes 80% of
+    orders partitioned by priority; v2 merges a source batch (keys
+    divisible by 7, price shifted +-500.00) with the full clause ladder —
+    WHEN MATCHED AND t.cents < 500000 THEN DELETE, WHEN MATCHED AND
+    s.cents > t.cents THEN UPDATE (first true clause wins), WHEN NOT
+    MATCHED AND s.cents >= 200000 THEN INSERT. The aggregate reads v2
+    through the manifest; the oracle replays the ladder relationally
+    from raw orders, so clause precedence, the keep-by-default rule, the
+    insert gate, AND the partition-referencing rewrite all sit under the
+    value gate. 100 TB shape: the merge rewrites only partitions holding
+    source rows or matched keys (one key semi-join locates them) and
+    references the rest — tests/test_versioned_merge.py pins the
+    manifest reuse on sliver-sized batches."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+        read_versioned,
+        versioned_merge,
+        versioned_upsert,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="q387_merge_") + "/t"
+    versioned_upsert(
+        spark, base.filter(F.col("k") % 5 != 0), root, "k",
+        order_by=["cents"], partition_by="pr",
+    )
+    src = base.filter(F.col("k") % 7 == 0).select(
+        "k", "pr",
+        F.when(F.col("k") % 3 == 0, F.col("cents") + 50000)
+        .otherwise(F.col("cents") - 50000)
+        .alias("cents"),
+    )
+    versioned_merge(
+        spark, src, root, "k",
+        matched_clauses=[
+            ("t.cents < 500000", "delete"),
+            ("s.cents > t.cents", "update"),
+        ],
+        not_matched="insert",
+        not_matched_cond="s.cents >= 200000",
+    )
+    return (
+        read_versioned(spark, root)
+        .groupBy(F.col("pr").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q386: nprobe/recall operating curve (recall@k + candidate cost per budget)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,159 @@
+"""Conditional-clause MERGE on versioned tables
+(operators/versioned.merge_apply / versioned_merge): Delta-parity
+WHEN MATCHED [AND cond] THEN UPDATE/DELETE + WHEN NOT MATCHED [AND cond]
+THEN INSERT — clause precedence, keep-by-default, partition-referencing
+rewrite, emptied-partition drop, and history isolation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import (
+    _manifest,
+    current_version,
+    merge_apply,
+    read_versioned,
+    versioned_merge,
+    versioned_upsert,
+)
+
+DDL = "k long, part string, v long, rev int"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def frames(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 100, 1), (2, "a", 600, 1), (3, "b", 300, 1), (4, "b", 400, 1)],
+        DDL,
+    )
+    source = spark.createDataFrame(
+        [(2, "a", 50, 2), (3, "b", 999, 2), (5, "c", 700, 2), (6, "c", 5, 2)],
+        DDL,
+    )
+    return target, source
+
+
+def test_merge_apply_clause_precedence(spark, frames):
+    target, source = frames
+    # delete-first: k=2 (t.v=600 >= 500) skips delete, updates; k=3
+    # (t.v=300 < 500) deletes even though the update clause also holds
+    out = merge_apply(
+        target, source, ["k"],
+        [("t.v < 500", "delete"), ("s.v > t.v", "update")],
+        not_matched="insert", not_matched_cond="s.v >= 100",
+    )
+    assert _rows(out) == [
+        (1, "a", 100, 1),   # target-only: kept
+        (2, "a", 600, 1),   # matched; no clause fires (600>=500, 50<600): kept
+        (4, "b", 400, 1),   # target-only: kept (k=3 deleted by clause 1)
+        (5, "c", 700, 2),   # unmatched, insert gate passes; k=6 (v=5) dropped
+    ]
+
+
+def test_merge_apply_first_true_clause_wins(spark, frames):
+    target, source = frames
+    # update-first ordering flips k=3's fate
+    upd_first = merge_apply(
+        target, source, ["k"],
+        [("s.v > t.v", "update"), ("t.v < 500", "delete")],
+        not_matched=None,
+    )
+    del_first = merge_apply(
+        target, source, ["k"],
+        [("t.v < 500", "delete"), ("s.v > t.v", "update")],
+        not_matched=None,
+    )
+    assert (3, "b", 999, 2) in _rows(upd_first)  # update won
+    assert all(r[0] != 3 for r in _rows(del_first))  # delete won
+    # not_matched=None drops source-only rows entirely
+    assert all(r[0] not in (5, 6) for r in _rows(upd_first))
+
+
+def test_merge_apply_no_clause_keeps_row(spark, frames):
+    target, source = frames
+    out = merge_apply(target, source, ["k"], [], not_matched=None)
+    assert _rows(out) == _rows(target)
+
+
+def test_merge_apply_empty_target_inserts(spark, frames):
+    _, source = frames
+    out = merge_apply(None, source, ["k"], [("true", "update")],
+                      not_matched="insert", not_matched_cond="s.v > 10")
+    assert _rows(out) == [(2, "a", 50, 2), (3, "b", 999, 2), (5, "c", 700, 2)]
+    none = merge_apply(None, source, ["k"], [], not_matched=None)
+    assert none.count() == 0
+
+
+def test_merge_apply_rejects_bad_actions(spark, frames):
+    target, source = frames
+    with pytest.raises(ValueError, match="matched action"):
+        merge_apply(target, source, ["k"], [(None, "upsert")])
+    with pytest.raises(ValueError, match="not_matched action"):
+        merge_apply(target, source, ["k"], [], not_matched="update")
+
+
+def test_versioned_merge_partition_reuse_and_drop(spark, frames, tmp_path):
+    target, source = frames
+    root = str(tmp_path / "t")
+    v1 = versioned_upsert(
+        spark, target, root, "k", ["rev"], partition_by="part",
+        stats_cols=["v"],
+    )
+    m1 = _manifest(spark, root, v1)
+    # merge touching ONLY partition b (delete both its rows) and c (inserts);
+    # partition a must be REFERENCED from v1's manifest, not rewritten
+    src = spark.createDataFrame(
+        [(3, "b", 999, 2), (4, "b", 999, 2), (5, "c", 700, 2)], DDL
+    )
+    v2 = versioned_merge(
+        spark, src, root, "k",
+        matched_clauses=[(None, "delete")],
+        not_matched="insert",
+    )
+    got = read_versioned(spark, root, v2).select("k", "part", "v", "rev")
+    assert _rows(got) == [(1, "a", 100, 1), (2, "a", 600, 1), (5, "c", 700, 2)]
+    m2 = _manifest(spark, root, v2)
+    assert m2["partitions"]["a"] == m1["partitions"]["a"]  # referenced, not copied
+    assert "b" not in m2["partitions"]  # emptied partition dropped
+    assert m2["partitions"]["c"] == m2["data"]  # rewritten in the new dir
+    # stats carry: 'a' keeps v1's zone map, 'c' gets a fresh one, 'b' is gone
+    assert m2["stats"]["a"] == m1["stats"]["a"]
+    assert m2["stats"]["c"]["v"] == [700, 700]
+    assert "b" not in m2["stats"]
+    # history untouched
+    assert _rows(
+        read_versioned(spark, root, v1).select("k", "part", "v", "rev")
+    ) == _rows(target)
+
+
+def test_versioned_merge_conditional_update_partitioned(spark, frames, tmp_path):
+    target, source = frames
+    root = str(tmp_path / "t")
+    versioned_upsert(spark, target, root, "k", ["rev"], partition_by="part")
+    versioned_merge(
+        spark, source, root, "k",
+        matched_clauses=[("s.v > t.v", "update")],
+        not_matched="insert", not_matched_cond="s.v >= 100",
+    )
+    got = read_versioned(spark, root).select("k", "part", "v", "rev")
+    assert _rows(got) == [
+        (1, "a", 100, 1),
+        (2, "a", 600, 1),   # s.v=50 not > 600: kept
+        (3, "b", 999, 2),   # updated
+        (4, "b", 400, 1),
+        (5, "c", 700, 2),   # inserted (>=100); k=6 (v=5) filtered
+    ]
+    assert current_version(spark, root) == 2
+
+
+def test_versioned_merge_creates_table_when_absent(spark, frames, tmp_path):
+    _, source = frames
+    root = str(tmp_path / "t")
+    v = versioned_merge(spark, source, root, "k", matched_clauses=[])
+    assert v == 1
+    assert _rows(read_versioned(spark, root)) == _rows(source)
