@@ -85,37 +85,110 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
-    """Decode kernel: (width, height, mean_pixel_value).
+def _bmp_gray_pixels(raw: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib BMP decode (struct only — no PIL): uncompressed
+    24/32-bpp BITMAPINFOHEADER files. Returns (width, height, grayscale
+    pixels in visual row-major order, top row first); grayscale is the
+    exact integer (r + g + b) // 3. BMP rows are stored bottom-up
+    (positive height) with 4-byte row padding; a negative height means
+    top-down. Raises ValueError on anything that is not such a BMP."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) // 4 * 4
+    if data_off + stride * h > len(raw):
+        raise ValueError("truncated BMP payload")
+    rows = []
+    for r in range(h):
+        src_row = r if top_down else h - 1 - r
+        base = data_off + src_row * stride
+        row = []
+        for c in range(w):
+            o = base + c * bytes_pp
+            b_, g_, r_ = raw[o], raw[o + 1], raw[o + 2]  # BGR(A) order
+            row.append((r_ + g_ + b_) // 3)
+        rows.append(row)
+    return w, h, [px for row in rows for px in row]
 
-    Real path: PIL (not installed in this container). Fallback: parse the
-    synthetic SGMM header deterministically. A genuinely unknown format
-    raises NotImplementedError — surfaced per-record as NULLs by the
-    mapInPandas wrapper (dead-letter semantics, reference R7).
+
+def _wav_mean_abs(raw: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib WAV decode (wave module): returns (sample_rate,
+    n_frames, mean absolute 16-bit PCM amplitude). Raises ValueError on
+    non-WAV or non-16-bit payloads."""
+    import array
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw)) as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError(
+                    f"unsupported WAV sample width {wf.getsampwidth()}"
+                )
+            frames = wf.readframes(wf.getnframes())
+            rate, n = wf.getframerate(), wf.getnframes()
+    except wave.Error as exc:
+        raise ValueError(f"not a WAV payload: {exc}") from exc
+    samples = array.array("h")
+    samples.frombytes(frames[: len(frames) // 2 * 2])  # WAV PCM is LE; so is the array on this platform
+    mean = sum(abs(s) for s in samples) // max(len(samples), 1)
+    return rate, n, mean
+
+
+def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
+    """Decode kernel: (width, height, mean_value).
+
+    Real paths, tried in order: PIL when importable (any format it
+    knows); a pure-stdlib BMP decoder (struct — runs in the stock
+    container, no optional deps); a pure-stdlib WAV decoder (wave
+    module; width/height have no meaning, so it returns
+    (sample_rate, n_frames, mean |amplitude|) — the typed metadata the
+    audio modality carries). Fallback: the synthetic SGMM header format.
+    A genuinely unknown format raises NotImplementedError — surfaced
+    per-record as NULLs by the mapInPandas wrapper (dead-letter
+    semantics, reference R7).
     """
     if payload is None:
         return None
+    raw = bytes(payload)
     try:
         from io import BytesIO
 
         from PIL import Image  # type: ignore
 
         try:
-            img = Image.open(BytesIO(bytes(payload)))
+            img = Image.open(BytesIO(raw))
             w, h = img.size
             mean = int(sum(img.convert("L").getdata()) / (w * h))
             return (w, h, mean)
         except Exception:
-            # PIL present but the payload is not a real image (e.g. the
-            # synthetic SGMM fixture) — fall through to the SGMM parser
+            # PIL present but the payload is not a PIL-readable image —
+            # fall through to the stdlib decoders
             pass
     except ImportError:
         pass
-    raw = bytes(payload)
+    if raw[:2] == b"BM":
+        w, h, gray = _bmp_gray_pixels(raw)
+        return (w, h, sum(gray) // max(len(gray), 1))
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        return _wav_mean_abs(raw)
     if not raw.startswith(_MAGIC):
         raise NotImplementedError(
             "real media decoding requires PIL/librosa/ffmpeg (not in this "
-            "container); only the synthetic SGMM format is decodable"
+            "container) for formats beyond BMP/WAV/SGMM"
         )
     body = raw[len(_MAGIC) :]
     w = int(body[0:5])
@@ -212,20 +285,25 @@ def _ahash_payload(payload: bytes | None) -> int | None:
     """Average-hash (aHash) of a decoded image: bin the grayscale stream
     into AHASH_CELLS cells (floor-average per cell), set bit k iff cell k
     is strictly above the global mean (compared exactly as
-    ``cells * g_k > sum(g)`` — no division). The real path would feed
-    PIL's resized grayscale pixels; the deterministic SGMM fallback's
-    "pixels" are the content bytes, which is what makes the fingerprint
-    replayable in SQL (the q50 device). Unknown formats raise
-    NotImplementedError (dead-letter per record, reference R7)."""
+    ``cells * g_k > sum(g)`` — no division). The grayscale stream is a
+    REAL decode for BMP payloads (the stdlib struct decoder — visual
+    row-major (r+g+b)//3 pixels, so near-identical images land nearby);
+    the deterministic SGMM fallback's "pixels" are the content bytes,
+    which is what makes the fixture fingerprint replayable in SQL (the
+    q50 device). Unknown formats raise NotImplementedError (dead-letter
+    per record, reference R7)."""
     if payload is None:
         return None
     raw = bytes(payload)
-    if not raw.startswith(_MAGIC):
+    if raw[:2] == b"BM":
+        _, _, content = _bmp_gray_pixels(raw)
+    elif raw.startswith(_MAGIC):
+        content = raw[len(_MAGIC) + 12 :]
+    else:
         raise NotImplementedError(
-            "real perceptual hashing requires PIL (not in this container); "
-            "only the synthetic SGMM format is decodable"
+            "real perceptual hashing requires PIL (not in this container) "
+            "for formats beyond BMP/SGMM"
         )
-    content = raw[len(_MAGIC) + 12 :]
     n = len(content)
     if n == 0:
         return 0

@@ -47,7 +47,7 @@ def test_decode_dead_letter(spark):
         [(1, "image", bytearray(b"JPEG-not-really"), None)], ASSET_SCHEMA
     )
     row = decode_assets(bad).first()
-    assert row.decode_error is not None and "decodable" in row.decode_error
+    assert row.decode_error is not None and "PIL" in row.decode_error
     assert row.decoded_width is None
 
 
