@@ -79,6 +79,10 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
             pdf[c] = pdf[c].round(6)
+        elif pdf[c].dtype.kind == "M":
+            # Spark hands datetime64[ns], DuckDB datetime64[us]: same
+            # instants, different epoch units — normalize before compare
+            pdf[c] = pdf[c].astype("datetime64[ns]")
         elif pdf[c].dtype == object:
             # NULL group keys sort consistently on both engines
             pdf[c] = pdf[c].where(pdf[c].notna(), "~null~")
@@ -126,6 +130,10 @@ def plans(draw):
                 # composed shapes: the round-3 grammar stopped at
                 # join+aggregate; these chain a second operator on top
                 "join_window", "setop_agg", "setop_window",
+                # round-5 productions: correlated subqueries (Catalyst
+                # decorrelation — EXISTS and the scalar-COUNT "count bug")
+                # and the as-of join vs DuckDB's native ASOF JOIN
+                "exists_agg", "scalar_sub", "asof",
             ]
         )
     )
@@ -150,6 +158,10 @@ def plans(draw):
         ),
         "setop": setop,
         "filters2": filters2,
+        # round-5 extras: lineitem-domain inner filters for the correlated
+        # subquery shapes, and EXISTS vs NOT EXISTS
+        "li_filters": draw(st.lists(_filter("lineitem"), min_size=1, max_size=2)),
+        "negate": draw(st.booleans()),
     }
 
 
@@ -255,6 +267,85 @@ def _render(spark, plan):
                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run
             FROM {t}{where}
             WINDOW win AS (PARTITION BY {key} ORDER BY {num}, {uid})
+        """
+        return sdf, sql
+
+    if plan["shape"] == "exists_agg" and t == "orders":
+        # correlated EXISTS / NOT EXISTS feeding an aggregate — rendered
+        # as SQL on BOTH engines so Spark runs Catalyst's subquery
+        # decorrelation (RewritePredicateSubquery -> semi/anti join),
+        # not a hand-built semi-join
+        load(spark, SF_DIR, "orders").createOrReplaceTempView("__fz_orders")
+        load(spark, SF_DIR, "lineitem").createOrReplaceTempView("__fz_lineitem")
+        li_where = " AND ".join(sql for _, sql in plan["li_filters"])
+        neg = "NOT " if plan["negate"] else ""
+
+        def q(orders: str, lineitem: str) -> str:
+            return f"""
+                SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+                FROM {orders} o
+                WHERE {neg}EXISTS (SELECT 1 FROM {lineitem} l
+                                   WHERE l.l_orderkey = o.o_orderkey
+                                     AND {li_where})
+                {' AND ' + ' AND '.join(s for _, s in plan['filters']) if plan['filters'] else ''}
+                GROUP BY o_orderstatus
+            """
+
+        return spark.sql(q("__fz_orders", "__fz_lineitem")), q("orders", "lineitem")
+
+    if plan["shape"] == "scalar_sub" and t == "orders":
+        # correlated SCALAR subqueries: COUNT over an empty correlation
+        # must decorrelate to 0, not NULL (the classic "count bug" in
+        # subquery-to-join rewrites); MAX over empty stays NULL
+        load(spark, SF_DIR, "orders").createOrReplaceTempView("__fz_orders")
+        load(spark, SF_DIR, "lineitem").createOrReplaceTempView("__fz_lineitem")
+        li_where = " AND ".join(sql for _, sql in plan["li_filters"])
+
+        def q(orders: str, lineitem: str) -> str:
+            return f"""
+                SELECT o_orderkey, o_orderstatus,
+                       (SELECT CAST(count(*) AS BIGINT) FROM {lineitem} l
+                        WHERE l.l_orderkey = o.o_orderkey AND {li_where})
+                         AS n_items,
+                       (SELECT max(l.l_quantity) FROM {lineitem} l
+                        WHERE l.l_orderkey = o.o_orderkey AND {li_where})
+                         AS mx_q
+                FROM {orders} o{_where_sql(plan['filters'])}
+            """
+
+        return spark.sql(q("__fz_orders", "__fz_lineitem")), q("orders", "lineitem")
+
+    if plan["shape"] == "asof" and t == "orders":
+        # as-of self-join per customer: each order picks the same
+        # customer's max-price order at-or-before its date. The right
+        # side pre-aggregates to one row per (custkey, orderdate), so
+        # both engines' tie rules are moot and the match is unique —
+        # our asof_join's documented determinism contract. DuckDB runs
+        # its NATIVE ASOF JOIN; any drift in inclusivity, unmatched-row
+        # handling, or per-key isolation surfaces as a diff.
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.joins import asof_join
+
+        lft = base.select("o_orderkey", "o_custkey", "o_orderdate")
+        rgt = (
+            _apply_filters(load(spark, SF_DIR, "orders"), plan["filters2"])
+            .groupBy("o_custkey", "o_orderdate")
+            .agg(F.max("o_totalprice").alias("p"))
+        )
+        sdf = asof_join(
+            lft, rgt, on="o_custkey",
+            left_time="o_orderdate", right_time="o_orderdate",
+        )
+        sql = f"""
+            SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+                   r.o_orderdate AS o_orderdate_right, r.p
+            FROM (SELECT o_orderkey, o_custkey, o_orderdate
+                  FROM orders{where}) l
+            ASOF LEFT JOIN
+            (SELECT o_custkey, o_orderdate, max(o_totalprice) AS p
+             FROM orders{_where_sql(plan['filters2'])}
+             GROUP BY 1, 2) r
+            ON l.o_custkey = r.o_custkey AND r.o_orderdate <= l.o_orderdate
         """
         return sdf, sql
 
@@ -455,6 +546,34 @@ _PINNED = [
         "num": "c_acctbal", "key": "c_mktsegment", "distinct": False,
         "join_how": "inner", "cust_bal_min": None,
         "setop": "union_all",
+    },
+    {
+        "table": "orders", "shape": "exists_agg",
+        "filters": [(("o_orderstatus", "<>", "'P'"), "o_orderstatus <> 'P'")],
+        "filters2": [],
+        "num": "o_totalprice", "key": "o_orderstatus", "distinct": False,
+        "join_how": "inner", "cust_bal_min": None, "setop": "union_all",
+        "li_filters": [(("l_quantity", ">", "45.0"), "l_quantity > 45.0")],
+        "negate": True,  # NOT EXISTS -> anti-join decorrelation
+    },
+    {
+        "table": "orders", "shape": "scalar_sub",
+        "filters": [(("o_totalprice", ">", "100000.0"), "o_totalprice > 100000.0")],
+        "filters2": [],
+        "num": "o_totalprice", "key": "o_orderstatus", "distinct": False,
+        "join_how": "inner", "cust_bal_min": None, "setop": "union_all",
+        # selective inner filter -> many empty correlations (the count bug)
+        "li_filters": [(("l_discount", "<=", "0.01"), "l_discount <= 0.01")],
+        "negate": False,
+    },
+    {
+        "table": "orders", "shape": "asof",
+        "filters": [],
+        "filters2": [(("o_totalprice", ">", "200000.0"), "o_totalprice > 200000.0")],
+        "num": "o_totalprice", "key": "o_orderstatus", "distinct": False,
+        "join_how": "inner", "cust_bal_min": None, "setop": "union_all",
+        "li_filters": [(("l_quantity", ">", "45.0"), "l_quantity > 45.0")],
+        "negate": False,
     },
 ]
 
