@@ -148,6 +148,68 @@ def _wav_mean_abs(raw: bytes) -> tuple[int, int, int]:
     return rate, n, mean
 
 
+def _bmp_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """(width, height, RGB rows in visual order) for the formats
+    ``_bmp_gray_pixels`` accepts — the full-color sibling the resize
+    stage needs."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) // 4 * 4
+    if data_off + stride * h > len(raw):
+        raise ValueError("truncated BMP payload")
+    rows = []
+    for r in range(h):
+        src_row = r if top_down else h - 1 - r
+        base = data_off + src_row * stride
+        rows.append(
+            [
+                (raw[base + c * bytes_pp + 2], raw[base + c * bytes_pp + 1],
+                 raw[base + c * bytes_pp])
+                for c in range(w)
+            ]
+        )
+    return w, h, rows
+
+
+def _bmp_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bpp bottom-up BMP from visual-order RGB rows."""
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in reversed(rows):
+        for r, g, b in row:
+            body += bytes((b, g, r))
+        body += b"\x00" * (stride - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(body)
+
+
+def _bmp_resize(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor BMP resample, stdlib only: source pixel for
+    target (x, y) is (x * w_src // width, y * h_src // height) — the
+    deterministic integer mapping, re-encoded as 24-bpp BMP."""
+    w, h, rows = _bmp_rgb_rows(raw)
+    out = [
+        [rows[y * h // height][x * w // width] for x in range(width)]
+        for y in range(height)
+    ]
+    return _bmp_encode(out)
+
+
 def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     """Decode kernel: (width, height, mean_value).
 
@@ -414,11 +476,23 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(payload), metas.append(meta), errs.append(None)
                     continue
                 raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    # REAL resize (stdlib nearest-neighbor resample), no
+                    # optional dependency
+                    try:
+                        new_meta = dict(meta)
+                        new_meta["width"], new_meta["height"] = width, height
+                        payloads.append(_bmp_resize(raw, width, height))
+                        metas.append(new_meta), errs.append(None)
+                    except ValueError as exc:
+                        payloads.append(payload), metas.append(meta)
+                        errs.append(str(exc)[:120])
+                    continue
                 if not raw.startswith(_MAGIC):
                     payloads.append(payload), metas.append(meta)
                     errs.append(
                         "real media resizing requires PIL/ffmpeg (not in this "
-                        "container); only the synthetic SGMM format is supported"
+                        "container) for formats beyond BMP/SGMM"
                     )
                     continue
                 body = raw[len(_MAGIC) + 12 :]  # strip old header, keep content

@@ -280,11 +280,18 @@ def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import cosine_topk
 
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import materialize_once
+
     docs = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="q385_hybrid_") + "/ix"
     store = PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
-    hits = store.ranked_bm25(list(_BM25_TERMS), topk=_HY_SHORTLIST)
+    # the shortlist is read three ways (semi-join gate, bm25 carry, rerank
+    # base) — materialize the 50-row frame instead of re-running the
+    # bucket-pruned scoring per branch
+    hits = materialize_once(
+        store.ranked_bm25(list(_BM25_TERMS), topk=_HY_SHORTLIST)
+    )
     cand = e.join(
         hits.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )

@@ -140,3 +140,26 @@ def test_doclen_missing_raises_descriptive(spark, sf_dir, tmp_path):
     shutil.rmtree(store._doclen_path())
     with pytest.raises(FileNotFoundError, match="doclen sidecar"):
         store.ranked_bm25(TERMS)
+
+
+def test_ranked_bm25_after_streaming_growth(spark, sf_dir, tmp_path):
+    """The doclen sidecar must also track STREAMING appends (foreachBatch
+    routes through append): a stream-grown store ranks identically to a
+    one-shot build."""
+    docs = load(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    grown = PostingsStore.build(
+        spark, half_a, "doc_id", "text", str(tmp_path / "ix"), n_buckets=16
+    )
+    src = str(tmp_path / "incoming")
+    half_b.write.parquet(src)
+    stream = spark.readStream.schema(DOCS_DDL).parquet(src)
+    grown.streaming_append(stream, str(tmp_path / "ckpt")).awaitTermination()
+
+    oneshot = PostingsStore.build(
+        spark, docs, "doc_id", "text", str(tmp_path / "b"), n_buckets=16
+    )
+    assert _rows(grown.ranked_bm25(TERMS, topk=25)) == _rows(
+        oneshot.ranked_bm25(TERMS, topk=25)
+    )
