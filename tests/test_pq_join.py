@@ -154,3 +154,22 @@ def test_join_mode_serves_100k_query_table(spark):
         assert {k: sorted(v) for k, v in tile.items()} == {
             k: sorted(v) for k, v in ref_rows.items()
         }
+
+
+def test_store_join_mode_foreign_query_table(spark, sf_dir, tmp_path):
+    """Join mode with a query TABLE whose ids are not corpus ids (the
+    production shape: queries come from somewhere else): no accidental
+    self-exclusion, every query ranked, row-identical to the literal
+    path on the same frame."""
+    e = load(spark, sf_dir, "embeddings")
+    st = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", str(tmp_path / "ix"), km_iters=1
+    )
+    foreign = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    lit = st.query(foreign, nprobe=2, topk=5)
+    jn = st.query(foreign, nprobe=2, topk=5, query_mode="join")
+    a, b = _rows(lit), _rows(jn)
+    assert a == b
+    assert len({r[0] for r in a}) == 25  # every foreign query served

@@ -157,3 +157,61 @@ def test_versioned_merge_creates_table_when_absent(spark, frames, tmp_path):
     v = versioned_merge(spark, source, root, "k", matched_clauses=[])
     assert v == 1
     assert _rows(read_versioned(spark, root)) == _rows(source)
+
+
+def test_versioned_merge_multi_key(spark, tmp_path):
+    """Composite merge keys: the ON condition is the conjunction of all
+    key columns."""
+    root = str(tmp_path / "t")
+    target = spark.createDataFrame(
+        [(1, "x", "a", 10, 1), (1, "y", "a", 20, 1), (2, "x", "b", 30, 1)],
+        "k1 long, k2 string, part string, v long, rev int",
+    )
+    source = spark.createDataFrame(
+        [(1, "x", "a", 99, 2),   # matches (1,x): update
+         (1, "z", "a", 50, 2),   # k1 matches but k2 not: insert
+         (2, "y", "b", 7, 2)],   # insert
+        "k1 long, k2 string, part string, v long, rev int",
+    )
+    versioned_upsert(spark, target, root, ["k1", "k2"], ["rev"],
+                     partition_by="part")
+    versioned_merge(
+        spark, source, root, ["k1", "k2"],
+        matched_clauses=[("s.v > t.v", "update")],
+    )
+    got = read_versioned(spark, root).select("k1", "k2", "part", "v", "rev")
+    assert _rows(got) == [
+        (1, "x", "a", 99, 2),
+        (1, "y", "a", 20, 1),
+        (1, "z", "a", 50, 2),
+        (2, "x", "b", 30, 1),
+        (2, "y", "b", 7, 2),
+    ]
+
+
+def test_versioned_merge_cas_conflict(spark, frames, tmp_path):
+    """expected_parent CAS: a merge that read version 1 must fail fast
+    once another writer has published version 2, leaving the table
+    untouched."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import ConcurrentWriteError
+
+    target, source = frames
+    root = str(tmp_path / "t")
+    v1 = versioned_upsert(spark, target, root, "k", ["rev"],
+                          partition_by="part")
+    v2 = versioned_upsert(
+        spark, target.withColumn("rev", F.lit(2)), root, "k", ["rev"],
+        partition_by="part",
+    )
+    with pytest.raises(ConcurrentWriteError, match="expected 1"):
+        versioned_merge(
+            spark, source, root, "k",
+            matched_clauses=[(None, "update")], expected_parent=v1,
+        )
+    assert current_version(spark, root) == v2
+    # retry with the refreshed parent succeeds
+    v3 = versioned_merge(
+        spark, source, root, "k",
+        matched_clauses=[(None, "update")], expected_parent=v2,
+    )
+    assert v3 == 3
