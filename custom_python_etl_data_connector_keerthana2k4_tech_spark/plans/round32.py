@@ -306,6 +306,118 @@ def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q388: RRF hybrid search over the two persistent indexes
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_store_oracle() -> str:
+    return f"""
+    WITH {ivfpq_adc_ctes()},
+    {_bm25_scored_ctes()},
+    bm AS (
+      SELECT doc_id, bm25_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM scored
+      ) WHERE bm25_rank <= {_HY_SHORTLIST}
+    ),
+    ann AS (
+      SELECT neighbor_id AS doc_id, CAST(rk AS BIGINT) AS ann_rank FROM (
+        SELECT a.neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.adc_dist, a.neighbor_id) AS rk
+        FROM adc a WHERE a.query_id = 0
+      ) WHERE rk <= {_HY_SHORTLIST}
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.bm25_rank, ann.ann_rank,
+             coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + bm.bm25_rank),
+                      CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + ann.ann_rank),
+                          CAST(0 AS DOUBLE)) AS rrf
+      FROM bm FULL JOIN ann ON ann.doc_id = bm.doc_id
+    )
+    SELECT doc_id, bm25_rank, ann_rank, rrf FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS frk
+      FROM fused
+    ) WHERE frk <= {_RRF_TOPK}
+    """
+
+
+@query("q388_rrf_store_hybrid", oracle=_rrf_store_oracle())
+def q388_rrf_store_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the two PERSISTENT indexes — the
+    production hybrid-search deployment shape: a BM25 run from the
+    bucket-pruned postings store (q384's ranked query) fused with an
+    ANN run from the directory-pruned IVF-PQ store (q377's query) via
+    RRF (k={_RRF_K}) — zero score calibration between the lexical and
+    vector legs, integer ranks only. q159 demonstrates RRF on aggregate
+    facets and q385 hybridizes by score; this is the index-to-index
+    composition users actually ship. Plan: both legs are index reads
+    (<= |terms| token buckets; nprobe cluster dirs); BM25 shortlist
+    ranks derive via the distributed global-rank device (no one-task
+    sort), ANN ranks are per-query windows; fusion is one full-outer
+    join of two k-row frames and the final cut is orderBy+limit. The
+    oracle replays BOTH index derivations AND the fusion arithmetic, so
+    every fused rank is hash-gated."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+
+    proot = tempfile.mkdtemp(prefix="q388_postings_") + "/ix"
+    pstore = PostingsStore.build(spark, docs, "doc_id", "text", proot,
+                                 n_buckets=16)
+    bm = with_global_rank(
+        pstore.ranked_bm25(list(_BM25_TERMS), topk=_HY_SHORTLIST),
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        out="bm25_rank",
+    ).select("doc_id", "bm25_rank")
+
+    vroot = tempfile.mkdtemp(prefix="q388_ivfpq_") + "/ix"
+    vstore = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", vroot,
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+    )
+    ann = vstore.query(
+        e.filter(F.col("vec_id") == 0), nprobe=_IVF_NPROBE,
+        topk=_HY_SHORTLIST,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("ann_rank"),
+    )
+
+    fused = bm.join(ann, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_RRF_K) + F.col("bm25_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_RRF_K) + F.col("ann_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # q387: conditional-clause MERGE lifecycle on the versioned table
 # ---------------------------------------------------------------------------
 

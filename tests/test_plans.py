@@ -92,6 +92,7 @@ _INTENTIONAL_BNLJ = {
     "q171_bm25_scoring",  # one-row corpus-stats broadcast
     "q384_bm25_store_ranked",  # one-row corpus-stats broadcast (doclen sidecar aggregate)
     "q385_hybrid_retrieval",  # one-row stats broadcast (BM25 leg) + 1-row query-vector broadcast (cosine rerank leg)
+    "q388_rrf_store_hybrid",  # one-row corpus-stats broadcast (BM25 leg, q384's shape)
     "q175_cusum_drift",  # one-row baseline-mean broadcast
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
