@@ -215,3 +215,93 @@ def test_versioned_merge_cas_conflict(spark, frames, tmp_path):
         matched_clauses=[(None, "update")], expected_parent=v2,
     )
     assert v3 == 3
+
+
+# -- property fuzz: merge_apply vs a pure-Python reference -------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_CONDS = {
+    "t.v < 300": lambda t, s: t["v"] < 300,
+    "s.v > t.v": lambda t, s: s["v"] > t["v"],
+    "s.v % 2 = 0": lambda t, s: s["v"] % 2 == 0,
+    None: lambda t, s: True,
+}
+_INS_CONDS = {
+    "s.v >= 100": lambda s: s["v"] >= 100,
+    "s.v % 2 = 1": lambda s: s["v"] % 2 == 1,
+    None: lambda s: True,
+}
+
+
+def _py_merge(target, source, clauses, not_matched, ins_cond):
+    """Reference semantics on plain dicts: first true clause wins,
+    keep-by-default, insert gate for source-only rows."""
+    src = {r["k"]: r for r in source}
+    out = []
+    for t in target:
+        s = src.get(t["k"])
+        if s is None:
+            out.append(t)
+            continue
+        act = "keep"
+        for cond, action in clauses:
+            if _CONDS[cond](t, s):
+                act = action
+                break
+        if act == "keep":
+            out.append(t)
+        elif act == "update":
+            out.append(s)
+    tgt_keys = {r["k"] for r in target}
+    if not_matched == "insert":
+        for s in source:
+            if s["k"] not in tgt_keys and _INS_CONDS[ins_cond](s):
+                out.append(s)
+    return sorted((r["k"], r["part"], r["v"], r["rev"]) for r in out)
+
+
+@given(
+    clauses=st.lists(
+        st.tuples(st.sampled_from(sorted(_CONDS, key=str)),
+                  st.sampled_from(["update", "delete"])),
+        min_size=0, max_size=3,
+    ),
+    not_matched=st.sampled_from(["insert", None]),
+    ins_cond=st.sampled_from(sorted(_INS_CONDS, key=str)),
+    tv=st.lists(st.integers(0, 600), min_size=0, max_size=6),
+    sv=st.lists(st.integers(0, 600), min_size=0, max_size=6),
+)
+@settings(
+    max_examples=12, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+def test_merge_apply_matches_python_reference(
+    spark, clauses, not_matched, ins_cond, tv, sv
+):
+    target = [
+        {"k": i, "part": "ab"[i % 2], "v": v, "rev": 1}
+        for i, v in enumerate(tv)
+    ]
+    source = [
+        {"k": i * 2, "part": "ab"[i % 2], "v": v, "rev": 2}
+        for i, v in enumerate(sv)  # keys overlap evens, miss odds
+    ]
+    if not target and not source:
+        return
+    tdf = (
+        spark.createDataFrame([tuple(r.values()) for r in target], DDL)
+        if target else None
+    )
+    sdf = spark.createDataFrame(
+        [tuple(r.values()) for r in source] or [(0, "a", 0, 0)], DDL
+    )
+    if not source:
+        sdf = sdf.filter(F.lit(False))
+    got = merge_apply(
+        tdf, sdf, ["k"], list(clauses),
+        not_matched=not_matched, not_matched_cond=ins_cond,
+    )
+    assert _rows(got) == _py_merge(target, source, clauses,
+                                   not_matched, ins_cond)
