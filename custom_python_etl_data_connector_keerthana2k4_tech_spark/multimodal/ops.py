@@ -290,7 +290,11 @@ def decode_assets(assets: DataFrame) -> DataFrame:
                         w, h, m = decoded
                         widths.append(w), heights.append(h), means.append(m)
                         errs.append(None)
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError) as exc:
+                    # NotImplementedError = unknown format (codec gate);
+                    # ValueError = corrupt/unsupported BMP/WAV from the
+                    # stdlib decoders. Both are per-record dead letters —
+                    # one malformed payload must never fail the task.
                     widths.append(None), heights.append(None), means.append(None)
                     errs.append(str(exc)[:120])
             yield pdf.assign(
@@ -368,7 +372,11 @@ def _ahash_payload(payload: bytes | None) -> int | None:
         )
     n = len(content)
     if n == 0:
-        return 0
+        # Dead-letter rather than hash-to-0: an all-zero fingerprint would
+        # pair every pair of empty assets at Hamming 0, while a brute-force
+        # replay from the raw content (q383's oracle) has no rows to hash —
+        # the engines must agree that empty media carries no fingerprint.
+        raise ValueError("empty media content (no bits to hash)")
     sums = [0] * AHASH_CELLS
     counts = [0] * AHASH_CELLS
     for i, byte in enumerate(content):
@@ -403,7 +411,9 @@ def ahash_assets(assets: DataFrame) -> DataFrame:
                     h = _ahash_payload(payload)
                     hashes.append(h)
                     errs.append(None if h is not None else "null payload")
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError) as exc:
+                    # same dead-letter contract as decode_assets: corrupt
+                    # BMP payloads (ValueError) quarantine per record
                     hashes.append(None)
                     errs.append(str(exc)[:120])
             yield pd.DataFrame(
@@ -419,16 +429,23 @@ def ahash_assets(assets: DataFrame) -> DataFrame:
     ).mapInPandas(_hash_batches, schema=out_schema)
 
 
-def phash_neardup_pairs(assets: DataFrame, max_hamming: int = 8) -> DataFrame:
+def phash_neardup_pairs(
+    assets: DataFrame, max_hamming: int = 8, min_band_bits: int = 4
+) -> DataFrame:
     """Perceptual near-duplicate IMAGE pairs: aHash fingerprints,
     Hamming-banded exactly like SimHash text near-dup
-    (operators/dedup.hamming_band_pairs — pigeonhole-lossless, so the
-    banded result equals brute force and sits under a brute-force
-    oracle). Returns (id_a, id_b, hamming), id_a < id_b."""
+    (operators/dedup.hamming_band_pairs — balanced bands, pigeonhole-
+    lossless, so the banded result equals brute force and sits under a
+    brute-force oracle). ``min_band_bits`` forwards to the band guard
+    (pass 1 for small audit runs with wide Hamming budgets).
+    Returns (id_a, id_b, hamming), id_a < id_b."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import hamming_band_pairs
 
     hashes = ahash_assets(assets).filter(F.col("ahash").isNotNull())
-    return hamming_band_pairs(hashes, "asset_id", "ahash", AHASH_CELLS, max_hamming)
+    return hamming_band_pairs(
+        hashes, "asset_id", "ahash", AHASH_CELLS, max_hamming,
+        min_band_bits=min_band_bits,
+    )
 
 
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:

@@ -549,7 +549,7 @@ def simhash64(
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8,
-    hasher: str = "xxhash64",
+    hasher: str = "xxhash64", min_band_bits: int = 4,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
@@ -563,7 +563,8 @@ def simhash_pairs(
     """
     hashes = simhash64(df, id_col, text_col, hasher=hasher).persist()
     return hamming_band_pairs(
-        hashes, "id", "simhash", SIMHASH_BITS[hasher], max_hamming
+        hashes, "id", "simhash", SIMHASH_BITS[hasher], max_hamming,
+        min_band_bits=min_band_bits,
     )
 
 
@@ -573,29 +574,76 @@ def hamming_band_pairs(
     hash_col: str,
     nbits: int,
     max_hamming: int,
+    min_band_bits: int = 4,
 ) -> DataFrame:
     """Pairs of rows whose ``hash_col`` fingerprints differ in at most
     ``max_hamming`` bits — the banded candidate join shared by SimHash
     text near-dup and perceptual-hash media near-dup (multimodal/ops.py).
 
-    The fingerprint splits into ``max_hamming + 1`` bands: a pair within
-    the bound must agree exactly on >= 1 band (pigeonhole), so candidates
-    come from an equi-join on (band, band_bits) — linear in matches,
-    never all-pairs — and exact Hamming verification makes the banding
-    LOSSLESS: output == brute force (how this sits under brute-force
-    DuckDB oracles). Fingerprints must keep the sign bit clear
-    (``nbits <= 63``) so arithmetic shiftright is safe.
-    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    The ``nbits`` bit positions partition into exactly ``max_hamming + 1``
+    contiguous BALANCED bands (band k covers bit positions
+    ``k*nbits//(h+1) .. (k+1)*nbits//(h+1) - 1``): a pair within the bound
+    must agree exactly on >= 1 band (pigeonhole over h+1 real, disjoint,
+    non-empty bands), so candidates come from an equi-join on
+    (band, band_bits) — linear in matches, never all-pairs — and exact
+    Hamming verification makes the banding LOSSLESS: output == brute
+    force (how this sits under brute-force DuckDB oracles). Balanced
+    boundaries keep every shift < ``nbits`` <= 63 — the earlier
+    uniform-width layout shifted band k by ``k*width``, which can reach
+    64, and Java masks long-shift amounts to 6 bits, so the top band
+    silently duplicated band 0 and pairs at distance exactly
+    ``max_hamming`` could be dropped (round-5 verdict repro: nbits=63,
+    h=16, fp_a=0, fp_b=sum(1<<4i)). Fingerprints must keep the sign bit
+    clear (``nbits <= 63``) so arithmetic shiftright is safe.
+
+    ``min_band_bits`` guards the selectivity cliff: per-band collision
+    probability on random fingerprints is ~2^-width, so narrow bands make
+    the candidate join approach all-pairs on a large corpus. Calls whose
+    narrowest band is below the floor are refused (pass
+    ``min_band_bits=1`` to run anyway, e.g. for audits); widths below 8
+    bits additionally warn. Returns (id_a, id_b, hamming), id_a < id_b."""
     n_bands = max_hamming + 1
-    width = nbits // n_bands + 1
-    bands = hashes.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("fp"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-    ).withColumn(
-        "band_bits",
-        F.expr(f"shiftright(fp, band * {width}) & {(1 << width) - 1}"),
+    if not 1 <= nbits <= 63:
+        raise ValueError(f"nbits must be in 1..63 (sign bit clear), got {nbits}")
+    if n_bands > nbits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} non-empty bands but "
+            f"the fingerprint has only {nbits} bits — the pigeonhole "
+            "guarantee cannot hold; lower max_hamming or widen the hash"
+        )
+    narrowest = nbits // n_bands
+    if narrowest < min_band_bits:
+        raise ValueError(
+            f"band width {narrowest} < min_band_bits={min_band_bits}: with "
+            f"{n_bands} bands over {nbits} bits the per-band collision rate "
+            f"is ~2^-{narrowest} and the candidate join degenerates toward "
+            "all-pairs at corpus scale — lower max_hamming, or pass "
+            "min_band_bits=1 to override for a small audit run"
+        )
+    if narrowest < 8:
+        import warnings
+
+        warnings.warn(
+            f"hamming_band_pairs: narrowest band is {narrowest} bits "
+            f"({n_bands} bands over {nbits} bits) — per-band collision "
+            f"~2^-{narrowest}; candidate volume grows accordingly on large "
+            "corpora (bands >= 8 bits are the comfortable regime)",
+            stacklevel=2,
+        )
+    # Balanced band extraction: one array literal of n_bands (shift, mask)
+    # projections, posexploded — every shift stays < nbits <= 63.
+    band_arr = (
+        "array("
+        + ",".join(
+            f"(shiftright(fp, {k * nbits // n_bands}) & "
+            f"{(1 << ((k + 1) * nbits // n_bands - k * nbits // n_bands)) - 1}L)"
+            for k in range(n_bands)
+        )
+        + ")"
     )
+    bands = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("fp")
+    ).selectExpr("id", "fp", f"posexplode({band_arr}) AS (band, band_bits)")
     a = bands.select(
         F.col("id").alias("id_a"), F.col("fp").alias("h_a"), "band", "band_bits"
     )

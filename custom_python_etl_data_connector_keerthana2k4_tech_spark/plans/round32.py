@@ -67,7 +67,15 @@ def q382_ivfpq_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q383: perceptual-hash (aHash) multimodal near-dup
 # ---------------------------------------------------------------------------
 
-_PH_MAX_HAMMING = 16
+#: 7 bands over the 63-bit fingerprint -> 9-bit bands (1/512 per-band
+#: collision — the >= 8-bit regime SCALE.md prescribes). The round-5
+#: registration ran max_hamming=16 (4-bit bands), which was BOTH the
+#: selectivity cliff and inside the band-shift-wrap correctness hole the
+#: round-5 verdict found; hamming_band_pairs now refuses that region.
+_PH_MAX_HAMMING = 6
+#: planted-twin id offset — divisible by 3 so a planted copy of an image
+#: doc stays in the image modality class (doc_id % 3 preserved)
+_PH_TWIN_OFFSET = 999_999_999
 
 
 @query(
@@ -75,6 +83,16 @@ _PH_MAX_HAMMING = 16
     oracle=f"""
     WITH img AS (
       SELECT doc_id, text, length(text) AS L FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + {_PH_TWIN_OFFSET} AS doc_id,
+             'Z' || substring(text, 2) AS text,
+             length('Z' || substring(text, 2)) AS L
+      FROM documents WHERE doc_id % 30 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _PH_TWIN_OFFSET} AS doc_id,
+             replace(text, 's', 'S') AS text,
+             length(text) AS L
+      FROM documents WHERE doc_id % 30 = 6
     ),
     cells AS (
       SELECT doc_id,
@@ -110,18 +128,42 @@ def q383_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal/ops.ahash_assets — the deterministic SGMM decode, so the
     fingerprint is itself SQL-replayable, the q50 device), then pairs
     within Hamming {_PH_MAX_HAMMING} mine via the same pigeonhole-
-    lossless banded join as SimHash (operators/dedup.hamming_band_pairs)
-    — so the banded Spark result must equal DuckDB's brute-force
-    all-pairs replay exactly. At 100 TB: payloads are touched once
+    lossless banded join as SimHash (operators/dedup.hamming_band_pairs,
+    balanced 9-bit bands) — so the banded Spark result must equal
+    DuckDB's brute-force all-pairs replay exactly. The corpus carries
+    two PLANTED twin families (id-offset into the same modality class):
+    a subtle one (first character perturbed — lands at hamming 0-1) and
+    a case-fold one (every 's' uppercased — measured to STRADDLE the
+    threshold, some twins inside 0..{_PH_MAX_HAMMING} and some beyond),
+    so the oracle is nonempty at the production threshold AND the
+    boundary cut itself is value-gated in both directions. At 100 TB: payloads are touched once
     (fingerprints are 8 bytes/image), and all pairwise work happens on
-    banded fingerprints. The reference has no media surface at all
-    (/root/reference/etl_connector.py, SURVEY §0)."""
+    banded fingerprints at 1/512 per-band collision. The reference has
+    no media surface at all (/root/reference/etl_connector.py, SURVEY
+    §0)."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import assets_from_documents
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import phash_neardup_pairs
 
     d = load(spark, sf_dir, "documents")
+    subtle = d.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + _PH_TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        F.length(F.concat(F.lit("Z"), F.expr("substring(text, 2)"))).cast(
+            "long"
+        ).alias("n_chars"),
+    )
+    casefold = d.filter(F.col("doc_id") % 30 == 6).select(
+        (F.col("doc_id") + 2 * _PH_TWIN_OFFSET).alias("doc_id"),
+        F.expr("replace(text, 's', 'S')").alias("text"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    corpus = (
+        d.select("doc_id", "text", F.col("n_chars").cast("long").alias("n_chars"))
+        .unionByName(subtle)
+        .unionByName(casefold)
+    )
     return phash_neardup_pairs(
-        assets_from_documents(d), max_hamming=_PH_MAX_HAMMING
+        assets_from_documents(corpus), max_hamming=_PH_MAX_HAMMING
     )
 
 

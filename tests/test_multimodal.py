@@ -161,9 +161,16 @@ def test_ahash_banding_equals_brute_force(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     assets = assets_from_documents(d)
     got = sorted(
-        tuple(r) for r in phash_neardup_pairs(assets, max_hamming=16).collect()
+        tuple(r)
+        for r in phash_neardup_pairs(
+            assets, max_hamming=16, min_band_bits=1  # wide-budget audit run
+        ).collect()
     )
-    fps = {r["asset_id"]: r["ahash"] for r in ahash_assets(assets).collect()}
+    fps = {
+        r["asset_id"]: r["ahash"]
+        for r in ahash_assets(assets).collect()
+        if r["ahash"] is not None  # empty-content docs dead-letter (round 6)
+    }
     exp = sorted(
         (a, b, bin(fps[a] ^ fps[b]).count("1"))
         for a, b in combinations(sorted(fps), 2)
@@ -184,3 +191,55 @@ def test_ahash_dead_letter_on_unknown_format(spark):
     assert rows[1]["ahash"] is None and "PIL" in rows[1]["ahash_error"]
     assert rows[2]["ahash"] is not None and rows[2]["ahash_error"] is None
     assert rows[3]["ahash"] is None and rows[3]["ahash_error"] == "null payload"
+
+
+# -- corrupt/empty payload dead-letter contract (round 6, ADVICE r5) -----------
+
+
+def test_corrupt_bmp_wav_dead_letter_not_task_failure(spark):
+    """A malformed 'BM'/'RIFF' payload (ValueError from the stdlib
+    decoders) must quarantine per record exactly like an unknown format
+    (NotImplementedError) — never fail the Spark task."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import decode_assets
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import _bmp_encode
+
+    good_bmp = _bmp_encode([[(10, 20, 30), (40, 50, 60)]] * 2)
+    truncated_bmp = good_bmp[: len(good_bmp) // 2]
+    compressed_bmp = bytearray(good_bmp)
+    compressed_bmp[30] = 1  # BI_RLE8: unsupported compression
+    bad_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage-not-chunks"
+    assets = _mk_assets(spark, [
+        (1, "image", good_bmp),
+        (2, "image", truncated_bmp),
+        (3, "image", bytes(compressed_bmp)),
+        (4, "audio", bad_wav),
+        (5, "image", _payload("still fine after the corrupt rows")),
+    ])
+    rows = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["decoded_width"] == 2
+    assert rows[2]["decode_error"] is not None and rows[2]["mean_value"] is None
+    assert "compression" in rows[3]["decode_error"]
+    assert rows[4]["decode_error"] is not None
+    assert rows[5]["decode_error"] is None and rows[5]["mean_value"] is not None
+
+
+def test_corrupt_and_empty_payload_ahash_dead_letter(spark):
+    """ahash_assets shares the dead-letter contract: corrupt BMPs and
+    EMPTY content quarantine per record (an empty asset must not hash to
+    0 and pair with every other empty asset — the oracle's brute-force
+    replay has no bytes to hash, so neither engine emits it)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import ahash_assets
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import _bmp_encode
+
+    good_bmp = _bmp_encode([[(10, 20, 30), (40, 50, 60)]] * 2)
+    assets = _mk_assets(spark, [
+        (1, "image", good_bmp),
+        (2, "image", good_bmp[:20]),          # truncated BMP
+        (3, "image", _payload("")),            # empty SGMM content
+        (4, "image", _payload("has content")),
+    ])
+    rows = {r["asset_id"]: r for r in ahash_assets(assets).collect()}
+    assert rows[1]["ahash"] is not None and rows[1]["ahash_error"] is None
+    assert rows[2]["ahash"] is None and rows[2]["ahash_error"] is not None
+    assert rows[3]["ahash"] is None and "empty" in rows[3]["ahash_error"]
+    assert rows[4]["ahash"] is not None
