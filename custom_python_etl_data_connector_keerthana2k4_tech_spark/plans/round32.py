@@ -204,15 +204,18 @@ def _bm25_scored_ctes() -> str:
       SELECT term AS f_term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
     ),
     scored AS (
+      -- order-independent DECIMAL accumulation (the dsum/DSUM device):
+      -- keeps the oracle bit-identical to Spark no matter what order
+      -- partial aggregation delivers the per-term contributions in
       SELECT tf.doc_id,
-             CAST(sum(
+             CAST(sum(CAST(
                ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
                   / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1)
                * ((tf.tf * CAST(2.2 AS DOUBLE))
                   / (tf.tf + CAST(1.2 AS DOUBLE)
                      * (CAST(0.25 AS DOUBLE)
                         + (CAST(0.75 AS DOUBLE) * dl.dlen) / stats.avg_len)))
-             ) AS DOUBLE) AS bm25,
+             AS DECIMAL(30,10))) AS DOUBLE) AS bm25,
              CAST(count(*) AS BIGINT) AS n_terms_hit
       FROM tf
       JOIN dfreq ON tf.term = dfreq.f_term

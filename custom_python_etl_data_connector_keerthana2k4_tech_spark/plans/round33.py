@@ -1,0 +1,347 @@
+"""Round-33 additions: BATCH lexical + hybrid retrieval — the query side
+of the postings store becomes a TABLE, mirroring what round 32 did for
+vector search.
+
+q384/q385/q388 serve exactly one query (a Python term list; ``vec_id ==
+0``). Real retrieval deployments run query BATCHES: q389 ranks a whole
+(query_id, term) table through the bucket-pruned postings store in one
+plan (``PostingsStore.ranked_bm25_table`` — tf/df computed once over the
+union of query terms, shared across queries; the only driver collect is
+the <= n_buckets bucket ids, so PartitionFilters stays literal at any Q);
+q390 hybridizes per query (BM25 shortlist -> exact quantized-cosine
+rerank of each query's own shortlist against its own embedding); q391
+fuses per-query BM25 ranks with per-query IVF-PQ ANN ranks (query_mode=
+"join" — the round-32 distributed query side) via reciprocal-rank fusion.
+Every stage of all three sits under full-replay DuckDB oracles.
+
+Reference parity: /root/reference/etl_connector.py has no query surface
+at all (evidence of absence, SURVEY §0) — north-star extension territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors import (
+    cosine_from_int,
+    int_dot,
+    int_norm_sq,
+    quantize,
+    sql_quantize,
+)
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round29 import (
+    _IVF_ITERS,
+    _IVF_LISTS,
+    _IVF_NPROBE,
+    _PQ_K,
+    _PQ_M,
+    _coarse_centroids,
+    _pq_codebook,
+    ivfpq_adc_ctes,
+)
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
+
+# The query TABLE all three batch-retrieval queries share: query ids are
+# embedding vec_ids (so the hybrid legs can join each query to its own
+# vector), term sets overlap so tf/df sharing is exercised, query 2
+# carries a duplicate term (must collapse — single-query isin semantics).
+_QT: dict[int, tuple[str, ...]] = {
+    0: ("table", "sort", "hash"),
+    1: ("scan", "join", "sort"),
+    2: ("table", "table", "index"),
+}
+_QT_TOPK = 10
+_QT_SHORTLIST = 25
+_QT_HYK = 5
+_QT_RRF_K = 60
+
+
+def _qt_values() -> str:
+    """DuckDB VALUES list for the (query_id, term) table (distinct rows —
+    the engine-side .distinct() twin)."""
+    rows = sorted({(qid, t) for qid, ts in _QT.items() for t in ts})
+    return ", ".join(f"(CAST({qid} AS BIGINT), '{t}')" for qid, t in rows)
+
+
+def _qt_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, t) for qid, ts in _QT.items() for t in ts],
+        "query_id long, term string",
+    )
+
+
+def _build_store(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q389_qt_bm25_") + "/ix"
+    return PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
+
+
+def _qt_bm25_ctes(topk: int) -> str:
+    """DuckDB replay of the BATCH BM25 derivation: store tokenization,
+    doclen sidecar, tf/df over the UNION of all query terms (shared
+    across queries — df is a corpus property), the per-(query, doc)
+    decimal-accumulated score, and the per-query top-k cut — ending at a
+    ``qcut`` CTE (query_id, doc_id, bm25, n_terms_hit, rank)."""
+    return f"""
+    qt(query_id, term) AS (VALUES {_qt_values()}),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id AS d_id, CAST(count(*) AS BIGINT) AS dlen
+      FROM tok GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dlen) AS DOUBLE) / count(*) AS avg_len FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term AS f_term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qscored AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(sum(CAST(
+               ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1)
+               * ((tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * dl.dlen) / stats.avg_len)))
+             AS DECIMAL(30,10))) AS DOUBLE) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM qt
+      JOIN tf ON tf.term = qt.term
+      JOIN dfreq ON tf.term = dfreq.f_term
+      JOIN dl ON tf.doc_id = dl.d_id, stats
+      GROUP BY 1, 2
+    ),
+    qcut AS (
+      SELECT query_id, doc_id, bm25, n_terms_hit, CAST(rk AS INT) AS rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id) AS rk
+        FROM qscored
+      ) WHERE rk <= {topk}
+    )"""
+
+
+@query(
+    "q389_bm25_query_table",
+    oracle=f"""
+    WITH {_qt_bm25_ctes(_QT_TOPK)}
+    SELECT query_id, doc_id, bm25, n_terms_hit, rank FROM qcut
+    """,
+)
+def q389_bm25_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a query TABLE through the persistent
+    postings store — the batch sibling of q384 (which serves ONE Python
+    term list). The whole batch is one plan: the union of query terms
+    prunes the store to <= |terms| bucket directories (PartitionFilters
+    stays a literal predicate because the only driver collect is the
+    bucket ids — never the terms), tf/df compute ONCE and are shared
+    across queries, the per-query fan out is one equi-join against the
+    (query_id, term) frame, and each query's top-k is a window cut with
+    the single-query tie rule (bm25 desc, doc_id). The oracle replays
+    tokenization, the doclen sidecar, shared tf/df, decimal-accumulated
+    scoring, and every per-query cut."""
+    store = _build_store(spark, sf_dir)
+    return store.ranked_bm25_table(_qt_frame(spark), topk=_QT_TOPK)
+
+
+def _qt_rerank_ctes() -> str:
+    """Shortlist (per-query BM25 top-{_QT_SHORTLIST}) -> exact
+    quantized-integer cosine of each (query, shortlisted doc) pair
+    against the QUERY'S OWN embedding — ending at a ``hranked`` CTE."""
+    return f"""
+    {_qt_bm25_ctes(_QT_SHORTLIST)},
+    qv AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS q
+      FROM embeddings WHERE vec_id IN (SELECT DISTINCT query_id FROM qt)
+    ),
+    cv AS (
+      SELECT DISTINCT qc.query_id, qc.doc_id, {sql_quantize('e.embedding')} AS c
+      FROM qcut qc JOIN embeddings e ON e.vec_id = qc.doc_id
+      WHERE qc.doc_id <> qc.query_id
+    ),
+    dots AS (
+      SELECT cv.query_id, cv.doc_id,
+             list_sum(list_transform(range(len(cv.c)),
+                      i -> qv.q[i+1] * cv.c[i+1])) AS dot,
+             list_sum(list_transform(range(len(qv.q)),
+                      i -> qv.q[i+1] * qv.q[i+1])) AS q_nsq,
+             list_sum(list_transform(range(len(cv.c)),
+                      i -> cv.c[i+1] * cv.c[i+1])) AS c_nsq
+      FROM cv JOIN qv ON qv.vec_id = cv.query_id
+    ),
+    hranked AS (
+      SELECT query_id, doc_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(q_nsq AS DOUBLE)) * sqrt(CAST(c_nsq AS DOUBLE)))
+               AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(dot AS DOUBLE)
+                                  / (sqrt(CAST(q_nsq AS DOUBLE))
+                                     * sqrt(CAST(c_nsq AS DOUBLE))) DESC,
+                                doc_id) AS rk
+      FROM dots
+    )"""
+
+
+@query(
+    "q390_hybrid_query_table",
+    oracle=f"""
+    WITH {_qt_rerank_ctes()}
+    SELECT h.query_id, h.doc_id, q.bm25, h.cosine, CAST(h.rk AS INT) AS rank
+    FROM hranked h
+    JOIN qcut q ON q.query_id = h.query_id AND q.doc_id = h.doc_id
+    WHERE h.rk <= {_QT_HYK}
+    """,
+)
+def q390_hybrid_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for a query TABLE — q385's serving stack at batch
+    scale: per-query BM25 shortlists ({_QT_SHORTLIST} docs) from ONE
+    batch pass through the postings store, then an exact quantized-
+    integer cosine rerank of each query's own shortlist against its own
+    embedding. The rerank touches embeddings only for the Q x shortlist
+    survivor pairs (equi-join on doc_id, then on query_id — never a
+    crossJoin), cosines are exact-integer dot/norms with one
+    deterministic double division, and the per-query cut keeps
+    {_QT_HYK}. The oracle replays BOTH stages for every query."""
+    store = _build_store(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    hits = store.ranked_bm25_table(_qt_frame(spark), topk=_QT_SHORTLIST)
+
+    dvec = e.select(
+        F.col("vec_id").alias("doc_id"), quantize("embedding").alias("__c")
+    )
+    qvec = e.select(
+        F.col("vec_id").alias("query_id"), quantize("embedding").alias("__q")
+    )
+    pairs = (
+        hits.filter(F.col("doc_id") != F.col("query_id"))
+        .join(dvec, "doc_id")
+        .join(F.broadcast(qvec.join(
+            hits.select("query_id").distinct(), "query_id", "left_semi"
+        )), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25",
+            cosine_from_int(
+                int_dot(F.col("__q"), F.col("__c")),
+                int_norm_sq(F.col("__q")),
+                int_norm_sq(F.col("__c")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "doc_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _QT_HYK)
+        .select("query_id", "doc_id", "bm25", "cosine", "rank")
+    )
+
+
+@query(
+    "q391_rrf_query_table",
+    oracle=f"""
+    WITH {ivfpq_adc_ctes()},
+    {_qt_bm25_ctes(_QT_SHORTLIST)},
+    ann AS (
+      SELECT query_id, neighbor_id AS doc_id, CAST(rk AS BIGINT) AS ann_rank
+      FROM (
+        SELECT a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.adc_dist, a.neighbor_id) AS rk
+        FROM adc a WHERE a.query_id IN (SELECT DISTINCT query_id FROM qt)
+      ) WHERE rk <= {_QT_SHORTLIST}
+    ),
+    bm AS (
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS bm25_rank FROM qcut
+    ),
+    fused AS (
+      SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+             coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.bm25_rank, ann.ann_rank,
+             coalesce(CAST(1 AS DOUBLE) / ({_QT_RRF_K} + bm.bm25_rank),
+                      CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / ({_QT_RRF_K} + ann.ann_rank),
+                          CAST(0 AS DOUBLE)) AS rrf
+      FROM bm FULL JOIN ann
+        ON ann.query_id = bm.query_id AND ann.doc_id = bm.doc_id
+    )
+    SELECT query_id, doc_id, bm25_rank, ann_rank, rrf FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS frk
+      FROM fused
+    ) WHERE frk <= {_QT_HYK}
+    """,
+)
+def q391_rrf_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion for a query TABLE — q388's index-to-index
+    hybrid at batch scale, with BOTH legs distributed: the lexical leg is
+    one batch pass through the bucket-pruned postings store
+    (ranked_bm25_table, per-query window ranks), the vector leg is the
+    IVF-PQ search with the round-32 JOIN query side (queries stay a
+    DataFrame; probe selection, ADC arrays, and candidate gating all
+    JVM-side), and the fusion is one full-outer join on (query_id,
+    doc_id) with RRF (k={_QT_RRF_K}) — integer ranks only, zero score
+    calibration. The oracle replays the whole IVF-PQ derivation, the
+    whole BM25 derivation, and the fusion arithmetic per query."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import ivfpq_topk
+
+    store = _build_store(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+
+    bm = store.ranked_bm25_table(
+        _qt_frame(spark), topk=_QT_SHORTLIST
+    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
+
+    qids = sorted(_QT)
+    ann = ivfpq_topk(
+        e, e.filter(F.col("vec_id").isin(qids)), "vec_id", "embedding",
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+        m=_PQ_M, k_centroids=_PQ_K, topk=_QT_SHORTLIST,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+        query_mode="join",
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("ann_rank"),
+    )
+
+    fused = bm.join(ann, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("bm25_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("ann_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("__frk", F.row_number().over(w))
+        .filter(F.col("__frk") <= _QT_HYK)
+        .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
+    )

@@ -93,6 +93,9 @@ _INTENTIONAL_BNLJ = {
     "q384_bm25_store_ranked",  # one-row corpus-stats broadcast (doclen sidecar aggregate)
     "q385_hybrid_retrieval",  # one-row stats broadcast (BM25 leg) + 1-row query-vector broadcast (cosine rerank leg)
     "q388_rrf_store_hybrid",  # one-row corpus-stats broadcast (BM25 leg, q384's shape)
+    "q389_bm25_query_table",  # one-row corpus-stats broadcast (doclen sidecar aggregate, q384's shape at batch Q)
+    "q390_hybrid_query_table",  # one-row corpus-stats broadcast (batch BM25 leg; rerank legs are equi-joins)
+    "q391_rrf_query_table",  # one-row corpus-stats broadcast (batch BM25 leg; ANN leg is the q382 join plan)
     "q175_cusum_drift",  # one-row baseline-mean broadcast
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
