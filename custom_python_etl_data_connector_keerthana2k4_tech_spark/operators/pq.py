@@ -278,6 +278,8 @@ def pq_topk(
     topk: int = 10,
     query_batch: int = 64,
     codebook: list | None = None,
+    query_mode: str = "literal",
+    n_salts: int = 32,
 ) -> DataFrame:
     """ADC top-k: encode every row as M centroid codes, score each
     (query, row) pair by summing the query's precomputed per-subspace
@@ -295,11 +297,52 @@ def pq_topk(
     train-on-a-sample/search-forever contract; training is deterministic,
     so a passed-in codebook is identical to the one this call would fit.
 
+    ``query_mode="join"`` keeps the queries a DATAFRAME end to end:
+    per-query ADC arrays compute JVM-side (``encode_queries_qd``), the
+    (query, row) pairing is the salted scoring join
+    (``_salted_query_pairs`` — flat PQ has no coarse quantizer to gate
+    on, so EVERY pair is scored by design; the salt spreads that work),
+    and the exact audit joins survivors back to the raw vectors. O(1)
+    driver state at any Q; row-identical to the literal path (pinned in
+    tests).
+
     Returns: query_id, neighbor_id, rank, adc_dist, exact_dist.
     """
     if codebook is None:
         codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
     sub = len(codebook[0][0])
+
+    if query_mode == "join":
+        coded = with_code_cols(
+            df.select(
+                F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
+            ),
+            codebook, m, sub,
+        ).select("neighbor_id", *[f"c{s}" for s in range(m)])
+        qenc = encode_queries_qd(queries, id_col, vec_col, codebook, m, sub)
+        adc_sql = (
+            "("
+            + " + ".join(f"element_at(__qd{s}, c{s} + 1)" for s in range(m))
+            + ")"
+        )
+        pairs = _salted_query_pairs(coded, qenc, n_salts).selectExpr(
+            "query_id",
+            "neighbor_id",
+            "__salt",
+            f"CAST({adc_sql} AS BIGINT) AS adc_dist",
+        )
+        ranked = _two_stage_topk(pairs, "adc_dist", topk)
+        return _exact_audit_join(
+            ranked, df, queries, id_col, vec_col, carry_cols=("rank", "adc_dist")
+        ).select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+            "exact_dist",
+        )
+    if query_mode != "literal":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
 
     qrows = _collect_queries(queries, id_col, vec_col)
     adc_tables = _adc_tables(qrows, codebook, m, sub)
@@ -319,6 +362,57 @@ def pq_topk(
     return out
 
 
+def _salted_query_pairs(
+    corpus: DataFrame, qframe: DataFrame, n_salts: int
+) -> DataFrame:
+    """The distributed brute-force scoring join shared by the ``"join"``
+    query modes of ``exact_l2_topk`` / ``pq_topk`` / ``matryoshka_topk``:
+    the corpus takes a uniform SALT (``pmod(xxhash64(id), n_salts)``),
+    the query frame replicates once per salt, and a SHUFFLE-HASH
+    equi-join on the salt co-locates every (query, corpus-shard) pair —
+    each task scores Q x N/n_salts pairs, so the N x Q work spreads
+    evenly at any Q with NO driver state and NO cartesian. The join
+    output stays hash-partitioned by the salt, so the caller's partial
+    top-k window over (query_id, __salt) sorts IN PLACE (zero extra
+    exchange of the pair stream); only the Q x n_salts x topk partial
+    survivors shuffle for the final per-query cut. The shuffle_hash hint
+    pins the plan shape: a broadcast of the replicated queries would
+    leave the pair stream partitioned by corpus file, forcing a full
+    N x Q exchange into the first window."""
+    salted = corpus.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)).cast("int"),
+    )
+    qrep = qframe.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return (
+        salted.join(qrep.hint("shuffle_hash"), "__salt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
+def _two_stage_topk(
+    pairs: DataFrame, dist_col: str, topk: int, rank_name: str = "rank"
+) -> DataFrame:
+    """Per-query top-k over a salted pair stream: a partial cut per
+    (query, salt) that reuses the join partitioning, then the final cut
+    over the Q x n_salts x topk survivors."""
+    wp = Window.partitionBy("query_id", "__salt").orderBy(
+        dist_col, "neighbor_id"
+    )
+    part = (
+        pairs.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= topk)
+        .drop("__pr")
+    )
+    w = Window.partitionBy("query_id").orderBy(dist_col, "neighbor_id")
+    return (
+        part.withColumn(rank_name, F.row_number().over(w).cast("int"))
+        .filter(F.col(rank_name) <= topk)
+    )
+
+
 def exact_l2_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -326,6 +420,8 @@ def exact_l2_topk(
     vec_col: str,
     topk: int = 10,
     query_batch: int = 64,
+    query_mode: str = "literal",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Brute-force exact quantized-L2 top-k — the ANN ground truth every
     recall audit compares against (and the baseline the approximate
@@ -334,7 +430,36 @@ def exact_l2_topk(
     codegen), one stack, one per-query top-k — the same sharded plan
     shapes as ``pq_topk``, with exact distances in place of ADC lookups.
     Ties break on neighbor id. Returns: query_id, neighbor_id, rank,
-    exact_dist."""
+    exact_dist.
+
+    ``query_mode="join"`` keeps the queries a DATAFRAME end to end (the
+    salted scoring join, ``_salted_query_pairs``): O(1) driver state at
+    any Q, exact BIGINT zip_with folds per pair, partial top-k per
+    (query, salt) reusing the join partitioning. Row-identical to the
+    literal path (pinned in tests) — Q-scale recall audits run the
+    ground-truth leg distributed too."""
+    if query_mode == "join":
+        base = df.select(
+            F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
+        )
+        qframe = queries.select(
+            F.col(id_col).alias("query_id"), quantize(vec_col).alias("__qqv")
+        )
+        pairs = _salted_query_pairs(base, qframe, n_salts).selectExpr(
+            "query_id",
+            "neighbor_id",
+            "__salt",
+            "CAST(aggregate(zip_with(qv, __qqv, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, v) -> acc + v) AS BIGINT) AS exact_dist",
+        )
+        return _two_stage_topk(pairs, "exact_dist", topk).select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            "rank",
+            "exact_dist",
+        )
+    if query_mode != "literal":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
     qrows = _collect_queries(queries, id_col, vec_col)
     base = df.select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
@@ -471,6 +596,32 @@ def ivfpq_topk(
 # ---------------------------------------------------------------------------
 
 
+def _qd_sql_exprs(codebook, m: int, sub: int) -> list[str]:
+    """Per-subspace ADC distance-array projections over a quantized query
+    column ``qqv`` (exact BIGINT folds — the JVM twin of the driver-side
+    ``_adc_tables``)."""
+    return [
+        "array("
+        + ",".join(
+            _sql_sq_l2(f"slice(qqv, {s * sub + 1}, {sub})", c) for c in codebook[s]
+        )
+        + f") AS __qd{s}"
+        for s in range(m)
+    ]
+
+
+def encode_queries_qd(
+    queries: DataFrame, id_col: str, vec_col: str, codebook, m: int, sub: int
+) -> DataFrame:
+    """Query-side ADC encoding with NO driver collect and NO coarse
+    quantizer: (query_id, __qd0..__qd{m-1}) — the probe-free sibling of
+    ``encode_queries_join`` backing ``pq_topk(query_mode="join")``."""
+    base = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qqv")
+    )
+    return base.selectExpr("query_id", *_qd_sql_exprs(codebook, m, sub))
+
+
 def encode_queries_join(
     queries: DataFrame,
     id_col: str,
@@ -496,14 +647,7 @@ def encode_queries_join(
     queries live instead of in a Python loop."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import _sql_dist_sq
 
-    qd_exprs = [
-        "array("
-        + ",".join(
-            _sql_sq_l2(f"slice(qqv, {s * sub + 1}, {sub})", c) for c in codebook[s]
-        )
-        + f") AS __qd{s}"
-        for s in range(m)
-    ]
+    qd_exprs = _qd_sql_exprs(codebook, m, sub)
     cd = "array(" + ",".join(_sql_dist_sq("__ev", c) for c in centroids) + ")"
     probes_expr = (
         f"transform(slice(array_sort(zip_with({cd}, "
@@ -572,11 +716,14 @@ def _exact_audit_join(
     queries: DataFrame,
     id_col: str,
     vec_col: str,
+    carry_cols: tuple[str, ...] = ("cluster", "rank", "adc_dist"),
 ) -> DataFrame:
     """Attach the exact full-dimension distance to ranked survivors by
     joining BACK to the raw vectors (O(Q x topk) lookups on both sides —
     never the candidate stream), matching the literal path's
-    ``_sql_exact_dist`` BIGINT fold bit for bit."""
+    ``_sql_exact_dist`` BIGINT fold bit for bit. ``carry_cols`` names the
+    ranked frame's payload columns to keep (the IVF path carries the
+    source cluster; the flat-PQ path has none)."""
     nvec = df.select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__nqv")
     )
@@ -589,9 +736,7 @@ def _exact_audit_join(
         .selectExpr(
             "query_id",
             "neighbor_id",
-            "cluster",
-            "rank",
-            "adc_dist",
+            *carry_cols,
             "CAST(aggregate(zip_with(__nqv, __qqv, (x, c) -> (x - c) * (x - c)),"
             " 0L, (acc, v) -> acc + v) AS BIGINT) AS exact_dist",
         )

@@ -356,6 +356,8 @@ def matryoshka_topk(
     shortlist: int = 50,
     topk: int = 10,
     query_batch: int = 64,
+    query_mode: str = "literal",
+    n_salts: int = 32,
 ) -> DataFrame:
     """Matryoshka cascade search: rank the corpus by exact quantized L2
     over the first ``head_dim`` components only (the cheap pass — a
@@ -369,13 +371,77 @@ def matryoshka_topk(
     exact BIGINT over quantized components, so the cascade's result is
     bit-reproducible in DuckDB. Queries shard into ``query_batch``-sized
     union branches (the pq.py contract). Returns: query_id, neighbor_id,
-    rank, head_dist, exact_dist."""
+    rank, head_dist, exact_dist.
+
+    ``query_mode="join"`` keeps the queries a DATAFRAME end to end: the
+    head pass is the salted scoring join (pq._salted_query_pairs) over
+    HEAD SLICES ONLY (both sides carry head_dim longs, never the full
+    vector), the per-query shortlist is the two-stage top-k reusing the
+    join partitioning, and the full-dimension rerank joins the Q x
+    shortlist survivors back to the raw vectors — O(1) driver state at
+    any Q, row-identical to the literal path (pinned in tests)."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
         _batches,
         _collect_queries,
+        _salted_query_pairs,
         _sql_exact_dist,
         _sql_sq_l2,
+        _two_stage_topk,
     )
+
+    if query_mode == "join":
+        base = df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.slice(quantize(vec_col), 1, head_dim).alias("hv"),
+        )
+        qframe = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(quantize(vec_col), 1, head_dim).alias("__qh"),
+        )
+        pairs = _salted_query_pairs(base, qframe, n_salts).selectExpr(
+            "query_id",
+            "neighbor_id",
+            "__salt",
+            "CAST(aggregate(zip_with(hv, __qh, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, v) -> acc + v) AS BIGINT) AS head_dist",
+        )
+        short = _two_stage_topk(
+            pairs, "head_dist", shortlist, rank_name="__hrank"
+        ).select("query_id", "neighbor_id", "head_dist")
+        nvec = df.select(
+            F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("__nqv")
+        )
+        qvec = queries.select(
+            F.col(id_col).alias("query_id"), quantize(vec_col).alias("__qqv")
+        )
+        audited = (
+            short.join(nvec, "neighbor_id")
+            .join(qvec, "query_id")
+            .selectExpr(
+                "query_id",
+                "neighbor_id",
+                "head_dist",
+                "CAST(aggregate(zip_with(__nqv, __qqv,"
+                " (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+                " AS BIGINT) AS exact_dist",
+            )
+        )
+        w_full = Window.partitionBy("query_id").orderBy(
+            "exact_dist", "neighbor_id"
+        )
+        return (
+            audited.withColumn("rank", F.row_number().over(w_full).cast("int"))
+            .filter(F.col("rank") <= topk)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long").alias("neighbor_id"),
+                "rank",
+                F.col("head_dist").cast("long").alias("head_dist"),
+                "exact_dist",
+            )
+        )
+    if query_mode != "literal":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
 
     qrows = _collect_queries(queries, id_col, vec_col)
     base = df.select(

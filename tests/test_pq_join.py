@@ -173,3 +173,85 @@ def test_store_join_mode_foreign_query_table(spark, sf_dir, tmp_path):
     a, b = _rows(lit), _rows(jn)
     assert a == b
     assert len({r[0] for r in a}) == 25  # every foreign query served
+
+
+# -- round 6: join mode for the remaining vector entry points ------------------
+
+
+def test_exact_l2_join_mode_identical_to_literal(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    lit = exact_l2_topk(e, q, "vec_id", "embedding", topk=5)
+    jn = exact_l2_topk(e, q, "vec_id", "embedding", topk=5, query_mode="join")
+    assert _rows(lit) == _rows(jn)
+    plan = jn._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the salted scoring join is a SHUFFLE-HASH equi-join, so the partial
+    # top-k window sorts in place on the join partitioning — only the
+    # Q x n_salts x topk survivors shuffle for the final cut
+    assert "ShuffledHashJoin" in plan
+
+
+def test_pq_join_mode_identical_to_literal(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import pq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    lit = pq_topk(e, q, "vec_id", "embedding", topk=5)
+    jn = pq_topk(e, q, "vec_id", "embedding", topk=5, query_mode="join")
+    assert _rows(lit) == _rows(jn)
+    plan = jn._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_matryoshka_join_mode_identical_to_literal(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import matryoshka_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    lit = matryoshka_topk(e, q, "vec_id", "embedding",
+                          head_dim=16, shortlist=25, topk=5)
+    jn = matryoshka_topk(e, q, "vec_id", "embedding",
+                         head_dim=16, shortlist=25, topk=5, query_mode="join")
+    assert _rows(lit) == _rows(jn)
+    plan = jn._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_mode_rejected_for_unknown_everywhere(spark, sf_dir):
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk, pq_topk
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import matryoshka_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    for fn in (exact_l2_topk, pq_topk):
+        with pytest.raises(ValueError, match="query_mode"):
+            fn(e, q, "vec_id", "embedding", query_mode="nope")
+    with pytest.raises(ValueError, match="query_mode"):
+        matryoshka_topk(e, q, "vec_id", "embedding", query_mode="nope")
+
+
+def test_recall_audit_runs_with_both_legs_distributed(spark, sf_dir):
+    """q380's shape at Q scale: ANN leg (ivfpq join mode) audited against
+    the exact leg (exact_l2 join mode) — recall computed entirely from
+    DataFrames, no driver-side query state in either leg."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import exact_l2_topk, ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    truth = exact_l2_topk(e, q, "vec_id", "embedding", topk=5,
+                          query_mode="join")
+    ann = ivfpq_topk(e, q, "vec_id", "embedding", nprobe=2, topk=5,
+                     query_mode="join")
+    hits = truth.join(
+        ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    recall = hits.count() / truth.count()
+    assert 0.0 <= recall <= 1.0
+    assert truth.count() == 50 * 5
