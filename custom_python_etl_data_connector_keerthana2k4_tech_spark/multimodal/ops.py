@@ -210,6 +210,153 @@ def _bmp_resize(raw: bytes, width: int, height: int) -> bytes:
     return _bmp_encode(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-stdlib PNG decode (zlib + struct — no PIL): non-interlaced
+    8-bit gray / gray+alpha / RGB / RGBA. Returns (width, height, RGB
+    rows in visual order); gray samples replicate to (g, g, g); alpha is
+    ignored (hash/resize operate on color). All five scanline filters
+    (None/Sub/Up/Average/Paeth) are unfiltered per RFC 2083. Raises
+    ValueError on anything that is not such a PNG."""
+    import zlib
+
+    if not raw.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        length, ctype = struct.unpack_from(">I4s", raw, pos)
+        pos += 8
+        if pos + length + 4 > len(raw):
+            raise ValueError("truncated PNG chunk")
+        body = raw[pos : pos + length]
+        pos += length + 4  # skip CRC (payload integrity is parquet's job)
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
+    stride = w * channels
+    if len(data) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(h):
+        ft = data[pos]
+        line = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prev = bytes(line)
+        if color in (0, 4):  # gray / gray+alpha
+            rows.append([(line[c * channels],) * 3 for c in range(w)])
+        else:  # RGB / RGBA
+            rows.append(
+                [
+                    (line[c * channels], line[c * channels + 1],
+                     line[c * channels + 2])
+                    for c in range(w)
+                ]
+            )
+    return w, h, rows
+
+
+def _png_gray_pixels(raw: bytes) -> tuple[int, int, list[int]]:
+    """(width, height, grayscale pixels in visual row-major order) —
+    grayscale is the exact integer (r + g + b) // 3, matching the BMP
+    decoder, so the SAME image content fingerprints identically through
+    either container format."""
+    w, h, rows = _png_rgb_rows(raw)
+    return w, h, [(r + g + b) // 3 for row in rows for (r, g, b) in row]
+
+
+def _png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 8-bit RGB PNG from visual-order RGB rows (filter 0 per
+    scanline, one IDAT)."""
+    import zlib
+
+    h, w = len(rows), len(rows[0])
+    body = bytearray()
+    for row in rows:
+        body.append(0)
+        for r, g, b in row:
+            body += bytes((r, g, b))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor PNG resample, stdlib only — the same
+    deterministic integer mapping as ``_bmp_resize``, re-encoded as
+    8-bit RGB PNG."""
+    w, h, rows = _png_rgb_rows(raw)
+    out = [
+        [rows[y * h // height][x * w // width] for x in range(width)]
+        for y in range(height)
+    ]
+    return _png_encode(out)
+
+
 def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     """Decode kernel: (width, height, mean_value).
 
@@ -245,12 +392,15 @@ def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     if raw[:2] == b"BM":
         w, h, gray = _bmp_gray_pixels(raw)
         return (w, h, sum(gray) // max(len(gray), 1))
+    if raw.startswith(_PNG_SIG):
+        w, h, gray = _png_gray_pixels(raw)
+        return (w, h, sum(gray) // max(len(gray), 1))
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _wav_mean_abs(raw)
     if not raw.startswith(_MAGIC):
         raise NotImplementedError(
             "real media decoding requires PIL/librosa/ffmpeg (not in this "
-            "container) for formats beyond BMP/WAV/SGMM"
+            "container) for formats beyond BMP/PNG/WAV/SGMM"
         )
     body = raw[len(_MAGIC) :]
     w = int(body[0:5])
@@ -363,12 +513,14 @@ def _ahash_payload(payload: bytes | None) -> int | None:
     raw = bytes(payload)
     if raw[:2] == b"BM":
         _, _, content = _bmp_gray_pixels(raw)
+    elif raw.startswith(_PNG_SIG):
+        _, _, content = _png_gray_pixels(raw)
     elif raw.startswith(_MAGIC):
         content = raw[len(_MAGIC) + 12 :]
     else:
         raise NotImplementedError(
             "real perceptual hashing requires PIL (not in this container) "
-            "for formats beyond BMP/SGMM"
+            "for formats beyond BMP/PNG/SGMM"
         )
     n = len(content)
     if n == 0:
@@ -493,13 +645,15 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(payload), metas.append(meta), errs.append(None)
                     continue
                 raw = bytes(payload)
-                if raw[:2] == b"BM":
+                if raw[:2] == b"BM" or raw.startswith(_PNG_SIG):
                     # REAL resize (stdlib nearest-neighbor resample), no
-                    # optional dependency
+                    # optional dependency; the output stays in the input's
+                    # container format
+                    resizer = _bmp_resize if raw[:2] == b"BM" else _png_resize
                     try:
                         new_meta = dict(meta)
                         new_meta["width"], new_meta["height"] = width, height
-                        payloads.append(_bmp_resize(raw, width, height))
+                        payloads.append(resizer(raw, width, height))
                         metas.append(new_meta), errs.append(None)
                     except ValueError as exc:
                         payloads.append(payload), metas.append(meta)
@@ -509,7 +663,7 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(payload), metas.append(meta)
                     errs.append(
                         "real media resizing requires PIL/ffmpeg (not in this "
-                        "container) for formats beyond BMP/SGMM"
+                        "container) for formats beyond BMP/PNG/SGMM"
                     )
                     continue
                 body = raw[len(_MAGIC) + 12 :]  # strip old header, keep content

@@ -243,3 +243,161 @@ def test_corrupt_and_empty_payload_ahash_dead_letter(spark):
     assert rows[2]["ahash"] is None and rows[2]["ahash_error"] is not None
     assert rows[3]["ahash"] is None and "empty" in rows[3]["ahash_error"]
     assert rows[4]["ahash"] is not None
+
+
+# -- stdlib PNG codec (round 6) -------------------------------------------------
+
+
+def _ref_png(rows, color=2, filters=None):
+    """Reference PNG encoder for tests: applies a CHOSEN filter type per
+    scanline (forward-filtering by inverting ops.py's unfilter formulas),
+    so the decoder's Sub/Up/Average/Paeth paths are all exercised against
+    ground-truth pixels. rows: visual-order RGB tuples (color=2) or gray
+    ints (color=0)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import _paeth
+
+    ch = 3 if color == 2 else 1
+    h, w = len(rows), len(rows[0])
+    raw_lines = []
+    for row in rows:
+        if color == 2:
+            raw_lines.append(bytearray(b for px in row for b in px))
+        else:
+            raw_lines.append(bytearray(row))
+    stride = w * ch
+    body = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(raw_lines):
+        ft = (filters or [0] * h)[y]
+        out = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                out[i] = (line[i] - line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                out[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                out[i] = (line[i] - (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                out[i] = (line[i] - _paeth(a, prev[i], c)) & 0xFF
+        body += bytes([ft]) + bytes(out)
+        prev = bytes(line)
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _zlib.compress(bytes(body))) + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filter_types(spark):
+    """Every scanline filter (None/Sub/Up/Average/Paeth) unfilters back
+    to the ground-truth pixels; gray and RGB color types both decode."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import _png_rgb_rows
+
+    rgb = [
+        [((x * 37 + y * 91) % 256, (x * 11) % 256, (y * 53) % 256)
+         for x in range(7)]
+        for y in range(5)
+    ]
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        w, h, rows = _png_rgb_rows(_ref_png(rgb, color=2, filters=filters))
+        assert (w, h) == (7, 5) and rows == rgb, filters
+    gray = [[(x * 29 + y * 17) % 256 for x in range(4)] for y in range(3)]
+    w, h, rows = _png_rgb_rows(_ref_png(gray, color=0, filters=[0, 2, 4]))
+    assert (w, h) == (4, 3)
+    assert rows == [[(g, g, g) for g in row] for row in gray]
+
+
+def test_png_roundtrip_and_bmp_parity(spark):
+    """ops' own encoder roundtrips, and the SAME pixel content decodes
+    to the SAME grayscale stream (hence the same aHash) through BMP and
+    PNG containers."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import (
+        _ahash_payload,
+        _bmp_encode,
+        _bmp_gray_pixels,
+        _png_encode,
+        _png_gray_pixels,
+        _png_rgb_rows,
+    )
+
+    rgb = [
+        [((x * 7 + y * 13) % 256, (x * 3 + 40) % 256, (y * 5 + 9) % 256)
+         for x in range(9)]
+        for y in range(6)
+    ]
+    png = _png_encode(rgb)
+    assert _png_rgb_rows(png)[2] == rgb
+    bmp = _bmp_encode(rgb)
+    assert _png_gray_pixels(png) == _bmp_gray_pixels(bmp)
+    assert _ahash_payload(png) == _ahash_payload(bmp)
+
+
+def test_png_decode_resize_through_spark_stages(spark):
+    """decode_assets / ahash_assets / resize_assets all serve PNG
+    payloads ungated (no PIL), with the dead-letter contract intact for
+    corrupt PNGs; resize keeps the PNG container and the nearest-
+    neighbor mapping matches the BMP path pixel for pixel."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal import (
+        ahash_assets,
+        decode_assets,
+        resize_assets,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.multimodal.ops import (
+        _bmp_encode,
+        _bmp_rgb_rows,
+        _png_encode,
+        _png_rgb_rows,
+    )
+
+    rgb = [
+        [((x * 31 + y * 3) % 256, (y * 19) % 256, (x * 5) % 256)
+         for x in range(8)]
+        for y in range(6)
+    ]
+    png = _png_encode(rgb)
+    bad = png[:40]  # truncated: IDAT lost
+    interlaced = bytearray(png)
+    interlaced[28] = 1  # Adam7: unsupported -> dead-letter, not crash
+    assets = _mk_assets(spark, [
+        (1, "image", png),
+        (2, "image", bad),
+        (3, "image", bytes(interlaced)),
+        (4, "image", _bmp_encode(rgb)),
+    ])
+    dec = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert dec[1]["decode_error"] is None
+    assert (dec[1]["decoded_width"], dec[1]["decoded_height"]) == (8, 6)
+    assert dec[2]["decode_error"] is not None and dec[2]["mean_value"] is None
+    assert "interlace" in dec[3]["decode_error"]
+    # identical pixel content -> identical decoded mean through either container
+    assert dec[1]["mean_value"] == dec[4]["mean_value"]
+
+    ah = {r["asset_id"]: r for r in ahash_assets(assets).collect()}
+    assert ah[1]["ahash"] is not None and ah[1]["ahash"] == ah[4]["ahash"]
+    assert ah[2]["ahash"] is None and ah[3]["ahash"] is None
+
+    rez = {r["asset_id"]: r for r in
+           resize_assets(assets, 4, 3).collect()}
+    assert rez[1]["resize_error"] is None
+    out_png = bytes(rez[1]["payload"])
+    assert out_png.startswith(b"\x89PNG")
+    w, h, rows = _png_rgb_rows(out_png)
+    assert (w, h) == (4, 3)
+    bw, bh, brows = _bmp_rgb_rows(bytes(rez[4]["payload"]))
+    assert (bw, bh) == (4, 3) and rows == brows
+    assert rez[2]["resize_error"] is not None  # corrupt stays quarantined
