@@ -345,3 +345,176 @@ def q391_rrf_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__frk") <= _QT_HYK)
         .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
     )
+
+
+# ---------------------------------------------------------------------------
+# q392: postings-store mutation lifecycle (the q370 pattern for the
+# lexical index)
+# ---------------------------------------------------------------------------
+
+_LC_TOPK = 15
+_LC_TERMS = ("table", "sort", "hash")
+
+
+def _lc_oracle() -> str:
+    """Replay the WHOLE lifecycle relationally: the post-mutation corpus
+    as a CTE (build set, inserts, replacements, deletes), then the full
+    BM25 derivation over it — so a stale posting, a missed bucket
+    rewrite, or a skewed doclen sidecar surfaces as a value mismatch."""
+    terms = ", ".join(f"'{t}'" for t in _LC_TERMS)
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 OR doc_id % 7 = 1
+                  THEN 'table sort ' || text ELSE text END AS text
+      FROM documents
+      WHERE (doc_id % 5 <> 0 OR doc_id % 10 = 0 OR doc_id % 7 = 1)
+        AND doc_id % 9 <> 3
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+    ),
+    dl AS (
+      SELECT doc_id AS d_id, CAST(count(*) AS BIGINT) AS dlen
+      FROM tok GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dlen) AS DOUBLE) / count(*) AS avg_len FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term AS f_term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(
+               ln((CAST(stats.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df AS DOUBLE) + 0.5) + 1)
+               * ((tf.tf * CAST(2.2 AS DOUBLE))
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * dl.dlen) / stats.avg_len)))
+             AS DECIMAL(30,10))) AS DOUBLE) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM tf
+      JOIN dfreq ON tf.term = dfreq.f_term
+      JOIN dl ON tf.doc_id = dl.d_id, stats
+      GROUP BY 1
+    )
+    SELECT doc_id, bm25, n_terms_hit FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_LC_TOPK}
+    """
+
+
+@query("q392_postings_lifecycle", oracle=_lc_oracle())
+def q392_postings_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings store's FULL verb set under the oracle gate — the
+    lifecycle a retrieval index actually lives (q370 is the versioned-
+    table sibling): build on part of the corpus, batch-append the rest,
+    UPSERT replacements and brand-new documents (text edits change both
+    token buckets and doclens), DELETE a slice, then serve ranked BM25
+    from the mutated store. Every verb is a crash-safe generation flip
+    with touched-bucket-only rewrites (operators/postings_store.py); the
+    oracle rebuilds the post-mutation corpus relationally and replays
+    tokenization, sidecar, scoring, and the cut — so a stale posting or
+    doclen row anywhere in the store is a value mismatch, not a lucky
+    pass."""
+    import tempfile
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="q392_lifecycle_") + "/ix"
+    store = PostingsStore.build(
+        spark, base.filter(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", root, n_buckets=16,
+    )
+    store.append(base.filter(F.col("doc_id") % 2 == 1))
+    ups = docs.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 1)
+    ).withColumn("text", F.concat(F.lit("table sort "), F.col("text")))
+    store.upsert(ups)
+    store.delete(docs.filter(F.col("doc_id") % 9 == 3).select("doc_id"))
+    return store.ranked_bm25(list(_LC_TERMS), topk=_LC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q393: q380's recall audit with BOTH legs distributed (query_mode="join")
+# ---------------------------------------------------------------------------
+
+
+def _q380_oracle() -> str:
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import oracle_sql
+
+    return oracle_sql()["q380_ann_recall"]
+
+
+@query("q393_ann_recall_join", oracle=None)
+def q393_ann_recall_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q380's ANN recall audit with BOTH legs on the distributed query
+    side: the approximate leg is q382's join-mode IVF-PQ search, and the
+    exact ground-truth leg is ``exact_l2_topk(query_mode="join")`` — the
+    salted scoring join with O(1) driver state, so the audit runs at
+    query-TABLE scale (the regime where you measure recall over 10^5
+    held-out queries, not 3). Both modes are row-identical to their
+    literal siblings by construction (pinned in tests/test_pq_join.py),
+    so this query is registered with q380's oracle attached at import
+    time below — training, probes, codes, ADC sums, the exact baseline,
+    and the per-query recall numbers all replay in DuckDB."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
+        exact_l2_topk,
+        ivfpq_topk,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round29 import _PQ_NQ, _PQ_TOPK
+
+    e = load(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < _PQ_NQ)
+    approx = ivfpq_topk(
+        e, qdf, "vec_id", "embedding",
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+        m=_PQ_M, k_centroids=_PQ_K, topk=_PQ_TOPK,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+        query_mode="join",
+    ).select("query_id", "neighbor_id")
+    exact = exact_l2_topk(
+        e, qdf, "vec_id", "embedding", topk=_PQ_TOPK, query_mode="join"
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_PQ_TOPK))
+            ).alias("recall"),
+        )
+    )
+
+
+def _attach_q393_oracle() -> None:
+    """q393 shares q380's full-replay oracle verbatim (the q382/q374
+    sharing pattern): the join mode is row-identical to the literal mode,
+    so the same SQL gates it. Attached post-registration because round31
+    builds the SQL from shared CTE helpers at import time."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import registry
+
+    registry._ORACLES["q393_ann_recall_join"] = _q380_oracle()
+
+
+_attach_q393_oracle()

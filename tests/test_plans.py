@@ -96,6 +96,7 @@ _INTENTIONAL_BNLJ = {
     "q389_bm25_query_table",  # one-row corpus-stats broadcast (doclen sidecar aggregate, q384's shape at batch Q)
     "q390_hybrid_query_table",  # one-row corpus-stats broadcast (batch BM25 leg; rerank legs are equi-joins)
     "q391_rrf_query_table",  # one-row corpus-stats broadcast (batch BM25 leg; ANN leg is the q382 join plan)
+    "q392_postings_lifecycle",  # one-row corpus-stats broadcast (ranked_bm25 over the mutated store, q384's shape)
     "q175_cusum_drift",  # one-row baseline-mean broadcast
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
