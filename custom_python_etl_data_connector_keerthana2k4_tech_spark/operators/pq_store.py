@@ -45,6 +45,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors 
 _PARAMS_FILE = "_ivfpq_params.json"
 _DATA_DIR = "data"
 _DATA_PTR = "_data_ptr"  # names the live data generation (crash-safe publish)
+_EPOCH_ROOT = "eph"  # streaming epoch commit directories (exactly-once)
 
 
 def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
@@ -126,6 +127,28 @@ class IVFPQStore:
         )
         return store
 
+    def _ptr(self) -> dict:
+        """The live-generation pointer: ``{"gen": <dirname>, "folded":
+        [epoch names]}``. ``folded`` lists streaming epoch commits whose
+        rows are already contained in the live generation (compaction
+        folds them) — readers skip them even if a crash between the
+        pointer flip and the directory sweep left them on disk. Legacy
+        plain-string pointers (pre-round-6) parse as the dirname with
+        nothing folded; no pointer file means the original ``data``."""
+        ptr = os.path.join(self.path, _DATA_PTR)
+        try:
+            with open(ptr) as f:
+                raw = f.read().strip()
+        except OSError:
+            return {"gen": _DATA_DIR, "folded": []}
+        try:
+            val = json.loads(raw)
+            if isinstance(val, dict):
+                return {"gen": val["gen"], "folded": list(val.get("folded", []))}
+        except ValueError:
+            pass
+        return {"gen": raw, "folded": []}
+
     def _data_path(self) -> str:
         """The LIVE data generation, resolved through the pointer file.
 
@@ -135,12 +158,19 @@ class IVFPQStore:
         crash at any step leaves the pointer naming a complete directory
         and the store readable. No pointer file (a freshly built store)
         means the original ``data`` directory."""
-        ptr = os.path.join(self.path, _DATA_PTR)
-        try:
-            with open(ptr) as f:
-                return os.path.join(self.path, f.read().strip())
-        except OSError:
-            return os.path.join(self.path, _DATA_DIR)
+        return os.path.join(self.path, self._ptr()["gen"])
+
+    def _epochs(self) -> list[str]:
+        """Committed, unfolded streaming-epoch directory names (sorted)."""
+        eroot = os.path.join(self.path, _EPOCH_ROOT)
+        if not os.path.isdir(eroot):
+            return []
+        folded = set(self._ptr()["folded"])
+        return sorted(
+            name
+            for name in os.listdir(eroot)
+            if not name.endswith(".tmp") and name not in folded
+        )
 
     def _next_data_path(self) -> str:
         """Target directory for the next data generation; sweeps a
@@ -153,7 +183,7 @@ class IVFPQStore:
         shutil.rmtree(new, ignore_errors=True)
         return new
 
-    def _publish(self, new_data: str) -> None:
+    def _publish(self, new_data: str, folded: list[str] | None = None) -> None:
         """Atomically flip the live-data pointer to ``new_data`` (the
         commit point is one os.replace of the pointer file), then retire
         the previous generation AND sweep every other ``data*`` sibling —
@@ -162,20 +192,34 @@ class IVFPQStore:
         whose generation number has since advanced. Post-flip, anything
         under ``data*`` that is not the live generation is garbage by
         construction (single-maintainer contract), so each maintenance
-        call is also a full orphan sweep. Readers planned before the flip
-        may race the retire — same documented non-promise as
-        _swap_lists."""
+        call is also a full orphan sweep. ``folded`` names streaming
+        epoch commits whose rows the new generation contains: they are
+        recorded in the pointer BEFORE their directories are swept, so a
+        crash mid-sweep never double-counts them; entries whose dirs are
+        gone are pruned with a second atomic replace. Readers planned
+        before the flip may race the retire — same documented
+        non-promise as _swap_lists."""
         import shutil
 
+        folded_all = sorted(set(self._ptr()["folded"]) | set(folded or []))
         ptr = os.path.join(self.path, _DATA_PTR)
+        live = os.path.basename(new_data)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(os.path.basename(new_data))
+            json.dump({"gen": live, "folded": folded_all}, f)
         os.replace(tmp, ptr)
-        live = os.path.basename(new_data)
         for name in os.listdir(self.path):
             if name.startswith(_DATA_DIR) and name != live:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        eroot = os.path.join(self.path, _EPOCH_ROOT)
+        for ep in folded_all:
+            shutil.rmtree(os.path.join(eroot, ep), ignore_errors=True)
+        remaining = [
+            ep for ep in folded_all if os.path.isdir(os.path.join(eroot, ep))
+        ]
+        with open(tmp, "w") as f:
+            json.dump({"gen": live, "folded": remaining}, f)
+        os.replace(tmp, ptr)
 
     # -- encode / ingest ----------------------------------------------------
 
@@ -217,14 +261,42 @@ class IVFPQStore:
             self._data_path()
         )
 
+    def _commit_epoch(self, batch: DataFrame, epoch_id: int) -> None:
+        """Exactly-once micro-batch ingest: encode the epoch's vectors
+        with the frozen parameters into a temp directory and publish it
+        with ONE atomic directory rename keyed by the epoch id. A
+        retried epoch finds its commit directory and skips — so
+        foreachBatch's at-least-once delivery can never land a vector
+        twice (a blind append would duplicate (vid, codes) rows, and a
+        duplicated vector shows up TWICE in every top-k that reaches
+        it)."""
+        import shutil
+
+        eroot = os.path.join(self.path, _EPOCH_ROOT)
+        os.makedirs(eroot, exist_ok=True)
+        final = os.path.join(eroot, f"ep-{int(epoch_id):010d}")
+        if os.path.isdir(final):
+            return  # already committed: the retry is a no-op
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._encode(batch).write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(os.path.join(tmp, "codes"))
+        os.rename(tmp, final)
+
     def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
         """Keep the index fresh under a stream of new vectors: each
-        micro-batch is encoded and appended with the frozen parameters
-        (idempotent per epoch via the checkpoint). Returns the started
-        StreamingQuery (caller picks the trigger by convention:
-        availableNow in tests, continuous in production)."""
+        micro-batch publishes through ``_commit_epoch``'s atomic rename,
+        so a crash-and-replay of an epoch cannot double-insert. One
+        streaming lineage per store — epoch ids are unique only within a
+        checkpoint; run ``compact()`` before pointing a NEW stream at an
+        old store. Returns the started StreamingQuery (caller picks the
+        trigger by convention: availableNow in tests, continuous in
+        production)."""
         return (
-            stream.writeStream.foreachBatch(lambda b, _eid: self.append(b))
+            stream.writeStream.foreachBatch(
+                lambda b, eid: self._commit_epoch(b, eid)
+            )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -267,7 +339,12 @@ class IVFPQStore:
     def upsert(self, batch: DataFrame) -> None:
         """Replace-or-insert vectors by id, rewriting ONLY the touched
         lists: the lists the new encodings land in plus the lists that
-        currently hold older versions of the same ids."""
+        currently hold older versions of the same ids. Committed
+        streaming epochs are folded first (``compact``) so the
+        partition-selective rewrite has a single base generation to
+        hardlink from."""
+        if self._epochs():
+            self.compact()
         enc = self._encode(batch).persist()
         touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
         prior = (
@@ -291,7 +368,10 @@ class IVFPQStore:
 
     def delete(self, ids: DataFrame) -> None:
         """Remove vectors by id (a one-column frame of ids), rewriting
-        only the lists that hold them."""
+        only the lists that hold them (epochs fold first, as in
+        ``upsert``)."""
+        if self._epochs():
+            self.compact()
         vids = ids.toDF("vid")
         homes = (
             self.reader()
@@ -324,7 +404,11 @@ class IVFPQStore:
         atomic pointer flip (_publish) — a crash at ANY point leaves the
         pointer naming a complete directory, never a store with no data
         dir. The maintenance verb every append-only store needs (the
-        versioned table's OPTIMIZE, applied to the index)."""
+        versioned table's OPTIMIZE, applied to the index). Also FOLDS
+        committed streaming epochs into the new generation — the folded
+        epoch ids are recorded in the pointer before their directories
+        are swept, so a crash mid-sweep never double-counts them."""
+        eps = self._epochs()
         new = self._next_data_path()
         (
             self.reader()
@@ -333,12 +417,25 @@ class IVFPQStore:
             .partitionBy("cluster")
             .parquet(new)
         )
-        self._publish(new)
+        self._publish(new, folded=eps)
 
     # -- query --------------------------------------------------------------
 
     def reader(self) -> DataFrame:
-        return self.spark.read.parquet(self._data_path())
+        """The live generation plus every committed, unfolded streaming
+        epoch (unioned by name). Empty epoch commits (a 0-row
+        micro-batch) leave no cluster directories and are skipped; the
+        ``cluster IN probes`` predicate prunes every union leg."""
+        df = self.spark.read.parquet(self._data_path())
+        eroot = os.path.join(self.path, _EPOCH_ROOT)
+        for ep in self._epochs():
+            leg = os.path.join(eroot, ep, "codes")
+            if not os.path.isdir(leg) or not any(
+                name.startswith("cluster=") for name in os.listdir(leg)
+            ):
+                continue
+            df = df.unionByName(self.spark.read.parquet(leg))
+        return df
 
     def query(
         self, queries: DataFrame, nprobe: int = 2, topk: int = 10,

@@ -253,3 +253,75 @@ def test_delete_removes_ids_rewriting_touched_lists_only(spark, parts, tmp_path)
     # deleting already-absent ids is a no-op
     store.delete(victims)
     assert _rows(store.reader()) == _rows(store._encode(expected_src))
+
+
+# -- exactly-once streaming epochs (round 6) -----------------------------------
+
+
+def test_streaming_epoch_replay_is_exactly_once(spark, parts, tmp_path):
+    """A retried epoch (at-least-once foreachBatch delivery) must not
+    duplicate vectors — a blind append would make a duplicated vector
+    appear TWICE in every top-k that reaches it."""
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(spark, p0, "vec_id", "embedding", str(tmp_path / "idx"))
+    store._commit_epoch(p1, 0)
+    store._commit_epoch(p1, 0)  # the retry: must be a no-op
+    store._commit_epoch(p2, 1)
+    store._commit_epoch(p2, 1)
+    assert _rows(store.reader()) == _rows(store._encode(e))
+    # and the query path sees each vector exactly once
+    q = e.filter(F.col("vec_id") < 3)
+    got = store.query(q, nprobe=8, topk=5)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_compact_folds_epochs_crash_safely(spark, parts, tmp_path):
+    """compact() folds committed epochs into the new generation; the
+    pointer records them BEFORE the directory sweep, so even a leftover
+    epoch directory (simulated crash mid-sweep) is never double-counted
+    by readers."""
+    import os as _os
+
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(spark, p0, "vec_id", "embedding", str(tmp_path / "idx"))
+    store._commit_epoch(p1.unionByName(p2), 0)
+    want = _rows(store.reader())
+    store.compact()
+    assert store._epochs() == []
+    assert _rows(store.reader()) == want
+    # simulate the crash: resurrect a folded epoch directory and mark it
+    # folded in the pointer — readers must keep skipping it
+    eroot = _os.path.join(str(tmp_path / "idx"), "eph")
+    store._commit_epoch(p2, 7)  # a directory that IS listed as folded
+    import json as _json
+
+    ptr = _os.path.join(str(tmp_path / "idx"), "_data_ptr")
+    with open(ptr) as f:
+        val = _json.load(f)
+    val["folded"] = ["ep-0000000007"]
+    with open(ptr, "w") as f:
+        _json.dump(val, f)
+    assert _rows(store.reader()) == want
+    # the next compact prunes the tombstone and sweeps the directory
+    store.compact()
+    assert not _os.path.isdir(_os.path.join(eroot, "ep-0000000007"))
+    assert _rows(store.reader()) == want
+
+
+def test_upsert_after_streaming_folds_then_rewrites(spark, parts, tmp_path):
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(spark, p0, "vec_id", "embedding", str(tmp_path / "idx"))
+    store._commit_epoch(p1, 0)
+    moved = p0.filter(F.col("vec_id") < 2).withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    batch = p2.filter(F.col("vec_id") < 20).unionByName(moved)
+    store.upsert(batch)
+    expected_src = (
+        p0.unionByName(p1)
+        .join(batch.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(batch)
+    )
+    assert _rows(store.reader()) == _rows(store._encode(expected_src))
+    assert store._epochs() == []
