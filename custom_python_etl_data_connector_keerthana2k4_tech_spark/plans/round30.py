@@ -90,17 +90,9 @@ def q376_postings_store_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as q375: the on-disk layout must be invisible to
     results, so any encode/prune/layout fault surfaces as a value
     mismatch under the driver gate."""
-    import tempfile
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.stores import shared_postings_store
 
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
-        PostingsStore,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="q376_postings_") + "/ix"
-    store = PostingsStore.build(
-        spark, docs, "doc_id", "text", root, n_buckets=16
-    )
+    store = shared_postings_store(spark, sf_dir)
     out = None
     for ph in _PHRASES:
         hit = store.phrase(ph).select(

@@ -246,16 +246,11 @@ def q384_bm25_store_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — distributed partial top-k). The oracle
     replays tokenization, sidecar semantics, scoring, and the cut from
     the raw documents, so index staleness or a pruning fault surfaces
-    as a value mismatch."""
-    import tempfile
+    as a value mismatch. The store is the shared build-once index
+    (plans/stores.py) — the amortized build-once/serve-many shape."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.stores import shared_postings_store
 
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
-        PostingsStore,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="q384_bm25_") + "/ix"
-    store = PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
+    store = shared_postings_store(spark, sf_dir)
     return store.ranked_bm25(list(_BM25_TERMS), topk=_BM25_TOPK)
 
 
@@ -318,19 +313,12 @@ def q385_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds no extra shuffle. Oracle replays BOTH stages — BM25 scores,
     the shortlist cut, cosines, and final ranks all sit under the
     value gate."""
-    import tempfile
-
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
-        PostingsStore,
-    )
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.similarity import cosine_topk
-
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.extensions import materialize_once
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.stores import shared_postings_store
 
-    docs = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="q385_hybrid_") + "/ix"
-    store = PostingsStore.build(spark, docs, "doc_id", "text", root, n_buckets=16)
+    store = shared_postings_store(spark, sf_dir)
     # the shortlist is read three ways (semi-join gate, bm25 carry, rerank
     # base) — materialize the 50-row frame instead of re-running the
     # bucket-pruned scoring per branch
@@ -409,33 +397,22 @@ def q388_rrf_store_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     join of two k-row frames and the final cut is orderBy+limit. The
     oracle replays BOTH index derivations AND the fusion arithmetic, so
     every fused rank is hash-gated."""
-    import tempfile
-
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
-        PostingsStore,
-    )
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.ranks import with_global_rank
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.stores import (
+        shared_ivfpq_store,
+        shared_postings_store,
+    )
 
-    docs = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
 
-    proot = tempfile.mkdtemp(prefix="q388_postings_") + "/ix"
-    pstore = PostingsStore.build(spark, docs, "doc_id", "text", proot,
-                                 n_buckets=16)
+    pstore = shared_postings_store(spark, sf_dir)
     bm = with_global_rank(
         pstore.ranked_bm25(list(_BM25_TERMS), topk=_HY_SHORTLIST),
         [F.col("bm25").desc(), F.col("doc_id").asc()],
         out="bm25_rank",
     ).select("doc_id", "bm25_rank")
 
-    vroot = tempfile.mkdtemp(prefix="q388_ivfpq_") + "/ix"
-    vstore = IVFPQStore.build(
-        spark, e, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
+    vstore = shared_ivfpq_store(spark, sf_dir)
     ann = vstore.query(
         e.filter(F.col("vec_id") == 0), nprobe=_IVF_NPROBE,
         topk=_HY_SHORTLIST,
