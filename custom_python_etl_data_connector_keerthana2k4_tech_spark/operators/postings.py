@@ -66,3 +66,56 @@ def phrase_match(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("p0").alias("first_pos"),
     )
+
+
+def phrase_match_table(
+    postings: DataFrame,
+    phrases: DataFrame,
+    phrase_id_col: str = "phrase_id",
+    pos_col: str = "ppos",
+    term_col: str = "term",
+) -> DataFrame:
+    """Exact phrase occurrences for a phrase TABLE — the batch sibling
+    of ``phrase_match`` (which serves ONE Python token list). ``phrases``
+    is a (phrase_id, ppos, term) frame: 0-based positions within each
+    phrase, one row per slot (a phrase_id must not carry two terms at
+    the same position — that spec is contradictory and unmatchable).
+
+    Plan (the anchor-alignment formulation — one join for ALL phrases
+    instead of k-1 joins per phrase): every posting row that matches ANY
+    phrase slot proposes an anchor ``p0 = pos - ppos`` (the document
+    position where the phrase would have to start); a full match at p0
+    is exactly ``count(DISTINCT ppos) == phrase length`` within the
+    (phrase, doc, p0) group, because the equi-join on the term already
+    guarantees each counted slot has the right token at p0 + ppos.
+    Duplicate occurrences can't inflate the count (distinct slots), and
+    per-phrase independence makes the result row-identical to looping
+    ``phrase_match``. Returns phrase_id, doc_id, n_matches, first_pos."""
+    ph = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.col(pos_col).cast("long").alias("ppos"),
+        F.col(term_col).alias("token"),
+    )
+    plen = ph.groupBy("phrase_id").agg(
+        F.countDistinct("ppos").alias("plen")
+    )
+    cand = (
+        postings.join(ph, "token")
+        .select(
+            "phrase_id",
+            "doc_id",
+            (F.col("pos") - F.col("ppos")).alias("p0"),
+            "ppos",
+        )
+        .filter(F.col("p0") >= 0)
+    )
+    anchors = (
+        cand.groupBy("phrase_id", "doc_id", "p0")
+        .agg(F.countDistinct("ppos").alias("__nhit"))
+        .join(F.broadcast(plen), "phrase_id")
+        .filter(F.col("__nhit") == F.col("plen"))
+    )
+    return anchors.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p0").alias("first_pos"),
+    )

@@ -620,3 +620,50 @@ class PostingsStore:
         buckets = sorted({py_hex_hash60(tok) % self.n_buckets for tok in phrase})
         pruned = self.reader().filter(F.col("bucket").isin(buckets))
         return phrase_match(pruned.select("token", "doc_id", "pos"), phrase)
+
+    def phrase_table(
+        self,
+        phrases: DataFrame,
+        phrase_id_col: str = "phrase_id",
+        pos_col: str = "ppos",
+        term_col: str = "term",
+    ) -> DataFrame:
+        """Exact phrase search for a phrase TABLE — the batch sibling of
+        ``phrase`` (ranked_bm25_table's device applied to adjacency):
+        the only driver collect is the distinct BUCKET ids of the
+        phrases' terms (<= n_buckets ints at any number of phrases, so
+        the bucket predicate stays literal PartitionFilters), the
+        postings additionally semi-join to the distinct term set, and
+        ``phrase_match_table`` resolves all phrases in ONE anchor-
+        alignment join. Row-identical per phrase to looping ``phrase``
+        (pinned in tests). Returns phrase_id, doc_id, n_matches,
+        first_pos."""
+        from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings import (
+            phrase_match_table,
+        )
+
+        ph = phrases.select(
+            F.col(phrase_id_col).alias("phrase_id"),
+            F.col(pos_col).alias("ppos"),
+            F.col(term_col).alias("term"),
+        )
+        buckets = sorted(
+            int(r["bucket"])
+            for r in ph.select(
+                (hex_hash60(F.col("term")) % self.n_buckets)
+                .cast("int")
+                .alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        if not buckets:
+            raise ValueError("empty phrase table")
+        terms = ph.select(F.col("term").alias("token")).distinct()
+        pruned = (
+            self.reader()
+            .filter(F.col("bucket").isin(buckets))
+            .join(terms, "token", "left_semi")
+            .select("token", "doc_id", "pos")
+        )
+        return phrase_match_table(pruned, ph)

@@ -12,7 +12,11 @@ q390 hybridizes per query (BM25 shortlist -> exact quantized-cosine
 rerank of each query's own shortlist against its own embedding); q391
 fuses per-query BM25 ranks with per-query IVF-PQ ANN ranks (query_mode=
 "join" — the round-32 distributed query side) via reciprocal-rank fusion.
-Every stage of all three sits under full-replay DuckDB oracles.
+q392 exercises the store's mutation lifecycle (upsert/delete with
+crash-safe generation flips) under the oracle gate, q393 reruns q380's
+recall audit with BOTH legs distributed, and q394 answers a phrase
+TABLE in one anchor-alignment join. Every stage of all of them sits
+under full-replay DuckDB oracles.
 
 Reference parity: /root/reference/etl_connector.py has no query surface
 at all (evidence of absence, SURVEY §0) — north-star extension territory.
@@ -515,3 +519,72 @@ def _attach_q393_oracle() -> None:
 
 
 _attach_q393_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q394: batch phrase search (a phrase TABLE through the postings store)
+# ---------------------------------------------------------------------------
+
+_PT: dict[int, tuple[str, ...]] = {
+    0: ("table", "scan"),
+    1: ("merge", "sort", "join"),
+    2: ("table",),
+}
+
+
+def _pt_oracle() -> str:
+    vals = ", ".join(
+        f"(CAST({pid} AS BIGINT), CAST({i} AS BIGINT), '{t}')"
+        for pid, ts in sorted(_PT.items())
+        for i, t in enumerate(ts)
+    )
+    return f"""
+    WITH pt(phrase_id, ppos, term) AS (VALUES {vals}),
+    toks AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+             unnest(ws) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    plen AS (
+      SELECT phrase_id, count(DISTINCT ppos) AS plen FROM pt GROUP BY 1
+    ),
+    cand AS (
+      SELECT pt.phrase_id, t.doc_id, t.pos - pt.ppos AS p0, pt.ppos
+      FROM toks t JOIN pt ON t.tok = pt.term
+      WHERE t.pos - pt.ppos >= 0
+    ),
+    anchors AS (
+      SELECT phrase_id, doc_id, p0 FROM (
+        SELECT phrase_id, doc_id, p0, count(DISTINCT ppos) AS nh
+        FROM cand GROUP BY 1, 2, 3
+      ) h JOIN plen USING (phrase_id)
+      WHERE h.nh = plen.plen
+    )
+    SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           min(p0) AS first_pos
+    FROM anchors GROUP BY 1, 2
+    """
+
+
+@query("q394_phrase_query_table", oracle=_pt_oracle())
+def q394_phrase_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search for a phrase TABLE through the persistent
+    postings store — the adjacency sibling of q389's batch BM25 (q376
+    serves one phrase per loop iteration). ONE anchor-alignment join
+    answers every phrase: each matching posting proposes the document
+    position its phrase would have to start at, and a full match is
+    exactly count(DISTINCT slot) == phrase length within the (phrase,
+    doc, anchor) group. The store prunes to the phrases' term buckets
+    (literal PartitionFilters — only bucket ids are collected), and the
+    result is row-identical per phrase to looping ``phrase`` (pinned in
+    tests). The oracle replays tokenization and the anchor-alignment
+    derivation relationally."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.stores import shared_postings_store
+
+    store = shared_postings_store(spark, sf_dir)
+    pt = spark.createDataFrame(
+        [(pid, i, t) for pid, ts in sorted(_PT.items()) for i, t in enumerate(ts)],
+        "phrase_id long, ppos long, term string",
+    )
+    return store.phrase_table(pt)

@@ -400,3 +400,44 @@ def test_mutations_then_queries_over_mutated_store(spark, sf_dir, tmp_path):
     assert _rows(store.ranked_bm25_table(qt, topk=9)) == _rows(
         fresh.ranked_bm25_table(qt, topk=9)
     )
+
+
+# -- batch (phrase-table) search (round 6) -------------------------------------
+
+
+def test_phrase_table_equals_per_phrase_loops(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    store = PostingsStore.build(
+        spark, docs, "doc_id", "text", str(tmp_path / "ix"), n_buckets=16
+    )
+    phrases = {
+        0: ["table", "scan"],
+        1: ["merge", "sort", "join"],
+        2: ["table"],              # single-token phrase
+        3: ["zzz", "nothere"],     # absent phrase: no rows, not an error
+        4: ["the", "the"],         # repeated token: adjacency still exact
+    }
+    pt = spark.createDataFrame(
+        [(pid, i, t) for pid, ts in phrases.items() for i, t in enumerate(ts)],
+        "phrase_id long, ppos long, term string",
+    )
+    got = store.phrase_table(pt)
+    by_p = {}
+    for r in got.collect():
+        by_p.setdefault(r["phrase_id"], set()).add(
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+        )
+    for pid, ts in phrases.items():
+        want = {
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in store.phrase(ts).collect()
+        }
+        assert by_p.get(pid, set()) == want, f"phrase {pid} diverges"
+    # the fixture really matches something for the main phrases
+    assert by_p.get(0) and by_p.get(1)
+
+    # pruning stays literal PartitionFilters at batch scale
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "bucket" in scan[: scan.index("]")]
