@@ -78,8 +78,11 @@ def phrase_match_table(
     """Exact phrase occurrences for a phrase TABLE — the batch sibling
     of ``phrase_match`` (which serves ONE Python token list). ``phrases``
     is a (phrase_id, ppos, term) frame: 0-based positions within each
-    phrase, one row per slot (a phrase_id must not carry two terms at
-    the same position — that spec is contradictory and unmatchable).
+    phrase, one row per slot. A well-formed spec has exactly one term
+    per (phrase_id, ppos); if a slot carries SEVERAL terms, the slot
+    counts as matched when ANY of them is present (the distinct-slot
+    count below can't tell which term matched) — callers wanting strict
+    conjunction must not emit duplicate positions.
 
     Plan (the anchor-alignment formulation — one join for ALL phrases
     instead of k-1 joins per phrase): every posting row that matches ANY

@@ -53,13 +53,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import hex_hash60, py_hex_hash60
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators import genstore
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings import build_postings, phrase_match
 
 _PARAMS_FILE = "_postings_params.json"
 _DATA_DIR = "data"
 _DOCLEN_DIR = "doclen"
 _STORE_PTR = "_store_ptr"  # names the live generation (crash-safe publish)
-_EPOCH_ROOT = "eph"
+_EPOCH_ROOT = genstore.EPOCH_ROOT
 
 
 class PostingsStore:
@@ -103,18 +104,17 @@ class PostingsStore:
     # -- generations ----------------------------------------------------------
 
     def _ptr(self) -> dict:
-        """The live-generation pointer: ``{"gen": N, "folded": [epoch
-        names]}``. Generation 0 is the original ``data``/``doclen``
+        """The live-generation pointer (operators/genstore.py):
+        ``{"gen": N, "folded": [epoch names], "watermark": max folded
+        epoch id}``. Generation 0 is the original ``data``/``doclen``
         pair; no pointer file means generation 0 with nothing folded.
         ``folded`` lists epoch commits whose rows are already contained
         in the live generation (compact folds them) — readers skip them
         even if a crash between the pointer flip and the directory sweep
-        left them on disk."""
-        try:
-            with open(os.path.join(self.path, _STORE_PTR)) as f:
-                return json.load(f)
-        except OSError:
-            return {"gen": 0, "folded": []}
+        left them on disk; the watermark makes a REPLAY of a folded-and-
+        swept epoch a no-op (crash between fold and the streaming
+        checkpoint)."""
+        return genstore.read_ptr(os.path.join(self.path, _STORE_PTR), 0)
 
     def _gen_dirs(self, gen: int) -> tuple[str, str]:
         if gen == 0:
@@ -133,54 +133,39 @@ class PostingsStore:
     def _doclen_path(self) -> str:
         return self._gen_dirs(self._ptr()["gen"])[1]
 
-    def _publish(self, gen: int, folded: list[str]) -> None:
+    def _publish(self, gen: int, newly_folded: list[str]) -> None:
         """Commit generation ``gen`` with ONE atomic pointer replace
-        (postings and doclen flip together), then sweep every stale
+        (postings and doclen flip together — folded epochs and the
+        advanced watermark ride the same write), then sweep every stale
         ``data*``/``doclen*`` sibling and every folded epoch directory.
         Post-flip, anything that is not the live generation or a live
         epoch is garbage by construction (single-maintainer contract),
         so each maintenance call is also a full orphan sweep. After the
         sweep, folded entries whose directories are gone are pruned from
         the pointer (a second atomic replace — a crash between the two
-        just leaves harmless tombstones)."""
+        just leaves harmless tombstones; the watermark keeps refusing
+        their replays either way)."""
+        prev = self._ptr()
+        folded_all, wm = genstore.fold_bookkeeping(prev, newly_folded)
         data, doclen = self._gen_dirs(gen)
         live = {os.path.basename(data), os.path.basename(doclen)}
         ptr = os.path.join(self.path, _STORE_PTR)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"gen": gen, "folded": sorted(set(folded))}, f)
-        os.replace(tmp, ptr)
+        genstore.write_ptr(ptr, gen, folded_all, wm)
         for name in os.listdir(self.path):
             if (
                 name.startswith((_DATA_DIR, _DOCLEN_DIR))
                 and name not in live
             ):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        for ep in folded:
-            shutil.rmtree(os.path.join(eroot, ep), ignore_errors=True)
-        remaining = [
-            ep for ep in sorted(set(folded))
-            if os.path.isdir(os.path.join(eroot, ep))
-        ]
-        with open(tmp, "w") as f:
-            json.dump({"gen": gen, "folded": remaining}, f)
-        os.replace(tmp, ptr)
+        remaining = genstore.sweep_folded(self.path, folded_all)
+        genstore.write_ptr(ptr, gen, remaining, wm)
 
     def _next_gen(self) -> int:
         return int(self._ptr()["gen"]) + 1
 
     def _epochs(self) -> list[str]:
         """Committed, unfolded epoch directory names (sorted)."""
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        if not os.path.isdir(eroot):
-            return []
-        folded = set(self._ptr().get("folded", []))
-        return sorted(
-            name
-            for name in os.listdir(eroot)
-            if not name.endswith(".tmp") and name not in folded
-        )
+        return genstore.list_epochs(self.path, self._ptr()["folded"])
 
     # -- encode / ingest ------------------------------------------------------
 
@@ -218,25 +203,24 @@ class PostingsStore:
         )
 
     def _commit_epoch(self, docs: DataFrame, epoch_id: int) -> None:
-        """Exactly-once micro-batch ingest: stage the epoch's postings +
-        doclen rows in a temp directory, publish with ONE atomic
-        directory rename keyed by the epoch id. A retried epoch finds
-        its commit directory and skips — foreachBatch's at-least-once
-        delivery never double-counts a posting or a doclen row."""
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        os.makedirs(eroot, exist_ok=True)
-        final = os.path.join(eroot, f"ep-{int(epoch_id):010d}")
-        if os.path.isdir(final):
-            return  # already committed: the retry is a no-op
-        tmp = final + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._encode(docs).write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(tmp, "postings")
+        """Exactly-once micro-batch ingest (genstore.commit_epoch): a
+        retried epoch finds its commit directory — or an id at-or-below
+        the folded watermark (folded and swept before the streaming
+        checkpoint recorded it) — and skips, so at-least-once
+        foreachBatch delivery never double-counts a posting or a doclen
+        row."""
+
+        def write_legs(tmp: str) -> None:
+            self._encode(docs).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(os.path.join(tmp, "postings"))
+            self._doclen(docs).write.mode("overwrite").partitionBy(
+                "dbucket"
+            ).parquet(os.path.join(tmp, "doclen"))
+
+        genstore.commit_epoch(
+            self.path, epoch_id, self._ptr()["watermark"], write_legs
         )
-        self._doclen(docs).write.mode("overwrite").partitionBy("dbucket").parquet(
-            os.path.join(tmp, "doclen")
-        )
-        os.rename(tmp, final)
 
     def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
         """Index new documents as they arrive. Exactly-once per epoch:
@@ -262,29 +246,33 @@ class PostingsStore:
         """Fold every committed epoch into a fresh generation and rewrite
         each bucket into one file (the small-files maintenance verb:
         streaming ingest leaves one file set per epoch per touched
-        bucket). Publishes behind the atomic pointer flip; the folded
-        epochs are recorded in the pointer BEFORE their directories are
-        swept, so a crash mid-sweep never double-counts them."""
+        bucket). The epoch list is SNAPSHOT once and both the fold input
+        and the pointer record use exactly that snapshot — an epoch a
+        racing stream commits mid-compact stays a live union leg, never
+        half-folded. Publishes behind the atomic pointer flip; folded
+        epochs are recorded (and the watermark advanced) BEFORE their
+        directories are swept, so a crash mid-sweep never double-counts
+        them and a replay of a swept epoch is refused."""
         eps = self._epochs()
         gen = self._next_gen()
         data, doclen = self._gen_dirs(gen)
         shutil.rmtree(data, ignore_errors=True)
         shutil.rmtree(doclen, ignore_errors=True)
         (
-            self.reader()
+            self._union_legs(self._data_path(), "postings", "bucket=", eps)
             .repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(data)
         )
         (
-            self.doclen_reader()
+            self._union_legs(self._doclen_path(), "doclen", "dbucket=", eps)
             .repartition("dbucket")
             .write.mode("overwrite")
             .partitionBy("dbucket")
             .parquet(doclen)
         )
-        self._publish(gen, self._ptr().get("folded", []) + eps)
+        self._publish(gen, eps)
 
     def _swap_partitions(
         self,
@@ -333,16 +321,22 @@ class PostingsStore:
         the doc ids' dbucket directories in the doclen sidecar (dbucket
         is a pure function of doc_id, so old and new rows share it).
         Committed epochs are folded first (``compact``) so the rewrite
-        has a single base generation to link from."""
+        has a single base generation to link from, and the rewrite reads
+        THAT generation only — an epoch a racing stream commits after
+        the fold stays a separate live leg (never duplicated by the
+        rewrite, though also not deduplicated against it: quiesce the
+        stream before maintenance, the single-maintainer contract)."""
         if self._epochs():
             self.compact()
+        live = self.spark.read.parquet(self._data_path())
+        live_dl = self.spark.read.parquet(self._doclen_path())
         enc = self._encode(docs).persist()
         ids = docs.select(F.col(self.id_col).alias("doc_id")).distinct()
         touched = {
             int(r["bucket"]) for r in enc.select("bucket").distinct().collect()
         }
         prior = (
-            self.reader()
+            live
             .join(ids, "doc_id", "left_semi")
             .select("bucket")
             .distinct()
@@ -355,7 +349,7 @@ class PostingsStore:
         )
 
         rewritten = (
-            self.reader()
+            live
             .filter(F.col("bucket").isin(buckets))
             .join(ids, "doc_id", "left_anti")
             .unionByName(enc)
@@ -365,7 +359,7 @@ class PostingsStore:
         rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
 
         dl_rewritten = (
-            self.doclen_reader()
+            live_dl
             .filter(F.col("dbucket").isin(dbuckets))
             .join(ids, "doc_id", "left_anti")
             .unionByName(new_dl)
@@ -384,25 +378,32 @@ class PostingsStore:
         directories that hold their doclen rows."""
         if self._epochs():
             self.compact()
+        live = self.spark.read.parquet(self._data_path())
+        live_dl = self.spark.read.parquet(self._doclen_path())
         vids = ids.toDF("doc_id").distinct()
         homes = (
-            self.reader()
+            live
             .join(vids, "doc_id", "left_semi")
             .select("bucket")
             .distinct()
         )
         buckets = sorted(int(r["bucket"]) for r in homes.collect())
-        dhomes = vids.select(
-            (hex_hash60(F.col("doc_id").cast("string")) % self.n_buckets)
-            .cast("int")
-            .alias("dbucket")
-        ).distinct()
+        # touched sidecar partitions come from EXISTING doclen rows (the
+        # same semi-join device as the postings side), so deleting
+        # already-absent ids is a true no-op — hashing the requested ids
+        # would rewrite (and de-hardlink) dbucket dirs that hold nothing
+        dhomes = (
+            live_dl
+            .join(vids, "doc_id", "left_semi")
+            .select("dbucket")
+            .distinct()
+        )
         dbuckets = sorted(int(r["dbucket"]) for r in dhomes.collect())
         if not buckets and not dbuckets:
             return
 
         kept = (
-            self.reader()
+            live
             .filter(F.col("bucket").isin(buckets))
             .join(vids, "doc_id", "left_anti")
             .select("token", "doc_id", "pos", "bucket")
@@ -411,7 +412,7 @@ class PostingsStore:
         kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
 
         dl_kept = (
-            self.doclen_reader()
+            live_dl
             .filter(F.col("dbucket").isin(dbuckets))
             .join(vids, "doc_id", "left_anti")
             .select("doc_id", "dlen", "dbucket")
@@ -422,13 +423,18 @@ class PostingsStore:
 
     # -- read -----------------------------------------------------------------
 
-    def _union_legs(self, base: str, sub: str, part_prefix: str) -> DataFrame:
+    def _union_legs(
+        self, base: str, sub: str, part_prefix: str,
+        epochs: list[str] | None = None,
+    ) -> DataFrame:
         """The live generation plus every committed epoch's ``sub``
-        directory, unioned by name. Empty epoch writes (a 0-row
+        directory, unioned by name (``epochs`` pins an explicit snapshot
+        — compact/maintenance pass one so a racing stream commit can't
+        slip between listing and reading). Empty epoch writes (a 0-row
         micro-batch) leave no partition directories and are skipped."""
         df = self.spark.read.parquet(base)
         eroot = os.path.join(self.path, _EPOCH_ROOT)
-        for ep in self._epochs():
+        for ep in self._epochs() if epochs is None else epochs:
             leg = os.path.join(eroot, ep, sub)
             if not os.path.isdir(leg) or not any(
                 name.startswith(part_prefix) for name in os.listdir(leg)
@@ -545,10 +551,17 @@ class PostingsStore:
         corpus length stats are the 1-row doclen-sidecar broadcast; the
         per-query cut is a window top-k (ties on doc_id, the single-query
         rule). Returns query_id, doc_id, bm25, n_terms_hit, rank."""
-        qts = query_terms.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(term_col).alias("token"),
-        ).distinct()
+        qts = (
+            query_terms.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(term_col).alias("token"),
+            )
+            # NULL terms can never match a posting (the equi-join drops
+            # them) — filter them here so the bucket collect below can't
+            # surface a None bucket as an opaque TypeError
+            .filter(F.col("token").isNotNull())
+            .distinct()
+        )
         buckets = sorted(
             int(r["bucket"])
             for r in qts.select(
@@ -647,8 +660,8 @@ class PostingsStore:
             F.col(pos_col).alias("ppos"),
             F.col(term_col).alias("term"),
         )
-        buckets = sorted(
-            int(r["bucket"])
+        raw = [
+            r["bucket"]
             for r in ph.select(
                 (hex_hash60(F.col("term")) % self.n_buckets)
                 .cast("int")
@@ -656,7 +669,12 @@ class PostingsStore:
             )
             .distinct()
             .collect()
-        )
+        ]
+        if any(b is None for b in raw):
+            # a NULL slot can never match a token, and silently dropping
+            # it would SHORTEN the phrase (adjacency would skip the slot)
+            raise ValueError("phrase table contains a NULL term slot")
+        buckets = sorted(int(b) for b in raw)
         if not buckets:
             raise ValueError("empty phrase table")
         terms = ph.select(F.col("term").alias("token")).distinct()

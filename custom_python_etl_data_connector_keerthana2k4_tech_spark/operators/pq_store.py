@@ -31,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators import genstore
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import kmeans
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
     _adc_tables,
@@ -45,7 +46,7 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.vectors 
 _PARAMS_FILE = "_ivfpq_params.json"
 _DATA_DIR = "data"
 _DATA_PTR = "_data_ptr"  # names the live data generation (crash-safe publish)
-_EPOCH_ROOT = "eph"  # streaming epoch commit directories (exactly-once)
+_EPOCH_ROOT = genstore.EPOCH_ROOT  # streaming epoch commits (exactly-once)
 
 
 def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
@@ -128,26 +129,16 @@ class IVFPQStore:
         return store
 
     def _ptr(self) -> dict:
-        """The live-generation pointer: ``{"gen": <dirname>, "folded":
-        [epoch names]}``. ``folded`` lists streaming epoch commits whose
-        rows are already contained in the live generation (compaction
-        folds them) — readers skip them even if a crash between the
-        pointer flip and the directory sweep left them on disk. Legacy
-        plain-string pointers (pre-round-6) parse as the dirname with
+        """The live-generation pointer (operators/genstore.py):
+        ``{"gen": <dirname>, "folded": [epoch names], "watermark": max
+        folded epoch id}``. ``folded`` lists streaming epoch commits
+        whose rows are already contained in the live generation
+        (compaction folds them) — readers skip them even if a crash
+        between the pointer flip and the directory sweep left them on
+        disk; the watermark makes a replay of a folded-and-swept epoch a
+        no-op. Legacy plain-string pointers parse as the dirname with
         nothing folded; no pointer file means the original ``data``."""
-        ptr = os.path.join(self.path, _DATA_PTR)
-        try:
-            with open(ptr) as f:
-                raw = f.read().strip()
-        except OSError:
-            return {"gen": _DATA_DIR, "folded": []}
-        try:
-            val = json.loads(raw)
-            if isinstance(val, dict):
-                return {"gen": val["gen"], "folded": list(val.get("folded", []))}
-        except ValueError:
-            pass
-        return {"gen": raw, "folded": []}
+        return genstore.read_ptr(os.path.join(self.path, _DATA_PTR), _DATA_DIR)
 
     def _data_path(self) -> str:
         """The LIVE data generation, resolved through the pointer file.
@@ -162,15 +153,7 @@ class IVFPQStore:
 
     def _epochs(self) -> list[str]:
         """Committed, unfolded streaming-epoch directory names (sorted)."""
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        if not os.path.isdir(eroot):
-            return []
-        folded = set(self._ptr()["folded"])
-        return sorted(
-            name
-            for name in os.listdir(eroot)
-            if not name.endswith(".tmp") and name not in folded
-        )
+        return genstore.list_epochs(self.path, self._ptr()["folded"])
 
     def _next_data_path(self) -> str:
         """Target directory for the next data generation; sweeps a
@@ -201,25 +184,16 @@ class IVFPQStore:
         non-promise as _swap_lists."""
         import shutil
 
-        folded_all = sorted(set(self._ptr()["folded"]) | set(folded or []))
+        prev = self._ptr()
+        folded_all, wm = genstore.fold_bookkeeping(prev, list(folded or []))
         ptr = os.path.join(self.path, _DATA_PTR)
         live = os.path.basename(new_data)
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"gen": live, "folded": folded_all}, f)
-        os.replace(tmp, ptr)
+        genstore.write_ptr(ptr, live, folded_all, wm)
         for name in os.listdir(self.path):
             if name.startswith(_DATA_DIR) and name != live:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        for ep in folded_all:
-            shutil.rmtree(os.path.join(eroot, ep), ignore_errors=True)
-        remaining = [
-            ep for ep in folded_all if os.path.isdir(os.path.join(eroot, ep))
-        ]
-        with open(tmp, "w") as f:
-            json.dump({"gen": live, "folded": remaining}, f)
-        os.replace(tmp, ptr)
+        remaining = genstore.sweep_folded(self.path, folded_all)
+        genstore.write_ptr(ptr, live, remaining, wm)
 
     # -- encode / ingest ----------------------------------------------------
 
@@ -269,20 +243,18 @@ class IVFPQStore:
         foreachBatch's at-least-once delivery can never land a vector
         twice (a blind append would duplicate (vid, codes) rows, and a
         duplicated vector shows up TWICE in every top-k that reaches
-        it)."""
-        import shutil
+        it), and an id at-or-below the folded watermark (folded and
+        swept before the streaming checkpoint recorded it) is refused
+        (genstore.commit_epoch)."""
 
-        eroot = os.path.join(self.path, _EPOCH_ROOT)
-        os.makedirs(eroot, exist_ok=True)
-        final = os.path.join(eroot, f"ep-{int(epoch_id):010d}")
-        if os.path.isdir(final):
-            return  # already committed: the retry is a no-op
-        tmp = final + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._encode(batch).write.mode("overwrite").partitionBy(
-            "cluster"
-        ).parquet(os.path.join(tmp, "codes"))
-        os.rename(tmp, final)
+        def write_legs(tmp: str) -> None:
+            self._encode(batch).write.mode("overwrite").partitionBy(
+                "cluster"
+            ).parquet(os.path.join(tmp, "codes"))
+
+        genstore.commit_epoch(
+            self.path, epoch_id, self._ptr()["watermark"], write_legs
+        )
 
     def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
         """Keep the index fresh under a stream of new vectors: each
@@ -345,10 +317,11 @@ class IVFPQStore:
         hardlink from."""
         if self._epochs():
             self.compact()
+        live = self.reader(epochs=[])  # rewrite reads the base generation only
         enc = self._encode(batch).persist()
         touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
         prior = (
-            self.reader()
+            live
             .join(enc.select("vid"), "vid", "left_semi")
             .select("cluster")
             .distinct()
@@ -356,7 +329,7 @@ class IVFPQStore:
         touched |= {int(r["cluster"]) for r in prior.collect()}
         clusters = sorted(touched)
         rewritten = (
-            self.reader()
+            live
             .filter(F.col("cluster").isin(clusters))
             .join(enc.select("vid"), "vid", "left_anti")
             .unionByName(enc.filter(F.col("cluster").isin(clusters)))
@@ -372,9 +345,10 @@ class IVFPQStore:
         ``upsert``)."""
         if self._epochs():
             self.compact()
+        live = self.reader(epochs=[])  # rewrite reads the base generation only
         vids = ids.toDF("vid")
         homes = (
-            self.reader()
+            live
             .join(vids, "vid", "left_semi")
             .select("cluster")
             .distinct()
@@ -383,7 +357,7 @@ class IVFPQStore:
         if not clusters:
             return
         kept = (
-            self.reader()
+            live
             .filter(F.col("cluster").isin(clusters))
             .join(vids, "vid", "left_anti")
         )
@@ -411,7 +385,7 @@ class IVFPQStore:
         eps = self._epochs()
         new = self._next_data_path()
         (
-            self.reader()
+            self.reader(epochs=eps)
             .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
@@ -421,14 +395,16 @@ class IVFPQStore:
 
     # -- query --------------------------------------------------------------
 
-    def reader(self) -> DataFrame:
+    def reader(self, epochs: list[str] | None = None) -> DataFrame:
         """The live generation plus every committed, unfolded streaming
-        epoch (unioned by name). Empty epoch commits (a 0-row
-        micro-batch) leave no cluster directories and are skipped; the
-        ``cluster IN probes`` predicate prunes every union leg."""
+        epoch (unioned by name; ``epochs`` pins an explicit snapshot so
+        maintenance verbs can't race a streaming commit between listing
+        and reading). Empty epoch commits (a 0-row micro-batch) leave no
+        cluster directories and are skipped; the ``cluster IN probes``
+        predicate prunes every union leg."""
         df = self.spark.read.parquet(self._data_path())
         eroot = os.path.join(self.path, _EPOCH_ROOT)
-        for ep in self._epochs():
+        for ep in self._epochs() if epochs is None else epochs:
             leg = os.path.join(eroot, ep, "codes")
             if not os.path.isdir(leg) or not any(
                 name.startswith("cluster=") for name in os.listdir(leg)

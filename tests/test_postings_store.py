@@ -441,3 +441,27 @@ def test_phrase_table_equals_per_phrase_loops(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     scan = plan[plan.index("PartitionFilters"):]
     assert "bucket" in scan[: scan.index("]")]
+
+
+def test_epoch_replay_after_compact_is_refused(spark, sf_dir, tmp_path):
+    """The crash window between a fold-and-sweep and the streaming
+    checkpoint: an epoch that was committed, folded by compact(), and
+    swept must NOT re-commit when the stream replays it — the pointer's
+    epoch watermark refuses ids at-or-below the last folded epoch."""
+    docs = load(spark, sf_dir, "documents")
+    p0 = docs.filter(F.col("doc_id") % 2 == 0)
+    p1 = docs.filter(F.col("doc_id") % 2 == 1)
+    store = PostingsStore.build(
+        spark, p0, "doc_id", "text", str(tmp_path / "ix"), n_buckets=16
+    )
+    store._commit_epoch(p1, 3)
+    store.compact()  # folds ep 3, sweeps its directory, watermark -> 3
+    assert store._epochs() == []
+    want = _rows(store.ranked_bm25(TERMS, topk=25))
+    store._commit_epoch(p1, 3)  # the replay: must be refused
+    store._commit_epoch(p1, 2)  # an older id is equally dead
+    assert store._epochs() == []
+    assert _rows(store.ranked_bm25(TERMS, topk=25)) == want
+    # genuinely NEW epochs still land
+    store._commit_epoch(p1.limit(0), 4)
+    assert store._ptr()["watermark"] == 3

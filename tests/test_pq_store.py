@@ -325,3 +325,17 @@ def test_upsert_after_streaming_folds_then_rewrites(spark, parts, tmp_path):
     )
     assert _rows(store.reader()) == _rows(store._encode(expected_src))
     assert store._epochs() == []
+
+
+def test_epoch_replay_after_compact_is_refused(spark, parts, tmp_path):
+    """Watermark semantics (genstore): an epoch folded and swept by
+    compact() cannot re-commit when the stream replays it after a crash
+    that lost the streaming checkpoint."""
+    e, p0, p1, p2 = parts
+    store = IVFPQStore.build(spark, p0, "vec_id", "embedding", str(tmp_path / "idx"))
+    store._commit_epoch(p1, 5)
+    store.compact()
+    want = _rows(store.reader())
+    store._commit_epoch(p1, 5)  # replay of the folded epoch: refused
+    assert store._epochs() == []
+    assert _rows(store.reader()) == want
