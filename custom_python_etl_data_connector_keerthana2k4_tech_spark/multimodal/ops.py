@@ -357,6 +357,221 @@ def _png_resize(raw: bytes, width: int, height: int) -> bytes:
     return _png_encode(out)
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_INTERLACE_STEP = ((0, 8), (4, 8), (2, 4), (1, 2))  # the four passes
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
+    """GIF-flavor LZW decompression (variable code width 3..12 bits,
+    LSB-first bit packing, CLEAR/END control codes) — pure stdlib.
+    Stops after ``expected`` indices; raises ValueError on malformed
+    streams (out-of-range code, truncation)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh() -> list[list[int] | None]:
+        return [[i] for i in range(clear)] + [None, None]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = fresh()
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream starts with a non-literal code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < expected:
+        raise ValueError("LZW stream ended before the frame was complete")
+    return out[:expected]
+
+
+def _gif_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Pure-stdlib GIF decode (GIF87a/GIF89a): global/local color tables,
+    full LZW decompression, interlaced and non-interlaced frames; the
+    FIRST image frame is the image (animation frames beyond it are a
+    video concern — sample_frames). Returns (width, height, RGB rows in
+    visual order). Raises ValueError on malformed payloads (dead-letter
+    per record, the BMP/PNG contract)."""
+    if raw[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(raw) < 13:
+        raise ValueError("truncated GIF header")
+    packed = raw[10]
+    pos = 13
+    gct: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(raw):
+            raise ValueError("truncated GIF global color table")
+        gct = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(raw):
+        b = raw[pos]
+        pos += 1
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image frame")
+        if b == 0x21:  # extension: label + sub-blocks (skipped)
+            pos += 1
+            while pos < len(raw) and raw[pos] != 0:
+                pos += raw[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 9 > len(raw):
+            raise ValueError("truncated GIF image descriptor")
+        iw, ih = struct.unpack_from("<HH", raw, pos + 4)
+        ipacked = raw[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(raw):
+                raise ValueError("truncated GIF local color table")
+            palette = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame has no color table")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("degenerate GIF dimensions")
+        if pos >= len(raw):
+            raise ValueError("truncated GIF image data")
+        min_code_size = raw[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(raw) and raw[pos] != 0:
+            ln = raw[pos]
+            if pos + 1 + ln > len(raw):
+                raise ValueError("truncated GIF data sub-block")
+            data += raw[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code_size, iw * ih)
+        npal = len(palette)
+        if any(i >= npal for i in idx):
+            raise ValueError("GIF pixel index beyond the color table")
+        flat = [palette[i] for i in idx]
+        src_rows = [flat[r * iw : (r + 1) * iw] for r in range(ih)]
+        if ipacked & 0x40:  # interlaced: pass order -> visual order
+            rows: list = [None] * ih
+            src = iter(src_rows)
+            for start, step in _GIF_INTERLACE_STEP:
+                for y in range(start, ih, step):
+                    rows[y] = next(src)
+        else:
+            rows = src_rows
+        return iw, ih, rows
+    raise ValueError("GIF ended before an image frame")
+
+
+def _gif_gray_pixels(raw: bytes) -> tuple[int, int, list[int]]:
+    """(width, height, grayscale pixels) — the exact integer
+    (r + g + b) // 3 of the BMP/PNG decoders, so the same image content
+    fingerprints identically through any of the three containers."""
+    w, h, rows = _gif_rgb_rows(raw)
+    return w, h, [(r + g + b) // 3 for row in rows for (r, g, b) in row]
+
+
+def _gif_encode(
+    rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a from visual-order RGB rows (<= 256 distinct
+    colors): one global color table, one frame, real LZW bit packing
+    with a CLEAR emitted before the decoder's table would force a wider
+    code (fixed-width literal coding — every conformant decoder reads
+    it). ``interlace=True`` writes the frame in the four-pass interlaced
+    row order with the flag set (decoder-coverage fixtures)."""
+    h, w = len(rows), len(rows[0])
+    palette = sorted({px for row in rows for px in row})
+    if len(palette) > 256:
+        raise ValueError("GIF encoder supports <= 256 distinct colors")
+    index = {px: i for i, px in enumerate(palette)}
+    bits = max(2, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    clear, end = table_n, table_n + 1
+    code_size = bits + 1
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_STEP for y in range(start, h, step)
+        ]
+    else:
+        order = list(range(h))
+    codes: list[int] = [clear]
+    budget = table_n - 2  # literals until the decoder's table would widen
+    for y in order:
+        for px in rows[y]:
+            if budget == 0:
+                codes.append(clear)
+                budget = table_n - 2
+            codes.append(index[px])
+            budget -= 1
+    codes.append(end)
+    acc = nbits = 0
+    packed = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (bits - 1), 0, 0)
+    for i in range(table_n):
+        out += bytes(palette[i]) if i < len(palette) else b"\x00\x00\x00"
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(bits)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_resize(raw: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor GIF resample, stdlib only — the deterministic
+    integer mapping of ``_bmp_resize``, re-encoded as GIF89a."""
+    w, h, rows = _gif_rgb_rows(raw)
+    out = [
+        [rows[y * h // height][x * w // width] for x in range(width)]
+        for y in range(height)
+    ]
+    return _gif_encode(out)
+
+
 def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     """Decode kernel: (width, height, mean_value).
 

@@ -16,15 +16,36 @@ Both stores follow the same durability contract:
   advances the watermark to its id, and ``commit_epoch`` refuses any
   epoch at-or-below it — so an epoch whose commit directory was folded
   and swept BEFORE the streaming checkpoint recorded it (crash between
-  the two) cannot be re-committed by the replay and double-count.
-  Epoch ids are monotone within a checkpoint lineage (one lineage per
-  store — the documented contract), which is what makes a single
-  watermark sufficient.
+  the two) cannot be re-committed by the replay and double-count;
+- a LINEAGE id rides the pointer next to the watermark (round 7):
+  epoch ids are monotone only WITHIN one checkpoint lineage, so the
+  watermark alone cannot tell a same-lineage replay (a no-op) from a
+  NEW lineage reusing epoch 0 (a wiped-checkpoint restart, or a stream
+  pointed at the wrong store) — which under round 6 semantics was
+  silently DROPPED. ``commit_epoch`` now records the first committing
+  stream's lineage (the checkpoint's query id) and RAISES
+  ``LineageMismatchError`` for any other lineage; ``reset_lineage``
+  is the explicit verb for deliberately re-pointing a new stream;
+- maintenance pointer flips are CAS-guarded (round 7): each verb
+  captures the pointer VERSION when it reads its base generation and
+  publishes only if the version is unchanged — two concurrent
+  maintainers (two upserts, or upsert racing compact) can no longer
+  last-write-win with one rewrite silently vanishing; the loser raises
+  ``ConcurrentWriteError`` (operators/versioned.py's contract). Writers
+  serialize on an O_EXCL lock file next to the pointer; the pointer
+  file itself is still replaced atomically, so readers never lock;
+- prior generations are RETAINED for pinned reads (round 7): a publish
+  keeps the last ``keep_gens`` superseded generations on disk (their
+  untouched partitions are hardlinks — the bytes already exist once),
+  so ``reader(gen=N)`` / ``query(as_of_gen=N)`` can re-serve the exact
+  pre-mutation index for reproducible evals; ``vacuum`` sweeps them
+  and subsequent pinned reads fail loudly.
 
 This module owns the parts of that contract that must not drift between
-the two stores: pointer serialization, epoch naming/commit/listing, and
-the fold bookkeeping. Generation DIRECTORY layout (one data dir vs a
-postings+doclen pair, hardlink swaps) stays in each store.
+the two stores: pointer serialization, the lock/CAS publish primitive,
+epoch naming/commit/listing, lineage bookkeeping, retention bookkeeping,
+and the fold bookkeeping. Generation DIRECTORY layout (one data dir vs
+a postings+doclen pair, hardlink swaps) stays in each store.
 """
 
 from __future__ import annotations
@@ -32,9 +53,25 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+import time
 from collections.abc import Callable
+from contextlib import contextmanager
+
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.versioned import ConcurrentWriteError
 
 EPOCH_ROOT = "eph"
+_LOCK_TIMEOUT = 60.0
+
+
+class LineageMismatchError(RuntimeError):
+    """An epoch commit arrived from a streaming lineage other than the
+    one this store recorded — a wiped-checkpoint restart or a stream
+    pointed at the wrong store. Raised INSTEAD of silently dropping the
+    batch (the epoch id is at-or-below another lineage's watermark, so
+    the replay no-op would be data loss, not idempotence). Recover by
+    calling the store's ``reset_lineage()`` after quiescing + compacting
+    (deliberate re-point), or by pointing the stream at a fresh store."""
 
 
 def epoch_name(epoch_id: int) -> str:
@@ -45,38 +82,126 @@ def epoch_id_of(name: str) -> int:
     return int(name.split("-", 1)[1])
 
 
+def _normalize(val, default_gen) -> dict:
+    if isinstance(val, dict):
+        return {
+            "gen": val["gen"],
+            "folded": list(val.get("folded", [])),
+            "watermark": int(val.get("watermark", -1)),
+            "lineage": val.get("lineage"),
+            "retained": list(val.get("retained", [])),
+            "version": int(val.get("version", 0)),
+        }
+    return {
+        "gen": val if val is not None else default_gen,
+        "folded": [],
+        "watermark": -1,
+        "lineage": None,
+        "retained": [],
+        "version": 0,
+    }
+
+
 def read_ptr(ptr_path: str, default_gen) -> dict:
     """``{"gen": <store-specific value>, "folded": [names],
-    "watermark": int}``. Legacy pointers (plain string, or JSON without
-    a watermark) parse with watermark -1 and nothing folded."""
+    "watermark": int, "lineage": str|None, "retained": [gens],
+    "version": int}``. Legacy pointers (plain string, or JSON missing
+    the newer fields) parse with watermark -1 / no lineage / nothing
+    retained / version 0."""
     try:
         with open(ptr_path) as f:
             raw = f.read().strip()
     except OSError:
-        return {"gen": default_gen, "folded": [], "watermark": -1}
+        return _normalize(None, default_gen)
     try:
         val = json.loads(raw)
         if isinstance(val, dict):
-            return {
-                "gen": val["gen"],
-                "folded": list(val.get("folded", [])),
-                "watermark": int(val.get("watermark", -1)),
-            }
+            return _normalize(val, default_gen)
     except ValueError:
         pass
-    return {"gen": raw, "folded": [], "watermark": -1}
+    return _normalize(raw, default_gen)
 
 
-def write_ptr(ptr_path: str, gen, folded: list[str], watermark: int) -> None:
-    """One atomic pointer replace — the commit point."""
-    tmp = ptr_path + ".tmp"
+@contextmanager
+def ptr_lock(ptr_path: str, timeout: float = _LOCK_TIMEOUT):
+    """Serialize pointer WRITERS on an O_EXCL lock file (readers never
+    lock — the pointer file itself is replaced atomically). A crashed
+    holder leaves a stale lock; waiting out the timeout raises
+    ConcurrentWriteError naming the file to delete for manual
+    recovery."""
+    lock = ptr_path + ".lock"
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}/{threading.get_ident()}".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriteError(
+                    f"pointer lock {lock} held past {timeout}s — another "
+                    "maintainer is running, or a crashed one left a stale "
+                    "lock (delete the file to recover)"
+                )
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _write_ptr_locked(ptr_path: str, state: dict) -> None:
+    """One atomic pointer replace — the commit point. Caller holds
+    ``ptr_lock``."""
+    tmp = f"{ptr_path}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w") as f:
         json.dump(
-            {"gen": gen, "folded": sorted(set(folded)),
-             "watermark": int(watermark)},
+            {
+                "gen": state["gen"],
+                "folded": sorted(set(state["folded"])),
+                "watermark": int(state["watermark"]),
+                "lineage": state.get("lineage"),
+                "retained": list(state.get("retained", [])),
+                "version": int(state["version"]),
+            },
             f,
         )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, ptr_path)
+
+
+def cas_update(
+    ptr_path: str,
+    default_gen,
+    mutate: Callable[[dict], dict],
+    expected_version: int | None = None,
+) -> dict:
+    """The one pointer-write primitive: lock, re-read, optionally check
+    the version is still ``expected_version`` (the CAS handle a
+    maintenance verb captured when it read its base generation — raise
+    ConcurrentWriteError otherwise, versioned.py's expected_parent
+    contract), apply ``mutate`` to the current state, bump the version,
+    write atomically. Returns the new state."""
+    with ptr_lock(ptr_path):
+        cur = read_ptr(ptr_path, default_gen)
+        if expected_version is not None and cur["version"] != int(
+            expected_version
+        ):
+            raise ConcurrentWriteError(
+                f"store pointer advanced to version {cur['version']} while "
+                f"this maintainer worked from version {expected_version} — "
+                "a concurrent maintenance verb published first; re-read and "
+                "retry"
+            )
+        new = dict(mutate(dict(cur)))
+        new["version"] = cur["version"] + 1
+        _write_ptr_locked(ptr_path, new)
+        return new
 
 
 def list_epochs(store_path: str, folded: list[str]) -> list[str]:
@@ -92,19 +217,79 @@ def list_epochs(store_path: str, folded: list[str]) -> list[str]:
     )
 
 
+def checkpoint_lineage(checkpoint_dir: str) -> str | None:
+    """The streaming query id recorded in the checkpoint's ``metadata``
+    file — stable across restarts of the SAME checkpoint, fresh for a
+    wiped or new checkpoint: exactly the identity the epoch-id space is
+    scoped to. None when the checkpoint has not materialized yet (the
+    file is written at query start, before any foreachBatch call, so in
+    practice it exists by the first commit)."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def commit_epoch(
     store_path: str,
+    ptr_path: str,
+    default_gen,
     epoch_id: int,
-    watermark: int,
     write_legs: Callable[[str], None],
+    lineage: str | None = None,
 ) -> bool:
     """Exactly-once epoch commit: stage via ``write_legs(tmp_dir)`` and
     publish with one atomic directory rename. Returns False (a no-op)
     when the epoch is already committed OR already folded into a
     generation (id at-or-below the watermark) — the two ways a retried
-    epoch can reappear."""
-    if int(epoch_id) <= int(watermark):
+    SAME-LINEAGE epoch can reappear.
+
+    ``lineage`` (the checkpoint's query id) guards the watermark no-op:
+    the first committing lineage is recorded in the pointer, and a
+    commit from any OTHER lineage raises ``LineageMismatchError`` — a
+    new checkpoint restarts epoch ids at 0, so treating its batches as
+    replays would silently drop them. A store whose watermark advanced
+    before lineage tracking existed (legacy) also refuses below-watermark
+    commits from a lineage-carrying stream: ambiguity resolves loud, not
+    lossy. ``lineage=None`` (direct programmatic commits) keeps the bare
+    watermark semantics."""
+    ptr = read_ptr(ptr_path, default_gen)
+    known = ptr.get("lineage")
+    if lineage is not None and known is not None and lineage != known:
+        raise LineageMismatchError(
+            f"epoch {int(epoch_id)} arrived from streaming lineage "
+            f"{lineage!r} but this store belongs to lineage {known!r} — a "
+            "wiped-checkpoint restart or a wrong-store stream would have "
+            "its batches silently dropped as replays; call reset_lineage() "
+            "(after quiescing + compact) to deliberately re-point, or use "
+            "a fresh store"
+        )
+    if int(epoch_id) <= int(ptr["watermark"]):
+        if lineage is not None and known is None:
+            raise LineageMismatchError(
+                f"epoch {int(epoch_id)} is at-or-below this store's fold "
+                f"watermark {int(ptr['watermark'])} but the store predates "
+                "lineage tracking — cannot tell a replay from a new "
+                "checkpoint reusing epoch ids; call reset_lineage() to "
+                "adopt this stream"
+            )
         return False
+    if lineage is not None and known is None:
+        # Adopt the first committing lineage BEFORE any data lands, so
+        # the guard exists even if we crash mid-commit. CAS-free mutate:
+        # re-checks under the lock (another thread may have adopted).
+        def adopt(cur: dict) -> dict:
+            if cur.get("lineage") is None:
+                cur["lineage"] = lineage
+            elif cur["lineage"] != lineage:
+                raise LineageMismatchError(
+                    f"store adopted lineage {cur['lineage']!r} concurrently; "
+                    f"this stream is {lineage!r}"
+                )
+            return cur
+
+        cas_update(ptr_path, default_gen, adopt)
     eroot = os.path.join(store_path, EPOCH_ROOT)
     os.makedirs(eroot, exist_ok=True)
     final = os.path.join(eroot, epoch_name(epoch_id))
@@ -117,6 +302,41 @@ def commit_epoch(
     return True
 
 
+def reset_lineage(store_path: str, ptr_path: str, default_gen) -> None:
+    """Deliberately re-point a NEW streaming lineage at this store:
+    clears the recorded lineage AND the epoch watermark (a new
+    checkpoint restarts epoch ids at 0, so the old watermark would
+    swallow its first batches) and hard-sweeps folded epoch tombstones
+    (their directory NAMES would collide with the new lineage's epochs
+    and mask real commits). Refuses while unfolded epochs exist — run
+    ``compact()`` first so no committed data is in flight."""
+    ptr = read_ptr(ptr_path, default_gen)
+    live = list_epochs(store_path, ptr["folded"])
+    if live:
+        raise RuntimeError(
+            f"store has {len(live)} committed unfolded epoch(s) "
+            f"({live[:3]}...) — compact() before reset_lineage() so their "
+            "rows are folded into a generation"
+        )
+    eroot = os.path.join(store_path, EPOCH_ROOT)
+    for ep in ptr["folded"]:
+        d = os.path.join(eroot, ep)
+        shutil.rmtree(d, ignore_errors=True)
+        if os.path.isdir(d):
+            raise RuntimeError(
+                f"could not sweep folded epoch tombstone {d} — a leftover "
+                "directory would mask the new lineage's epoch of the same id"
+            )
+
+    def mutate(cur: dict) -> dict:
+        cur["lineage"] = None
+        cur["watermark"] = -1
+        cur["folded"] = []
+        return cur
+
+    cas_update(ptr_path, default_gen, mutate)
+
+
 def fold_bookkeeping(prev: dict, newly_folded: list[str]) -> tuple[list[str], int]:
     """(folded_all, new_watermark) for a publish that folds
     ``newly_folded``: the watermark advances to the largest folded epoch
@@ -126,6 +346,17 @@ def fold_bookkeeping(prev: dict, newly_folded: list[str]) -> tuple[list[str], in
     for name in newly_folded:
         wm = max(wm, epoch_id_of(name))
     return folded_all, wm
+
+
+def retention_bookkeeping(prev: dict, keep_gens: int) -> list:
+    """The ``retained`` list for a publish that supersedes ``prev``'s
+    live generation: the previous generation joins the retained set and
+    the set trims to the newest ``keep_gens`` entries (hardlinked
+    partitions make retention nearly free — untouched bytes exist
+    once)."""
+    retained = [g for g in prev.get("retained", []) if g != prev["gen"]]
+    retained.append(prev["gen"])
+    return retained[-max(0, int(keep_gens)):] if keep_gens > 0 else []
 
 
 def sweep_folded(store_path: str, folded_all: list[str]) -> list[str]:

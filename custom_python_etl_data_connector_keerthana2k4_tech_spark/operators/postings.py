@@ -112,10 +112,15 @@ def phrase_match_table(
         )
         .filter(F.col("p0") >= 0)
     )
+    # plen is one row per phrase; the join is left UNHINTED so AQE sizes
+    # it at runtime — broadcast at any sane phrase count, shuffle join if
+    # an offline batch ever ships 10^7 phrases (a forced broadcast there
+    # would OOM the driver). Fixture-scale AQE broadcast is pinned in
+    # tests/test_postings_store.py.
     anchors = (
         cand.groupBy("phrase_id", "doc_id", "p0")
         .agg(F.countDistinct("ppos").alias("__nhit"))
-        .join(F.broadcast(plen), "phrase_id")
+        .join(plen, "phrase_id")
         .filter(F.col("__nhit") == F.col("plen"))
     )
     return anchors.groupBy("phrase_id", "doc_id").agg(

@@ -18,8 +18,8 @@ keeps directory fan-out constant while still pruning ~(1 - k/n_buckets)
 of the bytes per query. Reference parity: no text/search surface in the
 reference at all (SURVEY §0, §2.2).
 
-Durability model (round 6 — the pq_store discipline applied to the
-lexical index):
+Durability model (the pq_store discipline applied to the lexical
+index; the shared machinery lives in operators/genstore.py):
 
 - GENERATIONS: maintenance verbs (``compact``/``upsert``/``delete``)
   never mutate live directories. They build generation ``N+1`` (postings
@@ -29,14 +29,26 @@ lexical index):
   carry into the new generation as HARDLINKS (no bytes copied): an
   upsert of a handful of documents rewrites only the buckets their
   tokens hash to, never the corpus.
+- CAS PUBLISH (round 7): each verb captures the pointer VERSION when it
+  reads its base generation and publishes only if the version is still
+  current — two concurrent maintainers raise ``ConcurrentWriteError``
+  instead of last-write-winning (one rewrite silently vanishing).
+- RETAINED GENERATIONS (round 7): a publish keeps the last
+  ``keep_gens`` superseded generations on disk (hardlinked — the bytes
+  exist once), so ``reader(gen=N)`` / ``ranked_bm25(as_of_gen=N)``
+  re-serve the exact pre-mutation index for reproducible evals;
+  ``vacuum()`` sweeps them and later pinned reads fail loudly.
 - EPOCH COMMITS: ``streaming_append`` stages each micro-batch in a
   temp directory and publishes it with one atomic directory rename,
   keyed by the epoch id — a RETRIED epoch sees its commit directory and
   skips, so at-least-once foreachBatch delivery becomes exactly-once
   index content (a blind parquet append would double-count postings and,
   worse, duplicate doclen sidecar rows, silently skewing every BM25
-  score). One streaming lineage (checkpoint) per store: epoch ids are
-  only unique within a checkpoint.
+  score). Epoch ids are unique only within a checkpoint LINEAGE; the
+  first committing lineage (the checkpoint's query id) is recorded in
+  the pointer and any OTHER lineage raises ``LineageMismatchError``
+  instead of having its batches silently dropped as replays (round 7 —
+  use ``reset_lineage()`` to deliberately re-point a new stream).
 - The doclen sidecar is partitioned by a DOC-hash bucket (``dbucket``),
   so document upsert/delete rewrites only the touched dbucket
   directories — dbucket is a pure function of doc_id, hence stable
@@ -48,6 +60,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +80,9 @@ _EPOCH_ROOT = genstore.EPOCH_ROOT
 class PostingsStore:
     """A bucket-partitioned positional inverted index on disk."""
 
+    #: superseded generations kept on disk for pinned reads (vacuum() sweeps)
+    keep_gens: int = 2
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -74,6 +91,10 @@ class PostingsStore:
         self.n_buckets: int = p["n_buckets"]
         self.id_col: str = p["id_col"]
         self.text_col: str = p["text_col"]
+        # leg schemas (round 7): lets an emptied-out generation read as an
+        # empty, correctly-typed frame instead of a schema-inference error
+        self._postings_schema: str | None = p.get("postings_schema")
+        self._doclen_schema: str | None = p.get("doclen_schema")
 
     @classmethod
     def build(
@@ -86,35 +107,50 @@ class PostingsStore:
         n_buckets: int = 64,
     ) -> "PostingsStore":
         os.makedirs(path, exist_ok=True)
+        probe = cls.__new__(cls)
+        probe.spark, probe.path = spark, path
+        probe.n_buckets, probe.id_col, probe.text_col = n_buckets, id_col, text_col
+        enc, dl = probe._encode(docs), probe._doclen(docs)
         tmp = os.path.join(path, _PARAMS_FILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(
-                {"n_buckets": n_buckets, "id_col": id_col, "text_col": text_col}, f
+                {
+                    "n_buckets": n_buckets,
+                    "id_col": id_col,
+                    "text_col": text_col,
+                    "postings_schema": enc.schema.json(),
+                    "doclen_schema": dl.schema.json(),
+                },
+                f,
             )
         os.replace(tmp, os.path.join(path, _PARAMS_FILE))
         store = cls(spark, path)
-        store._encode(docs).write.mode("overwrite").partitionBy("bucket").parquet(
+        enc.write.mode("overwrite").partitionBy("bucket").parquet(
             store._data_path()
         )
-        store._doclen(docs).write.mode("overwrite").partitionBy("dbucket").parquet(
+        dl.write.mode("overwrite").partitionBy("dbucket").parquet(
             store._doclen_path()
         )
         return store
 
     # -- generations ----------------------------------------------------------
 
+    def _ptr_path(self) -> str:
+        return os.path.join(self.path, _STORE_PTR)
+
     def _ptr(self) -> dict:
         """The live-generation pointer (operators/genstore.py):
         ``{"gen": N, "folded": [epoch names], "watermark": max folded
-        epoch id}``. Generation 0 is the original ``data``/``doclen``
-        pair; no pointer file means generation 0 with nothing folded.
-        ``folded`` lists epoch commits whose rows are already contained
-        in the live generation (compact folds them) — readers skip them
-        even if a crash between the pointer flip and the directory sweep
-        left them on disk; the watermark makes a REPLAY of a folded-and-
-        swept epoch a no-op (crash between fold and the streaming
-        checkpoint)."""
-        return genstore.read_ptr(os.path.join(self.path, _STORE_PTR), 0)
+        epoch id, "lineage": checkpoint query id | None, "retained":
+        [pinned old gens], "version": CAS version}``. Generation 0 is
+        the original ``data``/``doclen`` pair; no pointer file means
+        generation 0 with nothing folded."""
+        return genstore.read_ptr(self._ptr_path(), 0)
+
+    def current_gen(self) -> int:
+        """The live generation number — capture it before a mutation to
+        pin a pre-mutation read (``reader(gen=...)``)."""
+        return int(self._ptr()["gen"])
 
     def _gen_dirs(self, gen: int) -> tuple[str, str]:
         if gen == 0:
@@ -133,35 +169,113 @@ class PostingsStore:
     def _doclen_path(self) -> str:
         return self._gen_dirs(self._ptr()["gen"])[1]
 
-    def _publish(self, gen: int, newly_folded: list[str]) -> None:
-        """Commit generation ``gen`` with ONE atomic pointer replace
-        (postings and doclen flip together — folded epochs and the
-        advanced watermark ride the same write), then sweep every stale
-        ``data*``/``doclen*`` sibling and every folded epoch directory.
-        Post-flip, anything that is not the live generation or a live
-        epoch is garbage by construction (single-maintainer contract),
-        so each maintenance call is also a full orphan sweep. After the
-        sweep, folded entries whose directories are gone are pruned from
-        the pointer (a second atomic replace — a crash between the two
-        just leaves harmless tombstones; the watermark keeps refusing
-        their replays either way)."""
-        prev = self._ptr()
-        folded_all, wm = genstore.fold_bookkeeping(prev, newly_folded)
-        data, doclen = self._gen_dirs(gen)
-        live = {os.path.basename(data), os.path.basename(doclen)}
-        ptr = os.path.join(self.path, _STORE_PTR)
-        genstore.write_ptr(ptr, gen, folded_all, wm)
+    def _resolve_gen(self, gen: int) -> int:
+        """Validate a pinned-read generation: it must be live or
+        retained; a vacuumed (or never-published) generation fails
+        loudly instead of reading a swept directory."""
+        ptr = self._ptr()
+        g = int(gen)
+        if g == int(ptr["gen"]) or g in {int(x) for x in ptr["retained"]}:
+            return g
+        raise LookupError(
+            f"generation {g} is neither live (gen {ptr['gen']}) nor "
+            f"retained {sorted(int(x) for x in ptr['retained'])} — it was "
+            "vacuumed, superseded past keep_gens, or never published"
+        )
+
+    def _keep_dirnames(self, state: dict) -> set[str]:
+        keep = set()
+        for g in [state["gen"], *state.get("retained", [])]:
+            d, dl = self._gen_dirs(int(g))
+            keep.add(os.path.basename(d))
+            keep.add(os.path.basename(dl))
+        return keep
+
+    def _sweep_gens(self, state: dict) -> None:
+        """Remove every data*/doclen* sibling that is neither live nor
+        retained under ``state`` — superseded generations past the
+        retention window, crashed verbs' tmp dirs, and generations
+        orphaned by an earlier crash."""
+        keep = self._keep_dirnames(state)
         for name in os.listdir(self.path):
             if (
                 name.startswith((_DATA_DIR, _DOCLEN_DIR))
-                and name not in live
+                and name not in keep
             ):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        remaining = genstore.sweep_folded(self.path, folded_all)
-        genstore.write_ptr(ptr, gen, remaining, wm)
 
-    def _next_gen(self) -> int:
-        return int(self._ptr()["gen"]) + 1
+    def _publish(
+        self,
+        base: dict,
+        newly_folded: list[str],
+        place: Callable[[str, str], None],
+    ) -> None:
+        """Commit the next generation with ONE CAS-guarded atomic
+        pointer replace: under the pointer lock the CAS check verifies
+        no other maintainer published since ``base`` was read
+        (ConcurrentWriteError otherwise — versioned.py's contract),
+        ``place(new_data, new_doclen)`` renames the staged directories
+        into their generation names (fast, local fs ops), and the
+        pointer flips with folded epochs, the advanced watermark, and
+        the superseded generation joining the RETAINED set, all in the
+        same write. Post-flip: sweep generations outside the retention
+        window and folded epoch directories; folded entries whose dirs
+        are gone are pruned with a best-effort second CAS (a crash or a
+        racing lineage-adopt between the two just leaves harmless
+        tombstones — the watermark keeps refusing their replays)."""
+        gen = int(base["gen"]) + 1
+
+        def mutate(cur: dict) -> dict:
+            new_data, new_doclen = self._gen_dirs(gen)
+            # a crashed prior attempt from the same base left a half-built
+            # dir of the same name: safe to clear (CAS passed, so ``gen``
+            # is not live, not retained, and owned by this base version)
+            shutil.rmtree(new_data, ignore_errors=True)
+            shutil.rmtree(new_doclen, ignore_errors=True)
+            place(new_data, new_doclen)
+            folded_all, wm = genstore.fold_bookkeeping(cur, newly_folded)
+            cur["retained"] = genstore.retention_bookkeeping(
+                cur, self.keep_gens
+            )
+            cur["gen"] = gen
+            cur["folded"] = folded_all
+            cur["watermark"] = wm
+            return cur
+
+        new = genstore.cas_update(
+            self._ptr_path(), 0, mutate, expected_version=base["version"]
+        )
+        self._sweep_gens(new)
+        remaining = genstore.sweep_folded(self.path, new["folded"])
+        if remaining != new["folded"]:
+            try:
+                genstore.cas_update(
+                    self._ptr_path(), 0,
+                    lambda cur: {**cur, "folded": remaining},
+                    expected_version=new["version"],
+                )
+            except genstore.ConcurrentWriteError:
+                pass  # cosmetic prune only — tombstones stay skipped
+
+    def vacuum(self) -> None:
+        """Sweep the retained (pinned-read) generations; subsequent
+        ``reader(gen=N)`` calls on them raise instead of reading swept
+        directories. CAS-guarded like every maintenance verb."""
+        base = self._ptr()
+        new = genstore.cas_update(
+            self._ptr_path(), 0,
+            lambda cur: {**cur, "retained": []},
+            expected_version=base["version"],
+        )
+        self._sweep_gens(new)
+
+    def reset_lineage(self) -> None:
+        """Deliberately adopt a NEW streaming lineage (wiped checkpoint,
+        migrated stream): clears the recorded lineage and the epoch
+        watermark and hard-sweeps folded tombstones (their names would
+        mask the new lineage's epochs). Requires all committed epochs
+        folded first — run ``compact()``."""
+        genstore.reset_lineage(self.path, self._ptr_path(), 0)
 
     def _epochs(self) -> list[str]:
         """Committed, unfolded epoch directory names (sorted)."""
@@ -202,13 +316,16 @@ class PostingsStore:
             self._doclen_path()
         )
 
-    def _commit_epoch(self, docs: DataFrame, epoch_id: int) -> None:
+    def _commit_epoch(
+        self, docs: DataFrame, epoch_id: int, lineage: str | None = None
+    ) -> None:
         """Exactly-once micro-batch ingest (genstore.commit_epoch): a
         retried epoch finds its commit directory — or an id at-or-below
         the folded watermark (folded and swept before the streaming
         checkpoint recorded it) — and skips, so at-least-once
         foreachBatch delivery never double-counts a posting or a doclen
-        row."""
+        row. A DIFFERENT lineage raises ``LineageMismatchError`` instead
+        of being dropped as a replay."""
 
         def write_legs(tmp: str) -> None:
             self._encode(docs).write.mode("overwrite").partitionBy(
@@ -219,7 +336,7 @@ class PostingsStore:
             ).parquet(os.path.join(tmp, "doclen"))
 
         genstore.commit_epoch(
-            self.path, epoch_id, self._ptr()["watermark"], write_legs
+            self.path, self._ptr_path(), 0, epoch_id, write_legs, lineage
         )
 
     def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
@@ -227,13 +344,16 @@ class PostingsStore:
         each micro-batch publishes through ``_commit_epoch``'s atomic
         rename, so a crash-and-replay of an epoch cannot double-append
         (and cannot skew ranked_bm25's n_docs/avg_len via duplicated
-        doclen rows). One streaming lineage per store — epoch ids are
-        unique only within a checkpoint; run ``compact()`` before
-        pointing a NEW stream at an old store. Returns the started
-        StreamingQuery."""
+        doclen rows). The checkpoint's query id is the LINEAGE: replays
+        from the SAME checkpoint are no-ops, while a wiped-checkpoint
+        restart (epoch ids reset to 0) raises ``LineageMismatchError``
+        instead of silently dropping data — ``reset_lineage()`` is the
+        deliberate re-point verb. Returns the started StreamingQuery."""
         return (
             stream.writeStream.foreachBatch(
-                lambda b, eid: self._commit_epoch(b, eid)
+                lambda b, eid: self._commit_epoch(
+                    b, eid, lineage=genstore.checkpoint_lineage(checkpoint_dir)
+                )
             )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -246,36 +366,46 @@ class PostingsStore:
         """Fold every committed epoch into a fresh generation and rewrite
         each bucket into one file (the small-files maintenance verb:
         streaming ingest leaves one file set per epoch per touched
-        bucket). The epoch list is SNAPSHOT once and both the fold input
-        and the pointer record use exactly that snapshot — an epoch a
-        racing stream commits mid-compact stays a live union leg, never
-        half-folded. Publishes behind the atomic pointer flip; folded
-        epochs are recorded (and the watermark advanced) BEFORE their
-        directories are swept, so a crash mid-sweep never double-counts
-        them and a replay of a swept epoch is refused."""
-        eps = self._epochs()
-        gen = self._next_gen()
-        data, doclen = self._gen_dirs(gen)
-        shutil.rmtree(data, ignore_errors=True)
-        shutil.rmtree(doclen, ignore_errors=True)
+        bucket). The base pointer and the epoch list are SNAPSHOT once —
+        the rewrite reads exactly that base generation + snapshot, and
+        the CAS publish refuses if any other maintainer advanced the
+        pointer meanwhile; an epoch a racing stream commits mid-compact
+        stays a live union leg, never half-folded. Folded epochs are
+        recorded (and the watermark advanced) BEFORE their directories
+        are swept, so a crash mid-sweep never double-counts them and a
+        replay of a swept epoch is refused."""
+        base = self._ptr()
+        eps = genstore.list_epochs(self.path, base["folded"])
+        base_data, base_doclen = self._gen_dirs(int(base["gen"]))
+        suffix = f".compact-{os.getpid()}-{threading.get_ident()}"
+        tmp_data = os.path.join(self.path, _DATA_DIR + suffix)
+        tmp_doclen = os.path.join(self.path, _DOCLEN_DIR + suffix)
+        shutil.rmtree(tmp_data, ignore_errors=True)
+        shutil.rmtree(tmp_doclen, ignore_errors=True)
         (
-            self._union_legs(self._data_path(), "postings", "bucket=", eps)
+            self._union_legs(base_data, "postings", "bucket=", eps)
             .repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(data)
+            .parquet(tmp_data)
         )
         (
-            self._union_legs(self._doclen_path(), "doclen", "dbucket=", eps)
+            self._union_legs(base_doclen, "doclen", "dbucket=", eps)
             .repartition("dbucket")
             .write.mode("overwrite")
             .partitionBy("dbucket")
-            .parquet(doclen)
+            .parquet(tmp_doclen)
         )
-        self._publish(gen, eps)
+
+        def place(new_data: str, new_doclen: str) -> None:
+            os.rename(tmp_data, new_data)
+            os.rename(tmp_doclen, new_doclen)
+
+        self._publish(base, eps, place)
 
     def _swap_partitions(
         self,
+        base: dict,
         tmp_data: str,
         touched_buckets: list[int],
         tmp_doclen: str,
@@ -283,33 +413,34 @@ class PostingsStore:
     ) -> None:
         """Publish a partition-selective rewrite: generation N+1 takes
         the rewritten bucket/dbucket directories from the temp writes
-        and HARDLINKS every untouched directory's files from the live
-        generation (no bytes copied), then the pointer flips atomically.
-        The live directories are never mutated — a crash at any step
-        leaves the store readable under the old pointer; half-built
-        generations are swept by the next publish."""
-        gen = self._next_gen()
-        new_data, new_doclen = self._gen_dirs(gen)
-        for new, old, tmp, touched in (
-            (new_data, self._data_path(), tmp_data,
-             {f"bucket={b}" for b in touched_buckets}),
-            (new_doclen, self._doclen_path(), tmp_doclen,
-             {f"dbucket={b}" for b in touched_dbuckets}),
-        ):
-            shutil.rmtree(new, ignore_errors=True)
-            os.makedirs(new)
-            for name in os.listdir(old):
-                src = os.path.join(old, name)
-                if name in touched or not os.path.isdir(src):
-                    continue
-                os.makedirs(os.path.join(new, name))
-                for f in os.listdir(src):
-                    os.link(os.path.join(src, f), os.path.join(new, name, f))
-            for name in sorted(touched):
-                src = os.path.join(tmp, name)
-                if os.path.exists(src):
-                    os.rename(src, os.path.join(new, name))
-        self._publish(gen, self._ptr().get("folded", []))
+        and HARDLINKS every untouched directory's files from the BASE
+        generation (no bytes copied), then the pointer flips atomically
+        under the CAS check. The live directories are never mutated — a
+        crash at any step leaves the store readable under the old
+        pointer; half-built generations are swept by the next publish."""
+        base_data, base_doclen = self._gen_dirs(int(base["gen"]))
+
+        def place(new_data: str, new_doclen: str) -> None:
+            for new, old, tmp, touched in (
+                (new_data, base_data, tmp_data,
+                 {f"bucket={b}" for b in touched_buckets}),
+                (new_doclen, base_doclen, tmp_doclen,
+                 {f"dbucket={b}" for b in touched_dbuckets}),
+            ):
+                os.makedirs(new)
+                for name in os.listdir(old):
+                    src = os.path.join(old, name)
+                    if name in touched or not os.path.isdir(src):
+                        continue
+                    os.makedirs(os.path.join(new, name))
+                    for f in os.listdir(src):
+                        os.link(os.path.join(src, f), os.path.join(new, name, f))
+                for name in sorted(touched):
+                    src = os.path.join(tmp, name)
+                    if os.path.exists(src):
+                        os.rename(src, os.path.join(new, name))
+
+        self._publish(base, [], place)
         shutil.rmtree(tmp_data, ignore_errors=True)
         shutil.rmtree(tmp_doclen, ignore_errors=True)
 
@@ -323,13 +454,14 @@ class PostingsStore:
         Committed epochs are folded first (``compact``) so the rewrite
         has a single base generation to link from, and the rewrite reads
         THAT generation only — an epoch a racing stream commits after
-        the fold stays a separate live leg (never duplicated by the
-        rewrite, though also not deduplicated against it: quiesce the
-        stream before maintenance, the single-maintainer contract)."""
+        the fold stays a separate live leg; a racing MAINTAINER is
+        refused by the CAS publish (ConcurrentWriteError)."""
         if self._epochs():
             self.compact()
-        live = self.spark.read.parquet(self._data_path())
-        live_dl = self.spark.read.parquet(self._doclen_path())
+        base = self._ptr()
+        base_data, base_doclen = self._gen_dirs(int(base["gen"]))
+        live = self._read_leg(base_data, self._postings_schema, "bucket=")
+        live_dl = self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
         enc = self._encode(docs).persist()
         ids = docs.select(F.col(self.id_col).alias("doc_id")).distinct()
         touched = {
@@ -355,7 +487,7 @@ class PostingsStore:
             .unionByName(enc)
             .select("token", "doc_id", "pos", "bucket")
         )
-        tmp_data = self._data_path() + ".upsert"
+        tmp_data = base_data + ".upsert"
         rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
 
         dl_rewritten = (
@@ -365,12 +497,12 @@ class PostingsStore:
             .unionByName(new_dl)
             .select("doc_id", "dlen", "dbucket")
         )
-        tmp_doclen = self._doclen_path() + ".upsert"
+        tmp_doclen = base_doclen + ".upsert"
         dl_rewritten.write.mode("overwrite").partitionBy("dbucket").parquet(
             tmp_doclen
         )
         enc.unpersist()
-        self._swap_partitions(tmp_data, buckets, tmp_doclen, dbuckets)
+        self._swap_partitions(base, tmp_data, buckets, tmp_doclen, dbuckets)
 
     def delete(self, ids: DataFrame) -> None:
         """Remove documents by id (a one-column frame), rewriting only
@@ -378,8 +510,10 @@ class PostingsStore:
         directories that hold their doclen rows."""
         if self._epochs():
             self.compact()
-        live = self.spark.read.parquet(self._data_path())
-        live_dl = self.spark.read.parquet(self._doclen_path())
+        base = self._ptr()
+        base_data, base_doclen = self._gen_dirs(int(base["gen"]))
+        live = self._read_leg(base_data, self._postings_schema, "bucket=")
+        live_dl = self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
         vids = ids.toDF("doc_id").distinct()
         homes = (
             live
@@ -408,7 +542,7 @@ class PostingsStore:
             .join(vids, "doc_id", "left_anti")
             .select("token", "doc_id", "pos", "bucket")
         )
-        tmp_data = self._data_path() + ".delete"
+        tmp_data = base_data + ".delete"
         kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
 
         dl_kept = (
@@ -417,11 +551,34 @@ class PostingsStore:
             .join(vids, "doc_id", "left_anti")
             .select("doc_id", "dlen", "dbucket")
         )
-        tmp_doclen = self._doclen_path() + ".delete"
+        tmp_doclen = base_doclen + ".delete"
         dl_kept.write.mode("overwrite").partitionBy("dbucket").parquet(tmp_doclen)
-        self._swap_partitions(tmp_data, buckets, tmp_doclen, dbuckets)
+        self._swap_partitions(base, tmp_data, buckets, tmp_doclen, dbuckets)
 
     # -- read -----------------------------------------------------------------
+
+    def _read_leg(
+        self, path: str, schema_json: str | None, part_prefix: str
+    ) -> DataFrame:
+        """Read one generation directory, falling back to an empty,
+        correctly-typed frame when a delete/upsert emptied EVERY
+        partition of the leg (a partitioned write of zero rows leaves no
+        partition dirs, which a plain ``spark.read.parquet`` rejects
+        with a schema-inference error). Legacy stores without recorded
+        schemas keep the plain read."""
+        if schema_json is not None and (
+            not os.path.isdir(path)
+            or not any(
+                name.startswith(part_prefix) or name.endswith(".parquet")
+                for name in os.listdir(path)
+            )
+        ):
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return self.spark.read.parquet(path)
 
     def _union_legs(
         self, base: str, sub: str, part_prefix: str,
@@ -432,7 +589,10 @@ class PostingsStore:
         — compact/maintenance pass one so a racing stream commit can't
         slip between listing and reading). Empty epoch writes (a 0-row
         micro-batch) leave no partition directories and are skipped."""
-        df = self.spark.read.parquet(base)
+        schema = (
+            self._postings_schema if sub == "postings" else self._doclen_schema
+        )
+        df = self._read_leg(base, schema, part_prefix)
         eroot = os.path.join(self.path, _EPOCH_ROOT)
         for ep in self._epochs() if epochs is None else epochs:
             leg = os.path.join(eroot, ep, sub)
@@ -443,13 +603,28 @@ class PostingsStore:
             df = df.unionByName(self.spark.read.parquet(leg))
         return df
 
-    def reader(self) -> DataFrame:
-        return self._union_legs(self._data_path(), "postings", "bucket=")
+    def reader(self, gen: int | None = None) -> DataFrame:
+        """The live index (generation + committed epochs), or — with
+        ``gen`` — a PINNED read of exactly that retained generation (no
+        epoch legs: a pinned generation is the folded state at its
+        publish). Pinned reads of vacuumed generations raise."""
+        if gen is None:
+            return self._union_legs(self._data_path(), "postings", "bucket=")
+        g = self._resolve_gen(gen)
+        return self._read_leg(
+            self._gen_dirs(g)[0], self._postings_schema, "bucket="
+        )
 
-    def doclen_reader(self) -> DataFrame:
-        """The (doc_id, dlen, dbucket) sidecar; raises a descriptive
-        error for stores built before the sidecar existed (rebuild to
-        enable ranked retrieval)."""
+    def doclen_reader(self, gen: int | None = None) -> DataFrame:
+        """The (doc_id, dlen, dbucket) sidecar (``gen`` pins a retained
+        generation, as in ``reader``); raises a descriptive error for
+        stores built before the sidecar existed (rebuild to enable
+        ranked retrieval)."""
+        if gen is not None:
+            g = self._resolve_gen(gen)
+            return self._read_leg(
+                self._gen_dirs(g)[1], self._doclen_schema, "dbucket="
+            )
         if not os.path.isdir(self._doclen_path()):
             raise FileNotFoundError(
                 "this postings store has no doclen sidecar (built by an "
@@ -462,6 +637,7 @@ class PostingsStore:
     def ranked_bm25(
         self, terms: list[str], topk: int = 10,
         k1: float = 1.2, b: float = 0.75,
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """Okapi BM25 ranked retrieval FROM the store — the query a
         retrieval user actually runs (phrase() is the exact-match
@@ -474,20 +650,22 @@ class PostingsStore:
         corpus text. Scoring is q171's operand-identical BM25 tree
         (plans/round4.py), and the final top-k is an orderBy+limit
         (TakeOrderedAndProject — distributed partial top-k, no global
-        window). Ties break on doc_id. Returns doc_id, bm25,
-        n_terms_hit (the top ``topk`` by score)."""
+        window). Ties break on doc_id. ``as_of_gen`` serves the query
+        from a RETAINED generation (reproducible evals over a mutating
+        index). Returns doc_id, bm25, n_terms_hit (the top ``topk`` by
+        score)."""
         if not terms:
             raise ValueError("empty term set")
         buckets = sorted({py_hex_hash60(t) % self.n_buckets for t in terms})
         pruned = (
-            self.reader()
+            self.reader(gen=as_of_gen)
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("token").isin(list(terms)))
         )
         tf = pruned.groupBy("doc_id", "token").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
         )
-        dl = self.doclen_reader().select(
+        dl = self.doclen_reader(gen=as_of_gen).select(
             F.col("doc_id").alias("d_id"), "dlen"
         )
         stats = dl.agg(
@@ -515,6 +693,8 @@ class PostingsStore:
         # order partial aggregation delivers them, and a plain double sum
         # would drift by an ulp between plans — this keeps the single-query
         # and query-table paths (and the DuckDB oracle) bit-identical.
+        # dfreq is bounded by the caller's term LIST here, so the explicit
+        # broadcast is always right; the table sibling lets AQE size it.
         scored = (
             tf.join(F.broadcast(dfreq), tf.token == F.col("f_term"))
             .join(dl, tf.doc_id == F.col("d_id"))
@@ -537,7 +717,11 @@ class PostingsStore:
         a DataFrame end to end: ``query_terms`` is a (query_id, term)
         frame (duplicates collapse, matching the single-query ``isin``
         semantics), and the result is row-identical per query to looping
-        ``ranked_bm25`` over each query's terms (pinned in tests).
+        ``ranked_bm25`` over each query's terms (pinned in tests). An
+        input with no non-NULL terms returns an EMPTY correctly-typed
+        frame (NULL terms can never match a posting — the degenerate
+        input behaves like any unmatched query, mirroring the
+        single-query path's empty result).
 
         Plan: the only driver collect is the distinct BUCKET ids of the
         queries' terms (<= n_buckets ints at any Q — the pq_store
@@ -550,7 +734,11 @@ class PostingsStore:
         out is one equi-join of tf against the (query_id, term) frame;
         corpus length stats are the 1-row doclen-sidecar broadcast; the
         per-query cut is a window top-k (ties on doc_id, the single-query
-        rule). Returns query_id, doc_id, bm25, n_terms_hit, rank."""
+        rule). The per-term df join is left UNHINTED so AQE sizes it at
+        runtime: at fixture vocabularies it converts to a broadcast, and
+        a 10^7-term offline batch falls back to a shuffle join instead of
+        OOMing on a forced broadcast (both regimes pinned in tests).
+        Returns query_id, doc_id, bm25, n_terms_hit, rank."""
         qts = (
             query_terms.select(
                 F.col(query_id_col).alias("query_id"),
@@ -572,12 +760,15 @@ class PostingsStore:
             .distinct()
             .collect()
         )
-        if not buckets:
-            raise ValueError("empty query-term table")
+        # no non-NULL terms: nothing can match — run the same plan with a
+        # false bucket gate so the result is empty WITH the right schema
+        bucket_gate = (
+            F.col("bucket").isin(buckets) if buckets else F.lit(False)
+        )
         terms = qts.select("token").distinct()
         pruned = (
             self.reader()
-            .filter(F.col("bucket").isin(buckets))
+            .filter(bucket_gate)
             .join(terms, "token", "left_semi")
         )
         tf = pruned.groupBy("doc_id", "token").agg(
@@ -608,7 +799,7 @@ class PostingsStore:
         )
         scored = (
             tf.join(qts, "token")
-            .join(F.broadcast(dfreq), tf.token == F.col("f_term"))
+            .join(dfreq, tf.token == F.col("f_term"))
             .join(dl, tf.doc_id == F.col("d_id"))
             .crossJoin(F.broadcast(stats))
             .groupBy("query_id", "doc_id")
@@ -626,12 +817,13 @@ class PostingsStore:
             .select("query_id", "doc_id", "bm25", "n_terms_hit", "rank")
         )
 
-    def phrase(self, phrase: list[str]) -> DataFrame:
+    def phrase(self, phrase: list[str], as_of_gen: int | None = None) -> DataFrame:
         """Exact phrase search reading ONLY the phrase tokens' buckets
         (driver-computed via the cross-engine hash twin; the bucket IN
-        predicate lands in PartitionFilters)."""
+        predicate lands in PartitionFilters). ``as_of_gen`` pins a
+        retained generation."""
         buckets = sorted({py_hex_hash60(tok) % self.n_buckets for tok in phrase})
-        pruned = self.reader().filter(F.col("bucket").isin(buckets))
+        pruned = self.reader(gen=as_of_gen).filter(F.col("bucket").isin(buckets))
         return phrase_match(pruned.select("token", "doc_id", "pos"), phrase)
 
     def phrase_table(

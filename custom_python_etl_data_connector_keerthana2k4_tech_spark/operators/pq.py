@@ -279,7 +279,7 @@ def pq_topk(
     query_batch: int = 64,
     codebook: list | None = None,
     query_mode: str = "literal",
-    n_salts: int = 32,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """ADC top-k: encode every row as M centroid codes, score each
     (query, row) pair by summing the query's precomputed per-subspace
@@ -313,6 +313,8 @@ def pq_topk(
     sub = len(codebook[0][0])
 
     if query_mode == "join":
+        if n_salts is None:
+            n_salts = _default_n_salts(df, id_col)
         coded = with_code_cols(
             df.select(
                 F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
@@ -360,6 +362,22 @@ def pq_topk(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _default_n_salts(df: DataFrame, id_col: str) -> int:
+    """Derive the salt count for the salted scoring join from the
+    execution environment instead of a fixed constant. Sizing rule
+    (SCALE.md): each task scores Q x N/n_salts pairs and the query frame
+    replicates Q x n_salts rows, so the replication-to-work ratio is
+    n_salts^2 / N — take 2x the cluster parallelism (enough salt
+    granularity that every core holds pair work even for one query),
+    capped at sqrt(N) so replication never rivals the pair count on a
+    small corpus. One narrow column-pruned count of the corpus; callers
+    that already know their shape pass ``n_salts`` explicitly."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = df.select(id_col).count()
+    cap = max(1, int(n ** 0.5))
+    return max(1, min(2 * max(1, int(par)), cap))
 
 
 def _salted_query_pairs(
@@ -421,7 +439,7 @@ def exact_l2_topk(
     topk: int = 10,
     query_batch: int = 64,
     query_mode: str = "literal",
-    n_salts: int = 32,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Brute-force exact quantized-L2 top-k — the ANN ground truth every
     recall audit compares against (and the baseline the approximate
@@ -439,6 +457,8 @@ def exact_l2_topk(
     literal path (pinned in tests) — Q-scale recall audits run the
     ground-truth leg distributed too."""
     if query_mode == "join":
+        if n_salts is None:
+            n_salts = _default_n_salts(df, id_col)
         base = df.select(
             F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("qv")
         )
@@ -674,6 +694,7 @@ def adc_join_topk(
     m: int,
     topk: int,
     id_out: str = "neighbor_id",
+    pair_filters: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Score an encoded-query frame (``encode_queries_join``'s shape)
     against a coded corpus frame carrying (``id_out``, c0..c{m-1},
@@ -682,12 +703,26 @@ def adc_join_topk(
     past the join), and a per-query window keeps the top-k. Everything is
     a shuffle-partitioned relational plan — no literals, no driver state;
     Catalyst broadcasts the query side when it is small and AQE handles a
-    skewed list. Returns query_id, ``id_out``, cluster, rank, adc_dist."""
+    skewed list. ``pair_filters`` lists (corpus_col, qenc_col) pairs that
+    must be EQUAL for a candidate to pair with a query — the per-query
+    attribute-constraint gate of batch filtered search (IVFPQStore.query
+    attr_filters): the equalities ride the cluster equi-join condition,
+    so constrained candidates are dropped IN the join, before scoring.
+    Returns query_id, ``id_out``, cluster, rank, adc_dist."""
     adc_sql = (
         "(" + " + ".join(f"element_at(__qd{s}, c{s} + 1)" for s in range(m)) + ")"
     )
+    if pair_filters:
+        cond = coded["cluster"] == qenc["cluster"]
+        for a, b in pair_filters:
+            cond = cond & (coded[a] == qenc[b])
+        joined = coded.join(qenc, cond).drop(qenc["cluster"]).drop(
+            *[b for _, b in pair_filters]
+        )
+    else:
+        joined = coded.join(qenc, "cluster")
     cands = (
-        coded.join(qenc, "cluster")
+        joined
         .filter(F.col(id_out) != F.col("query_id"))
         .selectExpr(
             "query_id",

@@ -16,6 +16,16 @@ one built in a single shot — tested in tests/test_pq_store.py. This is
 the standard production contract (FAISS-style: train on a sample,
 add() forever); re-training is an explicit rebuild, never implicit.
 
+Durability (operators/genstore.py — shared with the postings store):
+maintenance verbs publish new generations behind a CAS-guarded atomic
+pointer flip (concurrent maintainers raise ``ConcurrentWriteError``
+instead of last-write-winning); superseded generations are RETAINED
+(hardlinked) for ``reader(gen=N)`` / ``query(as_of_gen=N)`` pinned reads
+until ``vacuum()``; streaming epochs commit exactly-once per checkpoint
+LINEAGE, and a foreign lineage raises ``LineageMismatchError`` instead
+of silently dropping its batches (``reset_lineage()`` re-points
+deliberately).
+
 Scale (100 TB): encoding is one narrow projection per batch (codes are
 literal-array argmins — JVM codegen, no join, no UDF); the store holds
 M+1 small ints per vector; query cost is |probed lists| × ADC lookups +
@@ -27,6 +37,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -61,6 +74,9 @@ def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
 class IVFPQStore:
     """A directory-backed IVF-PQ index with frozen parameters."""
 
+    #: superseded generations kept on disk for pinned reads (vacuum() sweeps)
+    keep_gens: int = 2
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
@@ -73,6 +89,7 @@ class IVFPQStore:
         self.vec_col: str = p["vec_col"]
         self.attr_cols: list[str] = p.get("attr_cols", [])
         self.sub: int = len(self.codebook[0][0])
+        self._codes_schema: str | None = p.get("codes_schema")
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -110,6 +127,13 @@ class IVFPQStore:
         if codebook is None:
             codebook = pq_fit_codebook(df, id_col, vec_col, m, k_centroids)
         os.makedirs(path, exist_ok=True)
+        probe = cls.__new__(cls)
+        probe.spark, probe.path = spark, path
+        probe.centroids, probe.codebook, probe.m = centroids, codebook, m
+        probe.id_col, probe.vec_col = id_col, vec_col
+        probe.attr_cols = list(attr_cols or [])
+        probe.sub = len(codebook[0][0])
+        enc = probe._encode(df)
         params = {
             "centroids": centroids,
             "codebook": codebook,
@@ -117,28 +141,47 @@ class IVFPQStore:
             "id_col": id_col,
             "vec_col": vec_col,
             "attr_cols": list(attr_cols or []),
+            "codes_schema": enc.schema.json(),
         }
         tmp = os.path.join(path, _PARAMS_FILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(params, f)
         os.replace(tmp, os.path.join(path, _PARAMS_FILE))
         store = cls(spark, path)
-        store._encode(df).write.mode("overwrite").partitionBy("cluster").parquet(
+        enc.write.mode("overwrite").partitionBy("cluster").parquet(
             store._data_path()
         )
         return store
 
+    def _ptr_path(self) -> str:
+        return os.path.join(self.path, _DATA_PTR)
+
     def _ptr(self) -> dict:
         """The live-generation pointer (operators/genstore.py):
         ``{"gen": <dirname>, "folded": [epoch names], "watermark": max
-        folded epoch id}``. ``folded`` lists streaming epoch commits
-        whose rows are already contained in the live generation
-        (compaction folds them) — readers skip them even if a crash
-        between the pointer flip and the directory sweep left them on
-        disk; the watermark makes a replay of a folded-and-swept epoch a
-        no-op. Legacy plain-string pointers parse as the dirname with
-        nothing folded; no pointer file means the original ``data``."""
-        return genstore.read_ptr(os.path.join(self.path, _DATA_PTR), _DATA_DIR)
+        folded epoch id, "lineage": checkpoint query id | None,
+        "retained": [pinned old gen dirnames], "version": CAS version}``.
+        Legacy plain-string pointers parse as the dirname with nothing
+        folded; no pointer file means the original ``data``."""
+        return genstore.read_ptr(self._ptr_path(), _DATA_DIR)
+
+    @staticmethod
+    def _gen_name(gen) -> str:
+        """Normalize a generation handle: an int N maps to the dirname
+        (0 = the original ``data``); a string passes through."""
+        if isinstance(gen, str):
+            return gen
+        n = int(gen)
+        return _DATA_DIR if n == 0 else f"{_DATA_DIR}-{n:08d}"
+
+    @staticmethod
+    def _gen_num(name: str) -> int:
+        return int(name.rsplit("-", 1)[1]) if "-" in name else 0
+
+    def current_gen(self) -> int:
+        """The live generation number — capture it before a mutation to
+        pin a pre-mutation read (``reader(gen=...)``)."""
+        return self._gen_num(self._ptr()["gen"])
 
     def _data_path(self) -> str:
         """The LIVE data generation, resolved through the pointer file.
@@ -151,49 +194,95 @@ class IVFPQStore:
         means the original ``data`` directory."""
         return os.path.join(self.path, self._ptr()["gen"])
 
+    def _resolve_gen(self, gen) -> str:
+        """Validate a pinned-read generation (int or dirname): it must
+        be live or retained; a vacuumed generation fails loudly."""
+        ptr = self._ptr()
+        name = self._gen_name(gen)
+        if name == ptr["gen"] or name in set(ptr["retained"]):
+            return name
+        raise LookupError(
+            f"generation {gen!r} is neither live ({ptr['gen']!r}) nor "
+            f"retained {sorted(ptr['retained'])} — it was vacuumed, "
+            "superseded past keep_gens, or never published"
+        )
+
     def _epochs(self) -> list[str]:
         """Committed, unfolded streaming-epoch directory names (sorted)."""
         return genstore.list_epochs(self.path, self._ptr()["folded"])
 
-    def _next_data_path(self) -> str:
-        """Target directory for the next data generation; sweeps a
-        half-built leftover of the same name from an earlier crash."""
-        import shutil
+    def _keep_dirnames(self, state: dict) -> set[str]:
+        return {state["gen"], *state.get("retained", [])}
 
-        cur = os.path.basename(self._data_path())
-        gen = int(cur.rsplit("-", 1)[1]) if "-" in cur else 0
-        new = os.path.join(self.path, f"{_DATA_DIR}-{gen + 1:08d}")
-        shutil.rmtree(new, ignore_errors=True)
-        return new
-
-    def _publish(self, new_data: str, folded: list[str] | None = None) -> None:
-        """Atomically flip the live-data pointer to ``new_data`` (the
-        commit point is one os.replace of the pointer file), then retire
-        the previous generation AND sweep every other ``data*`` sibling —
-        generations orphaned by a crash between an earlier flip and its
-        rmtree, and ``.upsert``/``.delete`` tmp dirs of crashed verbs
-        whose generation number has since advanced. Post-flip, anything
-        under ``data*`` that is not the live generation is garbage by
-        construction (single-maintainer contract), so each maintenance
-        call is also a full orphan sweep. ``folded`` names streaming
-        epoch commits whose rows the new generation contains: they are
-        recorded in the pointer BEFORE their directories are swept, so a
-        crash mid-sweep never double-counts them; entries whose dirs are
-        gone are pruned with a second atomic replace. Readers planned
-        before the flip may race the retire — same documented
-        non-promise as _swap_lists."""
-        import shutil
-
-        prev = self._ptr()
-        folded_all, wm = genstore.fold_bookkeeping(prev, list(folded or []))
-        ptr = os.path.join(self.path, _DATA_PTR)
-        live = os.path.basename(new_data)
-        genstore.write_ptr(ptr, live, folded_all, wm)
+    def _sweep_gens(self, state: dict) -> None:
+        keep = self._keep_dirnames(state)
         for name in os.listdir(self.path):
-            if name.startswith(_DATA_DIR) and name != live:
+            if name.startswith(_DATA_DIR) and name not in keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        remaining = genstore.sweep_folded(self.path, folded_all)
-        genstore.write_ptr(ptr, live, remaining, wm)
+
+    def _publish(
+        self,
+        base: dict,
+        newly_folded: list[str],
+        place: Callable[[str], None],
+    ) -> None:
+        """Commit the next data generation with ONE CAS-guarded atomic
+        pointer replace: under the pointer lock the CAS check verifies no
+        other maintainer published since ``base`` was read
+        (ConcurrentWriteError otherwise), ``place(new_data)`` renames the
+        staged directory into its generation name, and the pointer flips
+        with folded epochs, the advanced watermark, and the superseded
+        generation joining the RETAINED set, all in one write. Post-flip:
+        sweep generations outside the retention window (crashed verbs'
+        tmp dirs included) and folded epoch directories; folded entries
+        whose dirs are gone are pruned with a best-effort second CAS."""
+        gen_name = self._gen_name(self._gen_num(base["gen"]) + 1)
+
+        def mutate(cur: dict) -> dict:
+            new_data = os.path.join(self.path, gen_name)
+            shutil.rmtree(new_data, ignore_errors=True)
+            place(new_data)
+            folded_all, wm = genstore.fold_bookkeeping(cur, newly_folded)
+            cur["retained"] = genstore.retention_bookkeeping(
+                cur, self.keep_gens
+            )
+            cur["gen"] = gen_name
+            cur["folded"] = folded_all
+            cur["watermark"] = wm
+            return cur
+
+        new = genstore.cas_update(
+            self._ptr_path(), _DATA_DIR, mutate, expected_version=base["version"]
+        )
+        self._sweep_gens(new)
+        remaining = genstore.sweep_folded(self.path, new["folded"])
+        if remaining != new["folded"]:
+            try:
+                genstore.cas_update(
+                    self._ptr_path(), _DATA_DIR,
+                    lambda cur: {**cur, "folded": remaining},
+                    expected_version=new["version"],
+                )
+            except genstore.ConcurrentWriteError:
+                pass  # cosmetic prune only — tombstones stay skipped
+
+    def vacuum(self) -> None:
+        """Sweep the retained (pinned-read) generations; subsequent
+        ``reader(gen=N)`` / ``query(as_of_gen=N)`` calls on them raise
+        instead of reading swept directories."""
+        base = self._ptr()
+        new = genstore.cas_update(
+            self._ptr_path(), _DATA_DIR,
+            lambda cur: {**cur, "retained": []},
+            expected_version=base["version"],
+        )
+        self._sweep_gens(new)
+
+    def reset_lineage(self) -> None:
+        """Deliberately adopt a NEW streaming lineage (wiped checkpoint,
+        migrated stream); requires all committed epochs folded first —
+        run ``compact()``. See genstore.reset_lineage."""
+        genstore.reset_lineage(self.path, self._ptr_path(), _DATA_DIR)
 
     # -- encode / ingest ----------------------------------------------------
 
@@ -235,7 +324,9 @@ class IVFPQStore:
             self._data_path()
         )
 
-    def _commit_epoch(self, batch: DataFrame, epoch_id: int) -> None:
+    def _commit_epoch(
+        self, batch: DataFrame, epoch_id: int, lineage: str | None = None
+    ) -> None:
         """Exactly-once micro-batch ingest: encode the epoch's vectors
         with the frozen parameters into a temp directory and publish it
         with ONE atomic directory rename keyed by the epoch id. A
@@ -243,9 +334,10 @@ class IVFPQStore:
         foreachBatch's at-least-once delivery can never land a vector
         twice (a blind append would duplicate (vid, codes) rows, and a
         duplicated vector shows up TWICE in every top-k that reaches
-        it), and an id at-or-below the folded watermark (folded and
-        swept before the streaming checkpoint recorded it) is refused
-        (genstore.commit_epoch)."""
+        it); an id at-or-below the folded watermark (folded and swept
+        before the streaming checkpoint recorded it) is refused — and a
+        FOREIGN lineage raises ``LineageMismatchError`` instead of being
+        dropped as a replay (genstore.commit_epoch)."""
 
         def write_legs(tmp: str) -> None:
             self._encode(batch).write.mode("overwrite").partitionBy(
@@ -253,59 +345,61 @@ class IVFPQStore:
             ).parquet(os.path.join(tmp, "codes"))
 
         genstore.commit_epoch(
-            self.path, epoch_id, self._ptr()["watermark"], write_legs
+            self.path, self._ptr_path(), _DATA_DIR, epoch_id, write_legs,
+            lineage,
         )
 
     def streaming_append(self, stream: DataFrame, checkpoint_dir: str):
         """Keep the index fresh under a stream of new vectors: each
         micro-batch publishes through ``_commit_epoch``'s atomic rename,
-        so a crash-and-replay of an epoch cannot double-insert. One
-        streaming lineage per store — epoch ids are unique only within a
-        checkpoint; run ``compact()`` before pointing a NEW stream at an
-        old store. Returns the started StreamingQuery (caller picks the
-        trigger by convention: availableNow in tests, continuous in
-        production)."""
+        so a crash-and-replay of an epoch cannot double-insert. The
+        checkpoint's query id is the LINEAGE: same-checkpoint replays
+        are no-ops, a wiped-checkpoint restart raises
+        ``LineageMismatchError`` instead of silently dropping data
+        (``reset_lineage()`` re-points deliberately). Returns the
+        started StreamingQuery (caller picks the trigger by convention:
+        availableNow in tests, continuous in production)."""
         return (
             stream.writeStream.foreachBatch(
-                lambda b, eid: self._commit_epoch(b, eid)
+                lambda b, eid: self._commit_epoch(
+                    b, eid, lineage=genstore.checkpoint_lineage(checkpoint_dir)
+                )
             )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
 
-    def _swap_lists(self, tmp: str, clusters: list[int]) -> None:
+    def _swap_lists(self, base: dict, tmp: str, clusters: list[int]) -> None:
         """Publish a partition-selective rewrite (an upsert of 100 vectors
         rewrites the handful of lists it touches, never the corpus): a NEW
         data generation takes the rewritten lists from ``tmp`` and
-        HARDLINKS every untouched list's files from the live generation
-        (no bytes copied), then the pointer flips atomically (_publish).
-        The live directory is never mutated, so a crash at any step
-        leaves the store fully readable under the old pointer, and no
-        transient ``cluster=N.old`` dirs ever appear under a live path
-        for hive partition discovery to misparse; a defunct half-built
-        generation is swept by the next maintenance call. Concurrent
-        maintenance is explicitly NOT supported (the FAISS-style
-        single-maintainer contract — wrap the store in the versioned
-        table when a transaction is required)."""
-        import shutil
-
-        data = self._data_path()
-        new = self._next_data_path()
-        os.makedirs(new)
+        HARDLINKS every untouched list's files from the BASE generation
+        (no bytes copied), then the pointer flips atomically under the
+        CAS check (_publish). The live directory is never mutated, so a
+        crash at any step leaves the store fully readable under the old
+        pointer, and no transient ``cluster=N.old`` dirs ever appear
+        under a live path for hive partition discovery to misparse.
+        Concurrent maintenance now FAILS LOUDLY (ConcurrentWriteError)
+        instead of last-write-winning."""
+        data = os.path.join(self.path, base["gen"])
         touched = {f"cluster={c}" for c in clusters}
-        for name in os.listdir(data):
-            src = os.path.join(data, name)
-            if name in touched or not os.path.isdir(src):
-                continue
-            os.makedirs(os.path.join(new, name))
-            for f in os.listdir(src):
-                os.link(os.path.join(src, f), os.path.join(new, name, f))
-        for name in sorted(touched):
-            src = os.path.join(tmp, name)
-            if os.path.exists(src):
-                os.rename(src, os.path.join(new, name))
-        self._publish(new)
+
+        def place(new: str) -> None:
+            os.makedirs(new)
+            for name in os.listdir(data):
+                src = os.path.join(data, name)
+                if name in touched or not os.path.isdir(src):
+                    continue
+                os.makedirs(os.path.join(new, name))
+                for f in os.listdir(src):
+                    os.link(os.path.join(src, f), os.path.join(new, name, f))
+            for name in sorted(touched):
+                src = os.path.join(tmp, name)
+                if os.path.exists(src):
+                    os.rename(src, os.path.join(new, name))
+
+        self._publish(base, [], place)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(self, batch: DataFrame) -> None:
@@ -317,7 +411,8 @@ class IVFPQStore:
         hardlink from."""
         if self._epochs():
             self.compact()
-        live = self.reader(epochs=[])  # rewrite reads the base generation only
+        base = self._ptr()
+        live = self._read_gen(base["gen"])  # rewrite reads the base generation only
         enc = self._encode(batch).persist()
         touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
         prior = (
@@ -334,10 +429,10 @@ class IVFPQStore:
             .join(enc.select("vid"), "vid", "left_anti")
             .unionByName(enc.filter(F.col("cluster").isin(clusters)))
         )
-        tmp = self._data_path() + ".upsert"
+        tmp = os.path.join(self.path, base["gen"]) + ".upsert"
         rewritten.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
         enc.unpersist()
-        self._swap_lists(tmp, clusters)
+        self._swap_lists(base, tmp, clusters)
 
     def delete(self, ids: DataFrame) -> None:
         """Remove vectors by id (a one-column frame of ids), rewriting
@@ -345,7 +440,8 @@ class IVFPQStore:
         ``upsert``)."""
         if self._epochs():
             self.compact()
-        live = self.reader(epochs=[])  # rewrite reads the base generation only
+        base = self._ptr()
+        live = self._read_gen(base["gen"])  # rewrite reads the base generation only
         vids = ids.toDF("vid")
         homes = (
             live
@@ -361,9 +457,9 @@ class IVFPQStore:
             .filter(F.col("cluster").isin(clusters))
             .join(vids, "vid", "left_anti")
         )
-        tmp = self._data_path() + ".delete"
+        tmp = os.path.join(self.path, base["gen"]) + ".delete"
         kept.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
-        self._swap_lists(tmp, clusters)
+        self._swap_lists(base, tmp, clusters)
 
     def compact(self) -> None:
         """Rewrite each inverted list into one file.
@@ -375,36 +471,60 @@ class IVFPQStore:
         repartitions by cluster (each list lands whole in one task, so
         each list directory rewrites to one file; tasks run list-
         parallel), and republishes as a new data generation behind the
-        atomic pointer flip (_publish) — a crash at ANY point leaves the
-        pointer naming a complete directory, never a store with no data
-        dir. The maintenance verb every append-only store needs (the
-        versioned table's OPTIMIZE, applied to the index). Also FOLDS
-        committed streaming epochs into the new generation — the folded
-        epoch ids are recorded in the pointer before their directories
-        are swept, so a crash mid-sweep never double-counts them."""
-        eps = self._epochs()
-        new = self._next_data_path()
+        CAS-guarded atomic pointer flip (_publish) — a crash at ANY point
+        leaves the pointer naming a complete directory, never a store
+        with no data dir. The maintenance verb every append-only store
+        needs (the versioned table's OPTIMIZE, applied to the index).
+        Also FOLDS committed streaming epochs into the new generation —
+        the folded epoch ids are recorded in the pointer before their
+        directories are swept, so a crash mid-sweep never double-counts
+        them."""
+        base = self._ptr()
+        eps = genstore.list_epochs(self.path, base["folded"])
+        tmp = os.path.join(
+            self.path,
+            f"{_DATA_DIR}.compact-{os.getpid()}-{threading.get_ident()}",
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
         (
-            self.reader(epochs=eps)
+            self._reader_of(base["gen"], eps)
             .repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
-            .parquet(new)
+            .parquet(tmp)
         )
-        self._publish(new, folded=eps)
+
+        def place(new: str) -> None:
+            os.rename(tmp, new)
+
+        self._publish(base, eps, place)
 
     # -- query --------------------------------------------------------------
 
-    def reader(self, epochs: list[str] | None = None) -> DataFrame:
-        """The live generation plus every committed, unfolded streaming
-        epoch (unioned by name; ``epochs`` pins an explicit snapshot so
-        maintenance verbs can't race a streaming commit between listing
-        and reading). Empty epoch commits (a 0-row micro-batch) leave no
-        cluster directories and are skipped; the ``cluster IN probes``
-        predicate prunes every union leg."""
-        df = self.spark.read.parquet(self._data_path())
+    def _read_gen(self, gen_name: str) -> DataFrame:
+        """Read one generation directory, falling back to an empty,
+        correctly-typed frame when a delete emptied EVERY list (a
+        partitioned write of zero rows leaves no partition dirs, which a
+        plain read rejects with a schema-inference error)."""
+        path = os.path.join(self.path, gen_name)
+        if self._codes_schema is not None and (
+            not os.path.isdir(path)
+            or not any(
+                name.startswith("cluster=") or name.endswith(".parquet")
+                for name in os.listdir(path)
+            )
+        ):
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(self._codes_schema))
+            )
+        return self.spark.read.parquet(path)
+
+    def _reader_of(self, gen_name: str, epochs: list[str]) -> DataFrame:
+        df = self._read_gen(gen_name)
         eroot = os.path.join(self.path, _EPOCH_ROOT)
-        for ep in self._epochs() if epochs is None else epochs:
+        for ep in epochs:
             leg = os.path.join(eroot, ep, "codes")
             if not os.path.isdir(leg) or not any(
                 name.startswith("cluster=") for name in os.listdir(leg)
@@ -413,10 +533,30 @@ class IVFPQStore:
             df = df.unionByName(self.spark.read.parquet(leg))
         return df
 
+    def reader(
+        self, epochs: list[str] | None = None, gen=None
+    ) -> DataFrame:
+        """The live generation plus every committed, unfolded streaming
+        epoch (unioned by name; ``epochs`` pins an explicit snapshot so
+        maintenance verbs can't race a streaming commit between listing
+        and reading). ``gen`` pins a RETAINED generation instead (no
+        epoch legs — a pinned generation is the folded state at its
+        publish); pinned reads of vacuumed generations raise. Empty
+        epoch commits (a 0-row micro-batch) leave no cluster directories
+        and are skipped; the ``cluster IN probes`` predicate prunes
+        every union leg."""
+        if gen is not None:
+            return self._read_gen(self._resolve_gen(gen))
+        return self._reader_of(
+            self._ptr()["gen"], self._epochs() if epochs is None else epochs
+        )
+
     def query(
         self, queries: DataFrame, nprobe: int = 2, topk: int = 10,
         query_batch: int = 64, where: str | None = None,
         query_mode: str = "literal",
+        attr_filters: DataFrame | None = None,
+        as_of_gen=None,
     ) -> DataFrame:
         """ADC top-k over the probed lists only.
 
@@ -428,6 +568,20 @@ class IVFPQStore:
         contract as unfiltered IVF; raise nprobe for selective filters).
         The predicate pushes down to the probed lists' parquet row
         groups alongside the PartitionFilters pruning.
+
+        ``attr_filters`` (join mode only) is the BATCH sibling of
+        ``where``: a (query_id, attr...) DataFrame giving each query its
+        OWN exact-match constraints as DATA — per-tenant / per-label
+        retrieval for a query TABLE. Every listed column must be one of
+        the store's ``attr_cols``; a candidate pairs with a query only
+        when all its constraint columns match (SQL equality — a NULL
+        constraint matches nothing). Row-identical per query to looping
+        ``query(where=...)`` (pinned in tests); the constraint join is an
+        equi-join on (query_id, attrs) — never a crossJoin.
+
+        ``as_of_gen`` serves the query from a RETAINED generation
+        (``reader(gen=...)``) — the reproducible-eval path over a
+        mutating index; vacuumed generations raise.
 
         Returns query_id, neighbor_id, cluster, rank, adc_dist. The
         ``cluster IN probes`` predicate lands in PartitionFilters
@@ -454,6 +608,16 @@ class IVFPQStore:
             encode_queries_join,
         )
 
+        def read_pruned(probed: list[int]) -> DataFrame:
+            df = self.reader(gen=as_of_gen) if as_of_gen is not None else self.reader()
+            return df.filter(F.col("cluster").isin(probed))
+
+        if attr_filters is not None and query_mode != "join":
+            raise ValueError(
+                "attr_filters (per-query constraints as data) requires "
+                "query_mode='join'; literal mode takes the shared `where` "
+                "predicate instead"
+            )
         if query_mode == "join":
             qenc = encode_queries_join(
                 queries, self.id_col, self.vec_col, self.codebook,
@@ -467,12 +631,27 @@ class IVFPQStore:
                 int(r["cluster"])
                 for r in qenc.select("cluster").distinct().collect()
             )
-            coded = self.reader().filter(F.col("cluster").isin(probed))
+            coded = read_pruned(probed)
             if where is not None:
                 coded = coded.filter(F.expr(where))
+            pair_filters = None
+            if attr_filters is not None:
+                fcols = [c for c in attr_filters.columns if c != "query_id"]
+                bad = [c for c in fcols if c not in self.attr_cols]
+                if bad or not fcols:
+                    raise ValueError(
+                        f"attr_filters columns {fcols} must be non-empty and "
+                        f"drawn from the store's attr_cols {self.attr_cols}"
+                    )
+                wants = attr_filters.select(
+                    "query_id",
+                    *[F.col(c).alias(f"__want_{c}") for c in fcols],
+                )
+                qenc = qenc.join(wants, "query_id")
+                pair_filters = [(c, f"__want_{c}") for c in fcols]
             return adc_join_topk(
                 coded.withColumnRenamed("vid", "neighbor_id"),
-                qenc, self.m, topk,
+                qenc, self.m, topk, pair_filters=pair_filters,
             )
         if query_mode != "literal":
             raise ValueError(f"unknown query_mode {query_mode!r}")
@@ -482,7 +661,7 @@ class IVFPQStore:
         probes = _select_probes(qrows, self.centroids, nprobe)
 
         parts = [
-            self._query_batch(qb, tb, pb, topk, where)
+            self._query_batch(qb, tb, pb, topk, where, read_pruned)
             for qb, tb, pb in zip(
                 _batches(qrows, query_batch),
                 _batches(adc_tables, query_batch),
@@ -495,11 +674,12 @@ class IVFPQStore:
         return out
 
     def _query_batch(
-        self, qrows, adc_tables, probes, topk: int, where: str | None = None
+        self, qrows, adc_tables, probes, topk: int, where: str | None,
+        read_pruned,
     ) -> DataFrame:
         """One query-batch branch: scan only the batch's probed lists."""
         probed_all = sorted({c for ps in probes for c in ps})
-        coded = self.reader().filter(F.col("cluster").isin(probed_all))
+        coded = read_pruned(probed_all)
         if where is not None:
             coded = coded.filter(F.expr(where))
         adc_exprs = [

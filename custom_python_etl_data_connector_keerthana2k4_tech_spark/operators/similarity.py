@@ -357,7 +357,7 @@ def matryoshka_topk(
     topk: int = 10,
     query_batch: int = 64,
     query_mode: str = "literal",
-    n_salts: int = 32,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Matryoshka cascade search: rank the corpus by exact quantized L2
     over the first ``head_dim`` components only (the cheap pass — a
@@ -390,6 +390,10 @@ def matryoshka_topk(
     )
 
     if query_mode == "join":
+        if n_salts is None:
+            from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import _default_n_salts
+
+            n_salts = _default_n_salts(df, id_col)
         base = df.select(
             F.col(id_col).alias("neighbor_id"),
             F.slice(quantize(vec_col), 1, head_dim).alias("hv"),

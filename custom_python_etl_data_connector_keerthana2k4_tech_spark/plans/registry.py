@@ -23,8 +23,18 @@ QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a declared query and (optionally) its DuckDB oracle SQL."""
+def query(
+    name: str, oracle: "str | Callable[[], str] | None" = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query and (optionally) its DuckDB oracle SQL.
+
+    ``oracle`` may be a LAZY zero-arg callable resolved at
+    ``oracle_sql()`` time — for oracles that share another query's SQL
+    or build from CTE helpers that aren't final until every plans module
+    has registered (q393 reuses q380's full-replay SQL). Lazy oracles
+    keep registration free of import-order coupling: no module needs to
+    mutate the registry post-hoc or re-enter ``_ensure_loaded`` while
+    its own import is still in flight."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -44,7 +54,20 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
+    for name in list(_ORACLES):
+        oracle_of(name)  # resolve lazy entries, cache the SQL text
     return dict(_ORACLES)
+
+
+def oracle_of(name: str) -> str:
+    """Resolve ONE registered oracle to SQL text. Lazy oracle callables
+    that share another query's SQL should call this (not
+    ``oracle_sql()``, which would re-enter their own resolution)."""
+    _ensure_loaded()
+    val = _ORACLES[name]
+    if callable(val):
+        _ORACLES[name] = val = val()
+    return val
 
 
 _LOADED = False
@@ -90,6 +113,7 @@ def _ensure_loaded() -> None:
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round31  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round32  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33  # noqa: F401
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round34  # noqa: F401
 
     _LOADED = True
 

@@ -256,6 +256,7 @@ def ivfpq_adc_ctes(
     cand_extra_join: str = "",
     nprobe: int | None = None,
     keep_probe_rank: bool = False,
+    corpus_rel: str | None = None,
 ) -> str:
     """The shared DuckDB replay of the whole IVF-PQ derivation — Lloyd
     rounds (materialized CTEs), per-query probe ranks, the hash-sampled
@@ -265,7 +266,16 @@ def ivfpq_adc_ctes(
     ``nprobe`` overrides the probe budget; ``keep_probe_rank`` carries
     each candidate's probe rank (``probe_rn`` on qprobe/cand/adc) so a
     consumer can re-cut the SAME adc frame at several nprobe budgets
-    (the operating-curve oracle, round32)."""
+    (the operating-curve oracle, round32).
+
+    ``corpus_rel`` (round 34 — the mutated-store oracle) names a SQL
+    relation ``(vec_id, embedding)`` giving the SERVED corpus when it
+    differs from the training corpus: the store trains/freezes on the
+    ORIGINAL ``embeddings`` (Lloyd rounds, codebook seeds — the
+    FAISS-style build contract) but codes, list assignments, and
+    candidates replay over the post-mutation rows, exactly what a store
+    that was built, then upserted/deleted, serves. Query vectors (vec_id
+    < NQ) must be present and unmodified in ``corpus_rel``."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round3 import (
         _kmeans_ctes,
         _kmeans_dist_chain,
@@ -277,10 +287,38 @@ def ivfpq_adc_ctes(
     rn_a = ", cand.probe_rn" if keep_probe_rank else ""
     rn_g = ", 4" if keep_probe_rank else ""
     chain = _kmeans_dist_chain("p.e", "c.c", _PQ_DIM)
-    return f"""{_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
-    v AS (
+    if corpus_rel is None:
+        v_ctes = f"""v AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
+    ),"""
+        seed_src, cand_src = "v", "afinal"
+    else:
+        # v0: training corpus (codebook seeds — frozen at build);
+        # v/mpts/aserve: the served (post-mutation) corpus, re-encoded
+        # and re-assigned under the FROZEN centroids — what upsert/delete
+        # leave on disk.
+        v_ctes = f"""v0 AS (
       SELECT vec_id, {sql_quantize('embedding')} AS qv FROM embeddings
     ),
+    v AS (
+      SELECT vec_id, {sql_quantize('embedding')} AS qv FROM {corpus_rel}
+    ),
+    mpts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM {corpus_rel}
+    ),
+    aserve AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {chain}, c.cluster) AS rn
+        FROM mpts p CROSS JOIN c{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ),"""
+        seed_src, cand_src = "v0", "aserve"
+    return f"""{_kmeans_ctes(_IVF_LISTS, _IVF_ITERS, _PQ_DIM)},
+    {v_ctes}
     qprobe AS (
       SELECT vec_id AS query_id, cluster{rn_q} FROM (
         SELECT p.vec_id, c.cluster,
@@ -291,7 +329,8 @@ def ivfpq_adc_ctes(
       ) WHERE rn <= {np_}
     ),
     hashed AS (
-      SELECT vec_id, qv, {sql_hex_hash60("CAST(vec_id AS VARCHAR)")} AS h FROM v
+      SELECT vec_id, qv, {sql_hex_hash60("CAST(vec_id AS VARCHAR)")} AS h
+      FROM {seed_src}
     ),
     seeds AS (
       SELECT vec_id, qv, row_number() OVER (ORDER BY h, vec_id) - 1 AS j
@@ -321,7 +360,7 @@ def ivfpq_adc_ctes(
     ),
     cand AS (
       SELECT qp.query_id, a.vec_id AS neighbor_id, a.cluster{rn_c}
-      FROM afinal a JOIN qprobe qp ON a.cluster = qp.cluster
+      FROM {cand_src} a JOIN qprobe qp ON a.cluster = qp.cluster
       {cand_extra_join}
       WHERE a.vec_id <> qp.query_id
     ),

@@ -85,16 +85,18 @@ def _build_store(spark: SparkSession, sf_dir: str):
     return shared_postings_store(spark, sf_dir)
 
 
-def _qt_bm25_ctes(topk: int) -> str:
+def _qt_bm25_ctes(topk: int, corpus: str = "documents") -> str:
     """DuckDB replay of the BATCH BM25 derivation: store tokenization,
     doclen sidecar, tf/df over the UNION of all query terms (shared
     across queries — df is a corpus property), the per-(query, doc)
     decimal-accumulated score, and the per-query top-k cut — ending at a
-    ``qcut`` CTE (query_id, doc_id, bm25, n_terms_hit, rank)."""
+    ``qcut`` CTE (query_id, doc_id, bm25, n_terms_hit, rank). ``corpus``
+    names the (doc_id, text) relation — round34's mutated-pair oracle
+    passes the post-mutation corpus subquery."""
     return f"""
     qt(query_id, term) AS (VALUES {_qt_values()}),
     tok AS MATERIALIZED (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {corpus}
     ),
     dl AS (
       SELECT doc_id AS d_id, CAST(count(*) AS BIGINT) AS dlen
@@ -460,12 +462,19 @@ def q392_postings_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q380_oracle() -> str:
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import oracle_sql
+    """q393 shares q380's full-replay oracle verbatim (the q382/q374
+    sharing pattern): the join mode is row-identical to the literal
+    mode, so the same SQL gates it. Registered as a LAZY oracle
+    (registry.query accepts a callable) and resolved at oracle_sql()
+    time through registry.oracle_of — no import-time private-dict
+    mutation, no re-entrant _ensure_loaded while this module is still
+    mid-import (round-6 ADVICE)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import oracle_of
 
-    return oracle_sql()["q380_ann_recall"]
+    return oracle_of("q380_ann_recall")
 
 
-@query("q393_ann_recall_join", oracle=None)
+@query("q393_ann_recall_join", oracle=_q380_oracle)
 def q393_ann_recall_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q380's ANN recall audit with BOTH legs on the distributed query
     side: the approximate leg is q382's join-mode IVF-PQ search, and the
@@ -474,9 +483,9 @@ def q393_ann_recall_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-TABLE scale (the regime where you measure recall over 10^5
     held-out queries, not 3). Both modes are row-identical to their
     literal siblings by construction (pinned in tests/test_pq_join.py),
-    so this query is registered with q380's oracle attached at import
-    time below — training, probes, codes, ADC sums, the exact baseline,
-    and the per-query recall numbers all replay in DuckDB."""
+    so this query registers q380's oracle LAZILY (_q380_oracle above) —
+    training, probes, codes, ADC sums, the exact baseline, and the
+    per-query recall numbers all replay in DuckDB."""
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq import (
         exact_l2_topk,
         ivfpq_topk,
@@ -512,19 +521,6 @@ def q393_ann_recall_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
-
-
-def _attach_q393_oracle() -> None:
-    """q393 shares q380's full-replay oracle verbatim (the q382/q374
-    sharing pattern): the join mode is row-identical to the literal mode,
-    so the same SQL gates it. Attached post-registration because round31
-    builds the SQL from shared CTE helpers at import time."""
-    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import registry
-
-    registry._ORACLES["q393_ann_recall_join"] = _q380_oracle()
-
-
-_attach_q393_oracle()
 
 
 # ---------------------------------------------------------------------------

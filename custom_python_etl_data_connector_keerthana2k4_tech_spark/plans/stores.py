@@ -23,21 +23,33 @@ build belongs inside its timed window.
 from __future__ import annotations
 
 import tempfile
+import threading
 
 from pyspark.sql import SparkSession
 
 _CACHE: dict = {}
-_CACHE_CAP = 16
+_LOCK = threading.Lock()
 
 
 def _once(key, build):
-    hit = _CACHE.get(key)
-    if hit is not None:
-        return hit
-    val = build()
-    if len(_CACHE) < _CACHE_CAP:
-        _CACHE[key] = val
-    return val
+    """Concurrency-safe build-once: per-key locks so two racing callers
+    get ONE build (the loser waits instead of leaking a duplicate
+    tempdir store), and entries keyed by superseded applicationIds are
+    EVICTED when a new application's key arrives (their Spark session is
+    gone, so the cached store handles are dead weight) — the cache holds
+    at most the live application's stores, no fixed cap to silently
+    overflow. Keys are ("kind", applicationId, sf_dir)."""
+    app_id = key[1]
+    with _LOCK:
+        for k in [k for k in _CACHE if k[1] != app_id]:
+            del _CACHE[k]
+        slot = _CACHE.get(key)
+        if slot is None:
+            slot = _CACHE[key] = {"lock": threading.Lock(), "val": None}
+    with slot["lock"]:
+        if slot["val"] is None:
+            slot["val"] = build()
+        return slot["val"]
 
 
 def shared_postings_store(spark: SparkSession, sf_dir: str):
