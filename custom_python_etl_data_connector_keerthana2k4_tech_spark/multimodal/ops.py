@@ -610,12 +610,15 @@ def _decode_payload(payload: bytes | None) -> tuple[int, int, int] | None:
     if raw.startswith(_PNG_SIG):
         w, h, gray = _png_gray_pixels(raw)
         return (w, h, sum(gray) // max(len(gray), 1))
+    if raw[:6] in _GIF_SIGS:
+        w, h, gray = _gif_gray_pixels(raw)
+        return (w, h, sum(gray) // max(len(gray), 1))
     if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
         return _wav_mean_abs(raw)
     if not raw.startswith(_MAGIC):
         raise NotImplementedError(
             "real media decoding requires PIL/librosa/ffmpeg (not in this "
-            "container) for formats beyond BMP/PNG/WAV/SGMM"
+            "container) for formats beyond BMP/PNG/GIF/WAV/SGMM"
         )
     body = raw[len(_MAGIC) :]
     w = int(body[0:5])
@@ -730,12 +733,14 @@ def _ahash_payload(payload: bytes | None) -> int | None:
         _, _, content = _bmp_gray_pixels(raw)
     elif raw.startswith(_PNG_SIG):
         _, _, content = _png_gray_pixels(raw)
+    elif raw[:6] in _GIF_SIGS:
+        _, _, content = _gif_gray_pixels(raw)
     elif raw.startswith(_MAGIC):
         content = raw[len(_MAGIC) + 12 :]
     else:
         raise NotImplementedError(
             "real perceptual hashing requires PIL (not in this container) "
-            "for formats beyond BMP/PNG/SGMM"
+            "for formats beyond BMP/PNG/GIF/SGMM"
         )
     n = len(content)
     if n == 0:
@@ -860,11 +865,19 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(payload), metas.append(meta), errs.append(None)
                     continue
                 raw = bytes(payload)
-                if raw[:2] == b"BM" or raw.startswith(_PNG_SIG):
+                if (
+                    raw[:2] == b"BM"
+                    or raw.startswith(_PNG_SIG)
+                    or raw[:6] in _GIF_SIGS
+                ):
                     # REAL resize (stdlib nearest-neighbor resample), no
                     # optional dependency; the output stays in the input's
                     # container format
-                    resizer = _bmp_resize if raw[:2] == b"BM" else _png_resize
+                    resizer = (
+                        _bmp_resize
+                        if raw[:2] == b"BM"
+                        else _png_resize if raw.startswith(_PNG_SIG) else _gif_resize
+                    )
                     try:
                         new_meta = dict(meta)
                         new_meta["width"], new_meta["height"] = width, height
@@ -878,7 +891,7 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
                     payloads.append(payload), metas.append(meta)
                     errs.append(
                         "real media resizing requires PIL/ffmpeg (not in this "
-                        "container) for formats beyond BMP/PNG/SGMM"
+                        "container) for formats beyond BMP/PNG/GIF/SGMM"
                     )
                     continue
                 body = raw[len(_MAGIC) + 12 :]  # strip old header, keep content

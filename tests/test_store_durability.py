@@ -429,6 +429,88 @@ def test_bm25_table_large_vocabulary_smoke_on_shuffle_join(
     assert {r["query_id"] for r in got} == {0, 1}  # only real terms hit
 
 
+def test_batch_attr_filtered_query_equals_filtered_loops(
+    spark, sf_dir, tmp_path
+):
+    """q395's contract: per-query attribute constraints as DATA
+    (attr_filters, join mode) must be row-identical to looping
+    query(where=...) with each query's own predicate — and the
+    constraint must really bind (different constraints change results)."""
+    e = load(spark, sf_dir, "embeddings")
+    store = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", str(tmp_path / "idx"),
+        attr_cols=["label"],
+    )
+    qids = [0, 1, 2, 3]
+    qdf = e.filter(F.col("vec_id").isin(qids))
+    wants = qdf.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % 3).cast("int").alias("label"),
+    )
+    batch = store.query(
+        qdf, nprobe=4, topk=5, query_mode="join", attr_filters=wants
+    )
+    loops = []
+    for qid in qids:
+        loops.append(
+            store.query(
+                e.filter(F.col("vec_id") == qid),
+                nprobe=4, topk=5, where=f"label = {qid % 3}",
+            )
+        )
+    want = loops[0]
+    for p in loops[1:]:
+        want = want.unionByName(p)
+    assert _rows(batch) == _rows(want)
+    assert batch.count() > 0
+    # every returned neighbor satisfies ITS query's constraint
+    lab = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    for r in batch.collect():
+        assert lab[r["neighbor_id"]] == r["query_id"] % 3
+    # constraints as data really vary per query: a shared constraint differs
+    shared = store.query(qdf, nprobe=4, topk=5, query_mode="join", where="label = 0")
+    assert _rows(batch) != _rows(shared)
+    # misuse fails loudly
+    with pytest.raises(ValueError):
+        store.query(qdf, nprobe=4, topk=5, attr_filters=wants)  # literal mode
+    with pytest.raises(ValueError):
+        store.query(
+            qdf, nprobe=4, topk=5, query_mode="join",
+            attr_filters=wants.withColumnRenamed("label", "nope"),
+        )
+
+
+def test_reconcile_stores_surfaces_one_sided_deletes(spark, sf_dir, tmp_path):
+    """q396's operational audit: a doc deleted from ONE store of a
+    paired deployment shows up in reconcile_stores; a consistent pair
+    reconciles to empty."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.reconcile import reconcile_stores
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    # pair the two stores over the SAME id set (0..59 on both fixtures)
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()} & {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+    docs = docs.filter(F.col("doc_id").isin(sorted(ids)))
+    emb = emb.filter(F.col("vec_id").isin(sorted(ids)))
+    ps = PostingsStore.build(
+        spark, docs, "doc_id", "text", str(tmp_path / "p"), n_buckets=8
+    )
+    vs = IVFPQStore.build(spark, emb, "vec_id", "embedding", str(tmp_path / "v"))
+    assert reconcile_stores(ps, vs).count() == 0  # consistent pair
+    # delete from the postings store ONLY: drift must surface
+    victims = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    ps.delete(victims)
+    drift = reconcile_stores(ps, vs).collect()
+    want_ids = {r["doc_id"] for r in victims.collect()}
+    assert {r["doc_id"] for r in drift} == want_ids
+    assert {r["side"] for r in drift} == {"vectors_only"}
+    # catching up the vector store restores the invariant
+    vs.delete(victims.withColumnRenamed("doc_id", "vec_id"))
+    assert reconcile_stores(ps, vs).count() == 0
+
+
 def test_phrase_table_plen_join_is_aqe_sized(spark, sf_dir, tmp_path):
     docs, store = _pstore(spark, sf_dir, tmp_path, frac=1)
     pt = spark.createDataFrame(
