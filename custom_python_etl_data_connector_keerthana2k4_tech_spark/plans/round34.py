@@ -259,6 +259,52 @@ _TT_TERMS = ("table", "sort", "hash")
 _TT_TOPK = 15
 
 
+@query(
+    "q398_time_travel_ann",
+    oracle=f"""
+    WITH {ivfpq_adc_ctes()}
+    SELECT query_id, neighbor_id, CAST(cluster AS INT) AS cluster,
+           CAST(rk AS INT) AS rank, adc_dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_PQ_TOPK}
+    """,
+)
+def q398_time_travel_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q397's vector-store sibling: build the IVF-PQ store, capture the
+    live generation, mutate the index (re-embedded upserts + deletes —
+    the q396 slices, two CAS generation flips), then search
+    ``as_of_gen`` the PRE-mutation generation. The pinned read must be
+    byte-for-byte the index that was live before the verbs ran, so the
+    oracle is the PLAIN IVF-PQ replay over the original corpus
+    (ivfpq_adc_ctes with no corpus_rel — q374's derivation, q379's
+    output shape): an upserted code or a deleted row leaking into the
+    retained generation is a value mismatch."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
+
+    e = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q398_time_travel_") + "/ix"
+    store = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", root,
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+    )
+    g0 = store.current_gen()
+    store.upsert(
+        e.filter(F.col("vec_id") % _MUT_UPS == 5).withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        )
+    )
+    store.delete(e.filter(F.col("vec_id") % _MUT_DEL == 4).select("vec_id"))
+    return store.query(
+        e.filter(F.col("vec_id") < _PQ_NQ),
+        nprobe=_IVF_NPROBE, topk=_PQ_TOPK, as_of_gen=g0,
+    )
+
+
 def _tt_oracle() -> str:
     """The pinned read serves the PRE-mutation index, so the oracle is
     the plain BM25 derivation over the ORIGINAL corpus — if any

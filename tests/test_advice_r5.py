@@ -115,8 +115,14 @@ def test_maintenance_sweeps_orphaned_data_dirs(spark, sf_dir, tmp_path):
     names = sorted(
         n for n in os.listdir(root) if n.startswith("data")
     )
-    live = os.path.basename(store._data_path())
-    assert names == [live], f"orphans not swept: {names}"
+    # round 7: the superseded generation is RETAINED for pinned reads
+    # (genstore retention) — allowed survivors are live + retained; the
+    # stray orphans must all be gone
+    ptr = store._ptr()
+    allowed = {ptr["gen"], *ptr["retained"]}
+    assert set(names) == allowed, f"orphans not swept: {names} vs {allowed}"
+    assert not any(n.endswith((".upsert", ".delete")) for n in names)
+    assert "data-00000099" not in names
     assert _rows(store.query(e.filter(F.col("vec_id") < 2), topk=5)) == before
 
 

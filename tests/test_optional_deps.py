@@ -142,7 +142,14 @@ def test_bmp_stdlib_decode_ungated(spark):
             (1, "image", _bmp_bytes(px),
              {"width": 3, "height": 2, "sample_rate": 0, "n_frames": 1,
               "format": "bmp"}),
-            (2, "image", b"GIF89a not supported",
+            # round 7: GIF is a supported stdlib codec now, so the
+            # unknown-format probe is a JPEG-ish magic instead
+            (2, "image", b"\xff\xd8\xff\xe0JPEG-not-really",
+             {"width": 1, "height": 1, "sample_rate": 0, "n_frames": 1,
+              "format": "jpg"}),
+            # a CORRUPT GIF dead-letters with the codec's error, not the
+            # PIL gate (it is a real format we decode)
+            (3, "image", b"GIF89a not supported",
              {"width": 1, "height": 1, "sample_rate": 0, "n_frames": 1,
               "format": "gif"}),
         ],
@@ -153,6 +160,8 @@ def test_bmp_stdlib_decode_ungated(spark):
     assert (rows[1]["decoded_width"], rows[1]["decoded_height"]) == (3, 2)
     assert rows[1]["mean_value"] == exp_mean
     assert rows[2]["mean_value"] is None and "PIL" in rows[2]["decode_error"]
+    assert rows[3]["mean_value"] is None
+    assert "PIL" not in rows[3]["decode_error"]  # real codec path, corrupt data
 
 
 def test_bmp_perceptual_hash_ungated(spark):
