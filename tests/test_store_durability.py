@@ -480,6 +480,63 @@ def test_batch_attr_filtered_query_equals_filtered_loops(
         )
 
 
+def test_batch_attr_filters_multi_column(spark, sf_dir, tmp_path):
+    """Two constraint columns: a candidate must match BOTH of its
+    query's attributes (per-tenant AND per-label retrieval). Derived
+    attr columns ride the build frame like any metadata column."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "parity", (F.col("vec_id") % 2).cast("int")
+    )
+    store = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", str(tmp_path / "idx"),
+        attr_cols=["label", "parity"],
+    )
+    qids = [0, 1, 2]
+    qdf = e.filter(F.col("vec_id").isin(qids))
+    wants = qdf.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") % 3).cast("int").alias("label"),
+        (F.col("vec_id") % 2).cast("int").alias("parity"),
+    )
+    batch = store.query(
+        qdf, nprobe=4, topk=5, query_mode="join", attr_filters=wants
+    )
+    loops = []
+    for qid in qids:
+        loops.append(
+            store.query(
+                e.filter(F.col("vec_id") == qid), nprobe=4, topk=5,
+                where=f"label = {qid % 3} AND parity = {qid % 2}",
+            )
+        )
+    want = loops[0]
+    for p in loops[1:]:
+        want = want.unionByName(p)
+    assert _rows(batch) == _rows(want)
+    lab = {
+        r["vec_id"]: (r["label"], r["parity"])
+        for r in e.select("vec_id", "label", "parity").collect()
+    }
+    got = batch.collect()
+    assert got
+    for r in got:
+        assert lab[r["neighbor_id"]] == (r["query_id"] % 3, r["query_id"] % 2)
+
+
+def test_pinned_read_isolated_from_streaming_commits(spark, sf_dir, tmp_path):
+    """A pinned generation is the FOLDED state at its publish: epochs
+    committed after the pin (streaming ingest racing an eval) must not
+    leak into as_of_gen reads, while the live reader sees them."""
+    docs, store = _pstore(spark, sf_dir, tmp_path)
+    p1 = docs.filter(F.col("doc_id") % 2 == 1)
+    store.compact()  # publish gen 1 (folded state), retains gen 0
+    g1 = store.current_gen()
+    pinned_before = _rows(store.reader(gen=g1))
+    store._commit_epoch(p1, 0, lineage="A")  # post-pin streaming commit
+    assert _rows(store.reader(gen=g1)) == pinned_before  # pin: no epoch legs
+    assert len(_rows(store.reader())) > len(pinned_before)  # live: sees it
+
+
 def test_reconcile_stores_surfaces_one_sided_deletes(spark, sf_dir, tmp_path):
     """q396's operational audit: a doc deleted from ONE store of a
     paired deployment shows up in reconcile_stores; a consistent pair
