@@ -224,12 +224,66 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+_ADAM7 = (  # (x0, y0, dx, dy) per pass, RFC 2083 §2.6
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    data: bytes, pos: int, width: int, nrows: int, channels: int
+) -> tuple[list[bytes], int]:
+    """Unfilter ``nrows`` scanlines of ``width`` pixels starting at
+    ``pos`` (all five filters per RFC 2083; the prior-row predictor
+    resets to zeros at the start — each interlace pass filters
+    independently). Returns (raw scanlines, next pos)."""
+    stride = width * channels
+    if len(data) < pos + (stride + 1) * nrows:
+        raise ValueError("truncated PNG pixel data")
+    out: list[bytes] = []
+    prev = bytes(stride)
+    for _y in range(nrows):
+        ft = data[pos]
+        line = bytearray(data[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prev = bytes(line)
+        out.append(bytes(line))
+    return out, pos
+
+
+def _px_of(line: bytes, c: int, color: int, channels: int) -> tuple[int, int, int]:
+    if color in (0, 4):  # gray / gray+alpha
+        return (line[c * channels],) * 3
+    return (
+        line[c * channels], line[c * channels + 1], line[c * channels + 2]
+    )
+
+
 def _png_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Pure-stdlib PNG decode (zlib + struct — no PIL): non-interlaced
-    8-bit gray / gray+alpha / RGB / RGBA. Returns (width, height, RGB
-    rows in visual order); gray samples replicate to (g, g, g); alpha is
-    ignored (hash/resize operate on color). All five scanline filters
-    (None/Sub/Up/Average/Paeth) are unfiltered per RFC 2083. Raises
+    """Pure-stdlib PNG decode (zlib + struct — no PIL): 8-bit gray /
+    gray+alpha / RGB / RGBA, BOTH non-interlaced and Adam7-interlaced
+    (round 7 — each of the seven passes unfilters independently and
+    scatters onto the (x0 + i*dx, y0 + j*dy) grid). Returns (width,
+    height, RGB rows in visual order); gray samples replicate to
+    (g, g, g); alpha is ignored (hash/resize operate on color). All five
+    scanline filters (None/Sub/Up/Average/Paeth) per RFC 2083. Raises
     ValueError on anything that is not such a PNG."""
     import zlib
 
@@ -255,7 +309,7 @@ def _png_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color}, "
             f"interlace={interlace})"
@@ -266,44 +320,24 @@ def _png_rgb_rows(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]
         data = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG stream: {exc}") from exc
-    stride = w * channels
-    if len(data) < (stride + 1) * h:
-        raise ValueError("truncated PNG pixel data")
-    rows: list[list[tuple[int, int, int]]] = []
-    prev = bytes(stride)
+    if interlace == 0:
+        lines, _ = _png_unfilter(data, 0, w, h, channels)
+        return w, h, [
+            [_px_of(line, c, color, channels) for c in range(w)]
+            for line in lines
+        ]
+    rows: list[list] = [[None] * w for _ in range(h)]
     pos = 0
-    for _y in range(h):
-        ft = data[pos]
-        line = bytearray(data[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ft == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ft == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif ft == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        prev = bytes(line)
-        if color in (0, 4):  # gray / gray+alpha
-            rows.append([(line[c * channels],) * 3 for c in range(w)])
-        else:  # RGB / RGBA
-            rows.append(
-                [
-                    (line[c * channels], line[c * channels + 1],
-                     line[c * channels + 2])
-                    for c in range(w)
-                ]
-            )
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        lines, pos = _png_unfilter(data, pos, pw, ph, channels)
+        for j, line in enumerate(lines):
+            y = y0 + j * dy
+            for i in range(pw):
+                rows[y][x0 + i * dx] = _px_of(line, i, color, channels)
     return w, h, rows
 
 
@@ -316,17 +350,31 @@ def _png_gray_pixels(raw: bytes) -> tuple[int, int, list[int]]:
     return w, h, [(r + g + b) // 3 for row in rows for (r, g, b) in row]
 
 
-def _png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
+def _png_encode(
+    rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
     """Minimal 8-bit RGB PNG from visual-order RGB rows (filter 0 per
-    scanline, one IDAT)."""
+    scanline, one IDAT). ``interlace=True`` serializes the seven Adam7
+    passes with the flag set (decoder-coverage fixtures)."""
     import zlib
 
     h, w = len(rows), len(rows[0])
     body = bytearray()
-    for row in rows:
-        body.append(0)
-        for r, g, b in row:
-            body += bytes((r, g, b))
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                body.append(0)
+                for i in range(pw):
+                    body += bytes(rows[y0 + j * dy][x0 + i * dx])
+    else:
+        for row in rows:
+            body.append(0)
+            for r, g, b in row:
+                body += bytes((r, g, b))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -336,7 +384,7 @@ def _png_encode(rows: list[list[tuple[int, int, int]]]) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

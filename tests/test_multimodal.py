@@ -371,24 +371,33 @@ def test_png_decode_resize_through_spark_stages(spark):
     ]
     png = _png_encode(rgb)
     bad = png[:40]  # truncated: IDAT lost
-    interlaced = bytearray(png)
-    interlaced[28] = 1  # Adam7: unsupported -> dead-letter, not crash
+    # round 7: Adam7 is a REAL decode path now — a flag flipped on
+    # non-interlaced data is a CORRUPT interlaced stream (wrong pass
+    # byte counts) and must dead-letter, while a genuinely interlaced
+    # encode decodes to the same pixels as the plain one
+    corrupt_flag = bytearray(png)
+    corrupt_flag[28] = 1
+    adam7 = _png_encode(rgb, interlace=True)
     assets = _mk_assets(spark, [
         (1, "image", png),
         (2, "image", bad),
-        (3, "image", bytes(interlaced)),
+        (3, "image", bytes(corrupt_flag)),
         (4, "image", _bmp_encode(rgb)),
+        (5, "image", adam7),
     ])
     dec = {r["asset_id"]: r for r in decode_assets(assets).collect()}
     assert dec[1]["decode_error"] is None
     assert (dec[1]["decoded_width"], dec[1]["decoded_height"]) == (8, 6)
     assert dec[2]["decode_error"] is not None and dec[2]["mean_value"] is None
-    assert "interlace" in dec[3]["decode_error"]
-    # identical pixel content -> identical decoded mean through either container
-    assert dec[1]["mean_value"] == dec[4]["mean_value"]
+    assert dec[3]["decode_error"] is not None and dec[3]["mean_value"] is None
+    # identical pixel content -> identical decoded mean through either
+    # container AND either interlacing
+    assert dec[1]["mean_value"] == dec[4]["mean_value"] == dec[5]["mean_value"]
+    assert dec[5]["decode_error"] is None
 
     ah = {r["asset_id"]: r for r in ahash_assets(assets).collect()}
-    assert ah[1]["ahash"] is not None and ah[1]["ahash"] == ah[4]["ahash"]
+    assert ah[1]["ahash"] is not None
+    assert ah[1]["ahash"] == ah[4]["ahash"] == ah[5]["ahash"]
     assert ah[2]["ahash"] is None and ah[3]["ahash"] is None
 
     rez = {r["asset_id"]: r for r in
