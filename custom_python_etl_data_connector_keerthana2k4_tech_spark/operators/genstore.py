@@ -337,6 +337,25 @@ def reset_lineage(store_path: str, ptr_path: str, default_gen) -> None:
     cas_update(ptr_path, default_gen, mutate)
 
 
+def describe(ptr: dict) -> list[dict]:
+    """Inspection rows for a store's generations (the index-store
+    sibling of versioned.versions()): the live generation plus every
+    retained (pinned-readable) one, oldest first, with the pointer's
+    lineage/watermark/version riding each row for one-call debugging."""
+    rows = []
+    for g in [*ptr.get("retained", []), ptr["gen"]]:
+        rows.append(
+            {
+                "gen": g,
+                "live": g == ptr["gen"],
+                "lineage": ptr.get("lineage"),
+                "watermark": int(ptr.get("watermark", -1)),
+                "version": int(ptr.get("version", 0)),
+            }
+        )
+    return rows
+
+
 def fold_bookkeeping(prev: dict, newly_folded: list[str]) -> tuple[list[str], int]:
     """(folded_all, new_watermark) for a publish that folds
     ``newly_folded``: the watermark advances to the largest folded epoch

@@ -152,6 +152,11 @@ class PostingsStore:
         pin a pre-mutation read (``reader(gen=...)``)."""
         return int(self._ptr()["gen"])
 
+    def generations(self) -> list[dict]:
+        """Inspection rows for the live + retained (pinned-readable)
+        generations — versioned.versions() for the index store."""
+        return genstore.describe(self._ptr())
+
     def _gen_dirs(self, gen: int) -> tuple[str, str]:
         if gen == 0:
             return (

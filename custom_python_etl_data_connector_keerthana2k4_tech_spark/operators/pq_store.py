@@ -183,6 +183,11 @@ class IVFPQStore:
         pin a pre-mutation read (``reader(gen=...)``)."""
         return self._gen_num(self._ptr()["gen"])
 
+    def generations(self) -> list[dict]:
+        """Inspection rows for the live + retained (pinned-readable)
+        generations — versioned.versions() for the index store."""
+        return genstore.describe(self._ptr())
+
     def _data_path(self) -> str:
         """The LIVE data generation, resolved through the pointer file.
 

@@ -537,6 +537,108 @@ def test_pinned_read_isolated_from_streaming_commits(spark, sf_dir, tmp_path):
     assert len(_rows(store.reader())) > len(pinned_before)  # live: sees it
 
 
+def test_postings_lifecycle_random_walk_matches_model(spark, sf_dir, tmp_path):
+    """Model-based lifecycle fuzz: a seeded random walk over the FULL
+    verb set (append / epoch commit / epoch replay / upsert / delete /
+    compact / vacuum) against a driver-side dict model of the corpus.
+    After every verb the store's reader must equal a fresh build of the
+    model corpus — so any interaction bug between generations, epochs,
+    hardlink carryover, and the sidecar surfaces as a row diff at the
+    exact step that broke it."""
+    import random
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    all_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ids = sorted(all_rows)
+    rng = random.Random(7)
+    base_ids = ids[::2]
+    model = {i: all_rows[i] for i in base_ids}
+    store = PostingsStore.build(
+        spark,
+        docs.filter(F.col("doc_id").isin(base_ids)),
+        "doc_id", "text", str(tmp_path / "ix"), n_buckets=8,
+    )
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in pairs], DOCS_DDL
+        )
+
+    next_epoch = 0
+    committed: dict[int, list] = {}
+    for step in range(12):
+        verb = rng.choice(
+            ["append", "epoch", "replay", "upsert", "delete", "compact",
+             "vacuum"]
+        )
+        if verb == "append":
+            new = [i for i in ids if i not in model]
+            pick = rng.sample(new, min(3, len(new)))
+            if pick:
+                store.append(frame([(i, all_rows[i]) for i in pick]))
+                model.update({i: all_rows[i] for i in pick})
+        elif verb == "epoch":
+            new = [i for i in ids if i not in model]
+            pick = rng.sample(new, min(3, len(new)))
+            if pick:
+                pairs = [(i, all_rows[i]) for i in pick]
+                store._commit_epoch(frame(pairs), next_epoch, lineage="L")
+                committed[next_epoch] = pairs
+                next_epoch += 1
+                model.update(dict(pairs))
+        elif verb == "replay" and committed:
+            eid = rng.choice(sorted(committed))
+            # at-least-once delivery: must be a no-op however often
+            store._commit_epoch(frame(committed[eid]), eid, lineage="L")
+        elif verb == "upsert":
+            pick = rng.sample(sorted(model), min(3, len(model)))
+            pairs = [(i, "zqx edit " + all_rows[i]) for i in pick]
+            store.upsert(frame(pairs))
+            model.update(dict(pairs))
+            committed.clear()  # upsert folds epochs first
+        elif verb == "delete":
+            pick = rng.sample(sorted(model), min(3, len(model)))
+            store.delete(frame([(i, "") for i in pick]).select("doc_id"))
+            for i in pick:
+                model.pop(i)
+            committed.clear()
+        elif verb == "compact":
+            store.compact()
+            committed.clear()
+        elif verb == "vacuum":
+            store.vacuum()
+        fresh = PostingsStore.build(
+            spark, frame(sorted(model.items())),
+            "doc_id", "text", str(tmp_path / f"chk{step}"), n_buckets=8,
+        )
+        assert _rows(store.reader()) == _rows(fresh.reader()), (
+            f"step {step} verb {verb} diverged"
+        )
+        assert _rows(store.doclen_reader()) == _rows(fresh.doclen_reader()), (
+            f"step {step} verb {verb} sidecar diverged"
+        )
+
+
+def test_generations_inspection(spark, sf_dir, tmp_path):
+    """generations() — versioned.versions() for the index stores: one
+    live row, retained rows oldest-first, lineage/watermark riding."""
+    docs, store = _pstore(spark, sf_dir, tmp_path)
+    assert [g["live"] for g in store.generations()] == [True]
+    store._commit_epoch(docs.filter(F.col("doc_id") % 2 == 1), 0, lineage="A")
+    store.compact()
+    gens = store.generations()
+    assert [g["live"] for g in gens] == [False, True]
+    assert gens[-1]["lineage"] == "A" and gens[-1]["watermark"] == 0
+    store.vacuum()
+    assert [g["live"] for g in store.generations()] == [True]
+    e = load(spark, sf_dir, "embeddings")
+    vs = IVFPQStore.build(spark, e, "vec_id", "embedding", str(tmp_path / "v"))
+    vs.compact()
+    vgens = vs.generations()
+    assert [g["live"] for g in vgens] == [False, True]
+    assert vgens[0]["gen"] == "data"
+
+
 def test_reconcile_stores_surfaces_one_sided_deletes(spark, sf_dir, tmp_path):
     """q396's operational audit: a doc deleted from ONE store of a
     paired deployment shows up in reconcile_stores; a consistent pair
