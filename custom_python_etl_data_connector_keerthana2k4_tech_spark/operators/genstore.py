@@ -231,6 +231,33 @@ def checkpoint_lineage(checkpoint_dir: str) -> str | None:
         return None
 
 
+def _lineage_guard(ptr: dict, epoch_id: int, lineage: str | None) -> None:
+    """Raise on a foreign or ambiguous lineage (shared by the fast-path
+    snapshot check and the locked re-check in ``commit_epoch``)."""
+    known = ptr.get("lineage")
+    if lineage is not None and known is not None and lineage != known:
+        raise LineageMismatchError(
+            f"epoch {int(epoch_id)} arrived from streaming lineage "
+            f"{lineage!r} but this store belongs to lineage {known!r} — a "
+            "wiped-checkpoint restart or a wrong-store stream would have "
+            "its batches silently dropped as replays; call reset_lineage() "
+            "(after quiescing + compact) to deliberately re-point, or use "
+            "a fresh store"
+        )
+    if (
+        int(epoch_id) <= int(ptr["watermark"])
+        and lineage is not None
+        and known is None
+    ):
+        raise LineageMismatchError(
+            f"epoch {int(epoch_id)} is at-or-below this store's fold "
+            f"watermark {int(ptr['watermark'])} but the store predates "
+            "lineage tracking — cannot tell a replay from a new "
+            "checkpoint reusing epoch ids; call reset_lineage() to "
+            "adopt this stream"
+        )
+
+
 def commit_epoch(
     store_path: str,
     ptr_path: str,
@@ -253,31 +280,28 @@ def commit_epoch(
     before lineage tracking existed (legacy) also refuses below-watermark
     commits from a lineage-carrying stream: ambiguity resolves loud, not
     lossy. ``lineage=None`` (direct programmatic commits) keeps the bare
-    watermark semantics."""
+    watermark semantics.
+
+    The final rename runs under ``ptr_lock`` against a FRESH pointer
+    read (round-7 hardening): without it, a replay racing a concurrent
+    compact could pass the snapshot watermark check, find its commit
+    directory already folded AND swept, and re-commit the epoch — a
+    double count through the exact crash window the watermark exists to
+    close. Publishes advance the watermark under the same lock BEFORE
+    any sweep, so the locked re-check refuses the replay in every
+    interleaving; only the expensive staging write happens unlocked."""
     ptr = read_ptr(ptr_path, default_gen)
-    known = ptr.get("lineage")
-    if lineage is not None and known is not None and lineage != known:
-        raise LineageMismatchError(
-            f"epoch {int(epoch_id)} arrived from streaming lineage "
-            f"{lineage!r} but this store belongs to lineage {known!r} — a "
-            "wiped-checkpoint restart or a wrong-store stream would have "
-            "its batches silently dropped as replays; call reset_lineage() "
-            "(after quiescing + compact) to deliberately re-point, or use "
-            "a fresh store"
-        )
+    _lineage_guard(ptr, epoch_id, lineage)
     if int(epoch_id) <= int(ptr["watermark"]):
-        if lineage is not None and known is None:
-            raise LineageMismatchError(
-                f"epoch {int(epoch_id)} is at-or-below this store's fold "
-                f"watermark {int(ptr['watermark'])} but the store predates "
-                "lineage tracking — cannot tell a replay from a new "
-                "checkpoint reusing epoch ids; call reset_lineage() to "
-                "adopt this stream"
-            )
         return False
-    if lineage is not None and known is None:
+    eroot = os.path.join(store_path, EPOCH_ROOT)
+    os.makedirs(eroot, exist_ok=True)
+    final = os.path.join(eroot, epoch_name(epoch_id))
+    if os.path.isdir(final):
+        return False
+    if lineage is not None and ptr.get("lineage") is None:
         # Adopt the first committing lineage BEFORE any data lands, so
-        # the guard exists even if we crash mid-commit. CAS-free mutate:
+        # the guard exists even if we crash mid-commit. The mutate
         # re-checks under the lock (another thread may have adopted).
         def adopt(cur: dict) -> dict:
             if cur.get("lineage") is None:
@@ -290,15 +314,16 @@ def commit_epoch(
             return cur
 
         cas_update(ptr_path, default_gen, adopt)
-    eroot = os.path.join(store_path, EPOCH_ROOT)
-    os.makedirs(eroot, exist_ok=True)
-    final = os.path.join(eroot, epoch_name(epoch_id))
-    if os.path.isdir(final):
-        return False
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     write_legs(tmp)
-    os.rename(tmp, final)
+    with ptr_lock(ptr_path):
+        cur = read_ptr(ptr_path, default_gen)
+        _lineage_guard(cur, epoch_id, lineage)
+        if int(epoch_id) <= int(cur["watermark"]) or os.path.isdir(final):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        os.rename(tmp, final)
     return True
 
 

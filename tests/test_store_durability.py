@@ -180,6 +180,36 @@ def test_reset_lineage_requires_compact_and_sweeps_tombstones(
     assert store.reader().count() > want
 
 
+def test_epoch_replay_racing_compact_cannot_double_count(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The TOCTOU the round-7 hardening closes: a replay whose pointer
+    SNAPSHOT predates a concurrent compact (stale watermark) finds its
+    commit directory already folded and swept — under round-6 semantics
+    it would re-commit and double-count. The locked re-read before the
+    final rename must refuse it. Staged deterministically by serving the
+    stale pointer to the replay's first read only."""
+    docs, store = _pstore(spark, sf_dir, tmp_path)
+    p1 = docs.filter(F.col("doc_id") % 2 == 1)
+    store._commit_epoch(p1, 5, lineage=None)
+    stale = genstore.read_ptr(store._ptr_path(), 0)  # pre-compact snapshot
+    store.compact()  # folds ep 5, advances watermark, sweeps the dir
+    want = _rows(store.reader())
+    calls = {"n": 0}
+    real = genstore.read_ptr
+
+    def first_read_stale(p, d):
+        calls["n"] += 1
+        return dict(stale) if calls["n"] == 1 else real(p, d)
+
+    monkeypatch.setattr(genstore, "read_ptr", first_read_stale)
+    store._commit_epoch(p1, 5, lineage=None)  # the racing replay
+    monkeypatch.setattr(genstore, "read_ptr", real)
+    assert calls["n"] >= 2  # fast path passed on the stale snapshot
+    assert store._epochs() == []  # locked re-read refused the re-commit
+    assert _rows(store.reader()) == want  # no double count
+
+
 # -- CAS pointer flips ------------------------------------------------------------
 
 
