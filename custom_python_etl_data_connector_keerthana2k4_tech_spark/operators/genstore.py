@@ -122,13 +122,89 @@ def read_ptr(ptr_path: str, default_gen) -> dict:
     return _normalize(raw, default_gen)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Is ``pid`` a live process on THIS host? (kill-0 probe; a
+    PermissionError means the pid exists but belongs to another user —
+    alive for our purposes.)"""
+    try:
+        os.kill(int(pid), 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError, ValueError):
+        return True
+    return True
+
+
+def _break_stale_lock(lock: str) -> bool:
+    """Auto-recover from a CRASHED lock holder (round-7 ADVICE): the
+    lock file records its holder's pid, and when that pid no longer
+    exists on this host the lock is provably stale — a dead process
+    cannot run its unlink — so waiters may remove it instead of blocking
+    every maintenance verb and streaming epoch commit until a human
+    deletes the file. Breakers serialize on a secondary O_EXCL
+    ``.break`` file so two waiters cannot both unlink (the second unlink
+    could remove a NEW holder's freshly created lock); under the break
+    lock the content is re-read and must still name the same dead pid.
+    Same-process lock files (another THREAD of a live maintainer) are
+    never broken. Returns True when a stale lock was removed."""
+    try:
+        with open(lock) as f:
+            content = f.read()
+        pid = int(content.split("/", 1)[0])
+    except (OSError, ValueError):
+        return False  # vanished or unreadable — just retry the acquire
+    if pid == os.getpid() or _pid_alive(pid):
+        return False
+    brk = lock + ".break"
+    try:
+        fd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # another breaker is working; if IT crashed mid-break (its pid
+        # rides the file), sweep its break file so the next pass can act
+        try:
+            with open(brk) as f:
+                bpid = int(f.read() or "-1")
+        except (OSError, ValueError):
+            return False
+        if not _pid_alive(bpid):
+            try:
+                os.unlink(brk)
+            except OSError:
+                pass
+        return False
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        try:
+            with open(lock) as f:
+                cur = f.read()
+        except OSError:
+            return False  # already gone
+        # only the EXACT stale file we inspected may be unlinked: a dead
+        # pid cannot recreate its lock, so unchanged content means the
+        # file is still the crashed holder's
+        if cur != content:
+            return False
+        try:
+            os.unlink(lock)
+        except OSError:
+            return False
+        return True
+    finally:
+        try:
+            os.unlink(brk)
+        except OSError:
+            pass
+
+
 @contextmanager
 def ptr_lock(ptr_path: str, timeout: float = _LOCK_TIMEOUT):
     """Serialize pointer WRITERS on an O_EXCL lock file (readers never
     lock — the pointer file itself is replaced atomically). A crashed
-    holder leaves a stale lock; waiting out the timeout raises
-    ConcurrentWriteError naming the file to delete for manual
-    recovery."""
+    holder's stale lock is AUTO-BROKEN once its recorded pid no longer
+    exists on this host (``_break_stale_lock`` — breakers serialize so
+    a live holder's lock can never be stolen); a lock held by a LIVE
+    process past the timeout raises ConcurrentWriteError."""
     lock = ptr_path + ".lock"
     deadline = time.monotonic() + timeout
     while True:
@@ -138,11 +214,14 @@ def ptr_lock(ptr_path: str, timeout: float = _LOCK_TIMEOUT):
             os.close(fd)
             break
         except FileExistsError:
+            if _break_stale_lock(lock):
+                continue  # stale holder removed — retry immediately
             if time.monotonic() >= deadline:
                 raise ConcurrentWriteError(
                     f"pointer lock {lock} held past {timeout}s — another "
-                    "maintainer is running, or a crashed one left a stale "
-                    "lock (delete the file to recover)"
+                    "LIVE maintainer is running (crashed holders' locks "
+                    "auto-break by pid liveness; delete the file only if "
+                    "the recorded pid is on a different host)"
                 )
             time.sleep(0.02)
     try:
@@ -173,6 +252,14 @@ def _write_ptr_locked(ptr_path: str, state: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ptr_path)
+    # fsync the parent directory so the rename ITSELF — the commit point
+    # — is durable across power failure (fsyncing the file alone only
+    # persists its bytes, not the directory entry; round-7 ADVICE)
+    dfd = os.open(os.path.dirname(os.path.abspath(ptr_path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def cas_update(
@@ -317,13 +404,21 @@ def commit_epoch(
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     write_legs(tmp)
-    with ptr_lock(ptr_path):
-        cur = read_ptr(ptr_path, default_gen)
-        _lineage_guard(cur, epoch_id, lineage)
-        if int(epoch_id) <= int(cur["watermark"]) or os.path.isdir(final):
-            shutil.rmtree(tmp, ignore_errors=True)
-            return False
-        os.rename(tmp, final)
+    try:
+        with ptr_lock(ptr_path):
+            cur = read_ptr(ptr_path, default_gen)
+            _lineage_guard(cur, epoch_id, lineage)
+            if int(epoch_id) <= int(cur["watermark"]) or os.path.isdir(final):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return False
+            os.rename(tmp, final)
+    except BaseException:
+        # the locked re-check raised (foreign lineage adopted mid-stage,
+        # or the lock timed out): sweep the staged tmp dir before
+        # re-raising — readers skip .tmp, but nothing else ever would
+        # have removed it (round-7 ADVICE)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return True
 
 

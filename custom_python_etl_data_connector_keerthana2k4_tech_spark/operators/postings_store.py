@@ -77,6 +77,16 @@ _STORE_PTR = "_store_ptr"  # names the live generation (crash-safe publish)
 _EPOCH_ROOT = genstore.EPOCH_ROOT
 
 
+def _with_stamp(df: DataFrame) -> DataFrame:
+    """Back-compat shim for legs written before the mutation stamp
+    existed (round 8): stamp-less rows read as stamp 0 — the build/
+    append default — so unions and rewrites over a legacy store stay
+    well-typed."""
+    if "mstamp" in df.columns:
+        return df
+    return df.withColumn("mstamp", F.lit(0).cast("long"))
+
+
 class PostingsStore:
     """A bucket-partitioned positional inverted index on disk."""
 
@@ -288,14 +298,20 @@ class PostingsStore:
 
     # -- encode / ingest ------------------------------------------------------
 
-    def _doclen(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, dlen, dbucket) — dlen counts the same slots
+    def _doclen(self, docs: DataFrame, stamp: int = 0) -> DataFrame:
+        """(doc_id, dlen, mstamp, dbucket) — dlen counts the same slots
         build_postings emits (single-space split, empties kept), so the
         sidecar always agrees with the postings rows per doc; dbucket is
-        the doc-hash partition (stable across text edits)."""
+        the doc-hash partition (stable across text edits). ``mstamp`` is
+        the MUTATION STAMP riding each doc row (round 8): paired
+        maintenance (operators/paired.py) writes the same stamp to both
+        stores of a hybrid deployment, so ``reconcile_stores`` can catch
+        a half-landed upsert — same ids, one leg stale — that an id-only
+        audit reconciles as consistent. Builds/appends/epochs stamp 0."""
         return docs.select(
             F.col(self.id_col).alias("doc_id"),
             F.size(F.split(F.col(self.text_col), " ")).cast("long").alias("dlen"),
+            F.lit(int(stamp)).cast("long").alias("mstamp"),
         ).withColumn(
             "dbucket",
             (hex_hash60(F.col("doc_id").cast("string")) % self.n_buckets).cast(
@@ -449,7 +465,7 @@ class PostingsStore:
         shutil.rmtree(tmp_data, ignore_errors=True)
         shutil.rmtree(tmp_doclen, ignore_errors=True)
 
-    def upsert(self, docs: DataFrame) -> None:
+    def upsert(self, docs: DataFrame, stamp: int = 0) -> None:
         """Replace-or-insert documents by id, rewriting ONLY the touched
         partitions: the token buckets the new postings land in, plus the
         buckets currently holding older versions of the same doc ids
@@ -460,13 +476,19 @@ class PostingsStore:
         has a single base generation to link from, and the rewrite reads
         THAT generation only — an epoch a racing stream commits after
         the fold stays a separate live leg; a racing MAINTAINER is
-        refused by the CAS publish (ConcurrentWriteError)."""
+        refused by the CAS publish (ConcurrentWriteError). ``stamp``
+        rides each upserted doc's sidecar row as its mutation stamp
+        (paired maintenance passes its sequence number so
+        ``reconcile_stores`` can see a half-landed paired upsert);
+        untouched docs keep theirs."""
         if self._epochs():
             self.compact()
         base = self._ptr()
         base_data, base_doclen = self._gen_dirs(int(base["gen"]))
         live = self._read_leg(base_data, self._postings_schema, "bucket=")
-        live_dl = self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
+        live_dl = _with_stamp(
+            self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
+        )
         enc = self._encode(docs).persist()
         ids = docs.select(F.col(self.id_col).alias("doc_id")).distinct()
         touched = {
@@ -480,7 +502,7 @@ class PostingsStore:
         )
         touched |= {int(r["bucket"]) for r in prior.collect()}
         buckets = sorted(touched)
-        new_dl = self._doclen(docs)
+        new_dl = self._doclen(docs, stamp=stamp)
         dbuckets = sorted(
             int(r["dbucket"]) for r in new_dl.select("dbucket").distinct().collect()
         )
@@ -500,7 +522,7 @@ class PostingsStore:
             .filter(F.col("dbucket").isin(dbuckets))
             .join(ids, "doc_id", "left_anti")
             .unionByName(new_dl)
-            .select("doc_id", "dlen", "dbucket")
+            .select("doc_id", "dlen", "mstamp", "dbucket")
         )
         tmp_doclen = base_doclen + ".upsert"
         dl_rewritten.write.mode("overwrite").partitionBy("dbucket").parquet(
@@ -518,7 +540,9 @@ class PostingsStore:
         base = self._ptr()
         base_data, base_doclen = self._gen_dirs(int(base["gen"]))
         live = self._read_leg(base_data, self._postings_schema, "bucket=")
-        live_dl = self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
+        live_dl = _with_stamp(
+            self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
+        )
         vids = ids.toDF("doc_id").distinct()
         homes = (
             live
@@ -554,7 +578,7 @@ class PostingsStore:
             live_dl
             .filter(F.col("dbucket").isin(dbuckets))
             .join(vids, "doc_id", "left_anti")
-            .select("doc_id", "dlen", "dbucket")
+            .select("doc_id", "dlen", "mstamp", "dbucket")
         )
         tmp_doclen = base_doclen + ".delete"
         dl_kept.write.mode("overwrite").partitionBy("dbucket").parquet(tmp_doclen)
@@ -598,6 +622,8 @@ class PostingsStore:
             self._postings_schema if sub == "postings" else self._doclen_schema
         )
         df = self._read_leg(base, schema, part_prefix)
+        if sub == "doclen":
+            df = _with_stamp(df)
         eroot = os.path.join(self.path, _EPOCH_ROOT)
         for ep in self._epochs() if epochs is None else epochs:
             leg = os.path.join(eroot, ep, sub)
@@ -605,7 +631,10 @@ class PostingsStore:
                 name.startswith(part_prefix) for name in os.listdir(leg)
             ):
                 continue
-            df = df.unionByName(self.spark.read.parquet(leg))
+            leg_df = self.spark.read.parquet(leg)
+            if sub == "doclen":
+                leg_df = _with_stamp(leg_df)
+            df = df.unionByName(leg_df)
         return df
 
     def reader(self, gen: int | None = None) -> DataFrame:
@@ -716,6 +745,7 @@ class PostingsStore:
         self, query_terms: DataFrame, topk: int = 10,
         k1: float = 1.2, b: float = 0.75,
         query_id_col: str = "query_id", term_col: str = "term",
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """BM25 ranked retrieval for a query TABLE — the batch sibling of
         ``ranked_bm25`` (which serves ONE Python term list). Queries stay
@@ -743,6 +773,11 @@ class PostingsStore:
         runtime: at fixture vocabularies it converts to a broadcast, and
         a 10^7-term offline batch falls back to a shuffle join instead of
         OOMing on a forced broadcast (both regimes pinned in tests).
+        ``as_of_gen`` serves the whole batch from a RETAINED generation
+        (postings AND doclen legs pin together — round 8: the
+        reproducible BATCH eval over a mutating index no longer loops
+        single queries), row-identical to looping ``ranked_bm25(...,
+        as_of_gen=N)`` per query (pinned in tests).
         Returns query_id, doc_id, bm25, n_terms_hit, rank."""
         qts = (
             query_terms.select(
@@ -772,14 +807,14 @@ class PostingsStore:
         )
         terms = qts.select("token").distinct()
         pruned = (
-            self.reader()
+            self.reader(gen=as_of_gen)
             .filter(bucket_gate)
             .join(terms, "token", "left_semi")
         )
         tf = pruned.groupBy("doc_id", "token").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
         )
-        dl = self.doclen_reader().select(
+        dl = self.doclen_reader(gen=as_of_gen).select(
             F.col("doc_id").alias("d_id"), "dlen"
         )
         stats = dl.agg(
@@ -837,6 +872,7 @@ class PostingsStore:
         phrase_id_col: str = "phrase_id",
         pos_col: str = "ppos",
         term_col: str = "term",
+        as_of_gen: int | None = None,
     ) -> DataFrame:
         """Exact phrase search for a phrase TABLE — the batch sibling of
         ``phrase`` (ranked_bm25_table's device applied to adjacency):
@@ -846,7 +882,9 @@ class PostingsStore:
         postings additionally semi-join to the distinct term set, and
         ``phrase_match_table`` resolves all phrases in ONE anchor-
         alignment join. Row-identical per phrase to looping ``phrase``
-        (pinned in tests). Returns phrase_id, doc_id, n_matches,
+        (pinned in tests). ``as_of_gen`` serves the batch from a
+        RETAINED generation (round 8 — the batch sibling of
+        ``phrase(as_of_gen=)``). Returns phrase_id, doc_id, n_matches,
         first_pos."""
         from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings import (
             phrase_match_table,
@@ -876,7 +914,7 @@ class PostingsStore:
             raise ValueError("empty phrase table")
         terms = ph.select(F.col("term").alias("token")).distinct()
         pruned = (
-            self.reader()
+            self.reader(gen=as_of_gen)
             .filter(F.col("bucket").isin(buckets))
             .join(terms, "token", "left_semi")
             .select("token", "doc_id", "pos")

@@ -688,13 +688,20 @@ def encode_queries_join(
     )
 
 
+_PAIR_OPS = {
+    "=": lambda a, b: a == b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
 def adc_join_topk(
     coded: DataFrame,
     qenc: DataFrame,
     m: int,
     topk: int,
     id_out: str = "neighbor_id",
-    pair_filters: list[tuple[str, str]] | None = None,
+    pair_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Score an encoded-query frame (``encode_queries_join``'s shape)
     against a coded corpus frame carrying (``id_out``, c0..c{m-1},
@@ -703,21 +710,26 @@ def adc_join_topk(
     past the join), and a per-query window keeps the top-k. Everything is
     a shuffle-partitioned relational plan — no literals, no driver state;
     Catalyst broadcasts the query side when it is small and AQE handles a
-    skewed list. ``pair_filters`` lists (corpus_col, qenc_col) pairs that
-    must be EQUAL for a candidate to pair with a query — the per-query
-    attribute-constraint gate of batch filtered search (IVFPQStore.query
-    attr_filters): the equalities ride the cluster equi-join condition,
-    so constrained candidates are dropped IN the join, before scoring.
+    skewed list. ``pair_filters`` lists per-query constraint conditions a
+    candidate must satisfy to pair with a query — the gate of batch
+    filtered search (IVFPQStore.query attr_filters/attr_ranges): each
+    entry is ``(corpus_col, qenc_col)`` (equality) or ``(corpus_col,
+    qenc_col, op)`` with op one of ``= >= <=`` (round 8 — per-query RANGE
+    bands: the corpus attribute against the query's own bound). The
+    conditions ride the cluster equi-join, so constrained candidates are
+    dropped IN the join, before scoring — Spark plans the equality legs
+    as join keys and the bands as join residuals, never a crossJoin.
     Returns query_id, ``id_out``, cluster, rank, adc_dist."""
     adc_sql = (
         "(" + " + ".join(f"element_at(__qd{s}, c{s} + 1)" for s in range(m)) + ")"
     )
     if pair_filters:
         cond = coded["cluster"] == qenc["cluster"]
-        for a, b in pair_filters:
-            cond = cond & (coded[a] == qenc[b])
+        for pf in pair_filters:
+            a, b, op = pf if len(pf) == 3 else (*pf, "=")
+            cond = cond & _PAIR_OPS[op](coded[a], qenc[b])
         joined = coded.join(qenc, cond).drop(qenc["cluster"]).drop(
-            *[b for _, b in pair_filters]
+            *[pf[1] for pf in pair_filters]
         )
     else:
         joined = coded.join(qenc, "cluster")

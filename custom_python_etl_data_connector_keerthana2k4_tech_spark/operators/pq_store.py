@@ -62,6 +62,16 @@ _DATA_PTR = "_data_ptr"  # names the live data generation (crash-safe publish)
 _EPOCH_ROOT = genstore.EPOCH_ROOT  # streaming epoch commits (exactly-once)
 
 
+def _with_stamp(df: DataFrame) -> DataFrame:
+    """Back-compat shim for code legs written before the mutation stamp
+    existed (round 8): stamp-less rows read as stamp 0 — the build/
+    append default — so unions and rewrites over a legacy store stay
+    well-typed."""
+    if "mstamp" in df.columns:
+        return df
+    return df.withColumn("mstamp", F.lit(0).cast("long"))
+
+
 def _select_probes(qrows, centroids, nprobe: int) -> list[list[int]]:
     """Driver probe selection (literal mode): delegates to the shared
     NumPy-vectorized left-fold (operators/pq.select_probes — bit-identical
@@ -291,11 +301,15 @@ class IVFPQStore:
 
     # -- encode / ingest ----------------------------------------------------
 
-    def _encode(self, df: DataFrame) -> DataFrame:
-        """(id, c0..c{m-1}, cluster) under the FROZEN parameters — one
-        narrow projection, no join, no Python in the hot path. Centroid
-        literals render as SQL text (one parse, not a py4j round trip per
-        float — the pq.py device)."""
+    def _encode(self, df: DataFrame, stamp: int = 0) -> DataFrame:
+        """(id, c0..c{m-1}, mstamp, cluster) under the FROZEN parameters
+        — one narrow projection, no join, no Python in the hot path.
+        Centroid literals render as SQL text (one parse, not a py4j
+        round trip per float — the pq.py device). ``mstamp`` is the
+        per-row MUTATION STAMP (round 8): paired maintenance
+        (operators/paired.py) writes the same stamp to both stores of a
+        hybrid deployment so ``reconcile_stores`` catches half-landed
+        paired upserts; builds/appends/epochs stamp 0."""
         from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.kmeans import _sql_dist_sq
 
         dists = (
@@ -320,7 +334,11 @@ class IVFPQStore:
             " AS cluster",
         )
         return with_code_cols(base, self.codebook, self.m, self.sub).select(
-            "vid", *self.attr_cols, *[f"c{s}" for s in range(self.m)], "cluster"
+            "vid",
+            *self.attr_cols,
+            *[f"c{s}" for s in range(self.m)],
+            F.lit(int(stamp)).cast("long").alias("mstamp"),
+            "cluster",
         )
 
     def append(self, batch: DataFrame) -> None:
@@ -407,18 +425,21 @@ class IVFPQStore:
         self._publish(base, [], place)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def upsert(self, batch: DataFrame) -> None:
+    def upsert(self, batch: DataFrame, stamp: int = 0) -> None:
         """Replace-or-insert vectors by id, rewriting ONLY the touched
         lists: the lists the new encodings land in plus the lists that
         currently hold older versions of the same ids. Committed
         streaming epochs are folded first (``compact``) so the
         partition-selective rewrite has a single base generation to
-        hardlink from."""
+        hardlink from. ``stamp`` rides each upserted row as its mutation
+        stamp (paired maintenance passes its sequence number so
+        ``reconcile_stores`` can see a half-landed paired upsert);
+        untouched rows keep theirs."""
         if self._epochs():
             self.compact()
         base = self._ptr()
-        live = self._read_gen(base["gen"])  # rewrite reads the base generation only
-        enc = self._encode(batch).persist()
+        live = _with_stamp(self._read_gen(base["gen"]))  # base generation only
+        enc = self._encode(batch, stamp=stamp).persist()
         touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
         prior = (
             live
@@ -446,7 +467,7 @@ class IVFPQStore:
         if self._epochs():
             self.compact()
         base = self._ptr()
-        live = self._read_gen(base["gen"])  # rewrite reads the base generation only
+        live = _with_stamp(self._read_gen(base["gen"]))  # base generation only
         vids = ids.toDF("vid")
         homes = (
             live
@@ -527,7 +548,7 @@ class IVFPQStore:
         return self.spark.read.parquet(path)
 
     def _reader_of(self, gen_name: str, epochs: list[str]) -> DataFrame:
-        df = self._read_gen(gen_name)
+        df = _with_stamp(self._read_gen(gen_name))
         eroot = os.path.join(self.path, _EPOCH_ROOT)
         for ep in epochs:
             leg = os.path.join(eroot, ep, "codes")
@@ -535,7 +556,7 @@ class IVFPQStore:
                 name.startswith("cluster=") for name in os.listdir(leg)
             ):
                 continue
-            df = df.unionByName(self.spark.read.parquet(leg))
+            df = df.unionByName(_with_stamp(self.spark.read.parquet(leg)))
         return df
 
     def reader(
@@ -561,6 +582,7 @@ class IVFPQStore:
         query_batch: int = 64, where: str | None = None,
         query_mode: str = "literal",
         attr_filters: DataFrame | None = None,
+        attr_ranges: DataFrame | None = None,
         as_of_gen=None,
     ) -> DataFrame:
         """ADC top-k over the probed lists only.
@@ -583,6 +605,18 @@ class IVFPQStore:
         constraint matches nothing). Row-identical per query to looping
         ``query(where=...)`` (pinned in tests); the constraint join is an
         equi-join on (query_id, attrs) — never a crossJoin.
+
+        ``attr_ranges`` (join mode only, round 8) gives each query its
+        own NUMERIC BANDS: a (query_id, <attr>_lo, <attr>_hi) DataFrame
+        where each ``_lo``/``_hi`` column names a store attribute and
+        bounds it INCLUSIVELY (price ∈ [lo, hi], date ≥ cutoff — supply
+        only the ``_lo`` column for a one-sided bound). Bands ride the
+        cluster equi-join as join residuals — candidates outside a
+        query's band drop IN the join, before scoring, and candidate
+        volume stays bounded by the probed lists. A NULL bound matches
+        nothing (the attr_filters rule). Composable with
+        ``attr_filters``; row-identical per query to looping
+        ``query(where="attr BETWEEN lo AND hi")`` (pinned in tests).
 
         ``as_of_gen`` serves the query from a RETAINED generation
         (``reader(gen=...)``) — the reproducible-eval path over a
@@ -617,11 +651,13 @@ class IVFPQStore:
             df = self.reader(gen=as_of_gen) if as_of_gen is not None else self.reader()
             return df.filter(F.col("cluster").isin(probed))
 
-        if attr_filters is not None and query_mode != "join":
+        if (
+            attr_filters is not None or attr_ranges is not None
+        ) and query_mode != "join":
             raise ValueError(
-                "attr_filters (per-query constraints as data) requires "
-                "query_mode='join'; literal mode takes the shared `where` "
-                "predicate instead"
+                "attr_filters/attr_ranges (per-query constraints as data) "
+                "require query_mode='join'; literal mode takes the shared "
+                "`where` predicate instead"
             )
         if query_mode == "join":
             qenc = encode_queries_join(
@@ -639,7 +675,7 @@ class IVFPQStore:
             coded = read_pruned(probed)
             if where is not None:
                 coded = coded.filter(F.expr(where))
-            pair_filters = None
+            pair_filters = []
             if attr_filters is not None:
                 fcols = [c for c in attr_filters.columns if c != "query_id"]
                 bad = [c for c in fcols if c not in self.attr_cols]
@@ -653,10 +689,35 @@ class IVFPQStore:
                     *[F.col(c).alias(f"__want_{c}") for c in fcols],
                 )
                 qenc = qenc.join(wants, "query_id")
-                pair_filters = [(c, f"__want_{c}") for c in fcols]
+                pair_filters += [(c, f"__want_{c}") for c in fcols]
+            if attr_ranges is not None:
+                bcols = [c for c in attr_ranges.columns if c != "query_id"]
+                bad = [
+                    c
+                    for c in bcols
+                    if not (
+                        (c.endswith("_lo") or c.endswith("_hi"))
+                        and c[:-3] in self.attr_cols
+                    )
+                ]
+                if bad or not bcols:
+                    raise ValueError(
+                        f"attr_ranges columns {bcols} must be non-empty "
+                        "'<attr>_lo'/'<attr>_hi' names over the store's "
+                        f"attr_cols {self.attr_cols}"
+                    )
+                bands = attr_ranges.select(
+                    "query_id",
+                    *[F.col(c).alias(f"__band_{c}") for c in bcols],
+                )
+                qenc = qenc.join(bands, "query_id")
+                pair_filters += [
+                    (c[:-3], f"__band_{c}", ">=" if c.endswith("_lo") else "<=")
+                    for c in bcols
+                ]
             return adc_join_topk(
                 coded.withColumnRenamed("vid", "neighbor_id"),
-                qenc, self.m, topk, pair_filters=pair_filters,
+                qenc, self.m, topk, pair_filters=pair_filters or None,
             )
         if query_mode != "literal":
             raise ValueError(f"unknown query_mode {query_mode!r}")

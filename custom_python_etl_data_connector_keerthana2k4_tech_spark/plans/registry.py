@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round32  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round34  # noqa: F401
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round35  # noqa: F401
 
     _LOADED = True
 

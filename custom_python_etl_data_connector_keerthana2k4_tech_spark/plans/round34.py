@@ -183,9 +183,17 @@ def q396_paired_mutation_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the mutated corpus, IVF-PQ codes/assignments re-derived under
     the frozen training (ivfpq_adc_ctes corpus_rel) — so a doc that
     missed either store's rewrite, or a stale code, is a value mismatch.
-    The cheap drift audit between the two stores is
-    operators/reconcile.reconcile_stores (tested in
-    tests/test_store_durability.py)."""
+    The mutations flow through the CRASH-CONSISTENT paired verbs
+    (operators/paired.py, round 8): each stages its payload + an intent
+    record atomically before either store publishes, stamps both legs
+    with the same mutation sequence number, and clears the intent only
+    after both legs land — a crash between legs is repaired by
+    resume_paired and visible to reconcile_stores' stamp audit
+    (tests/test_paired.py)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.paired import (
+        paired_delete,
+        paired_upsert,
+    )
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
         PostingsStore,
     )
@@ -202,19 +210,20 @@ def q396_paired_mutation_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_coarse_centroids(spark, sf_dir),
         codebook=_pq_codebook(spark, sf_dir),
     )
-    # the SAME doc slices mutate in BOTH stores
-    ps.upsert(
+    # the SAME doc slices mutate in BOTH stores, crash-consistently:
+    # intent staged before either publish, both legs stamped together
+    paired_upsert(
+        ps, vs,
         docs.filter(F.col("doc_id") % _MUT_UPS == 5).withColumn(
             "text", F.concat(F.lit("fused rank "), F.col("text"))
-        )
-    )
-    ps.delete(docs.filter(F.col("doc_id") % _MUT_DEL == 4).select("doc_id"))
-    vs.upsert(
+        ),
         e.filter(F.col("vec_id") % _MUT_UPS == 5).withColumn(
             "embedding", F.reverse(F.col("embedding"))
-        )
+        ),
     )
-    vs.delete(e.filter(F.col("vec_id") % _MUT_DEL == 4).select("vec_id"))
+    paired_delete(
+        ps, vs, docs.filter(F.col("doc_id") % _MUT_DEL == 4).select("doc_id")
+    )
 
     bm = ps.ranked_bm25_table(
         _qt_frame(spark), topk=_QT_SHORTLIST

@@ -692,7 +692,7 @@ def test_reconcile_stores_surfaces_one_sided_deletes(spark, sf_dir, tmp_path):
     victims = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
     ps.delete(victims)
     drift = reconcile_stores(ps, vs).collect()
-    want_ids = {r["doc_id"] for r in victims.collect()}
+    want_ids = {str(r["doc_id"]) for r in victims.collect()}
     assert {r["doc_id"] for r in drift} == want_ids
     assert {r["side"] for r in drift} == {"vectors_only"}
     # catching up the vector store restores the invariant
