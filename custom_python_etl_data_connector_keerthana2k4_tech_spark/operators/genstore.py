@@ -487,6 +487,62 @@ def fold_bookkeeping(prev: dict, newly_folded: list[str]) -> tuple[list[str], in
     return folded_all, wm
 
 
+_LEASE_ROOT = "_leases"
+
+
+@contextmanager
+def gen_lease(store_path: str, dirname: str):
+    """A READ LEASE on one generation directory (round 8): while held,
+    ``vacuum()`` and retention-trimming publishes refuse to sweep the
+    directory, so a lazy pinned DataFrame can materialize safely even if
+    maintenance runs meanwhile (without a lease, a sweep mid-scan fails
+    the job with a file-not-found instead of the loud up-front
+    LookupError the vacuumed-pin path gives). Lease files record the
+    holder's pid; leases of DEAD pids are ignored (and swept) by
+    ``leased_dirnames``, so a crashed reader can never pin retention
+    forever. Released dirs that fell out of the retention window are
+    orphans the next publish's sweep removes — self-healing."""
+    d = os.path.join(store_path, _LEASE_ROOT)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{dirname}.{os.getpid()}-{threading.get_ident()}")
+    with open(path, "w") as f:
+        f.write(str(os.getpid()))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+def leased_dirnames(store_path: str) -> set[str]:
+    """Generation dirnames currently leased by LIVE pids (stale lease
+    files of dead holders are swept as a side effect)."""
+    d = os.path.join(store_path, _LEASE_ROOT)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        dirname, _, holder = name.rpartition(".")
+        try:
+            pid = int(holder.split("-", 1)[0])
+        except ValueError:
+            continue
+        if not dirname:
+            continue
+        if not _pid_alive(pid):
+            try:
+                os.unlink(os.path.join(d, name))
+            except OSError:
+                pass
+            continue
+        out.add(dirname)
+    return out
+
+
 def retention_bookkeeping(prev: dict, keep_gens: int) -> list:
     """The ``retained`` list for a publish that supersedes ``prev``'s
     live generation: the previous generation joins the retained set and

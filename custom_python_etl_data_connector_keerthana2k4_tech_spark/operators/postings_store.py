@@ -185,18 +185,57 @@ class PostingsStore:
         return self._gen_dirs(self._ptr()["gen"])[1]
 
     def _resolve_gen(self, gen: int) -> int:
-        """Validate a pinned-read generation: it must be live or
-        retained; a vacuumed (or never-published) generation fails
-        loudly instead of reading a swept directory."""
+        """Validate a pinned-read generation: it must be live, retained,
+        or still on disk under an ACTIVE read lease (``pinned()``); a
+        vacuumed (or never-published) generation fails loudly instead of
+        reading a swept directory."""
         ptr = self._ptr()
         g = int(gen)
         if g == int(ptr["gen"]) or g in {int(x) for x in ptr["retained"]}:
             return g
+        d, dl = self._gen_dirs(g)
+        leased = genstore.leased_dirnames(self.path)
+        if (
+            os.path.isdir(d)
+            and os.path.isdir(dl)
+            and os.path.basename(d) in leased
+            and os.path.basename(dl) in leased
+        ):
+            return g
         raise LookupError(
             f"generation {g} is neither live (gen {ptr['gen']}) nor "
-            f"retained {sorted(int(x) for x in ptr['retained'])} — it was "
-            "vacuumed, superseded past keep_gens, or never published"
+            f"retained {sorted(int(x) for x in ptr['retained'])} nor leased "
+            "— it was vacuumed, superseded past keep_gens, or never "
+            "published (hold reader leases with `with store.pinned(g):`)"
         )
+
+    def pinned(self, gen: int):
+        """Context manager holding a READ LEASE on generation ``gen``
+        (round 8): inside the block, ``reader(gen=)`` /
+        ``ranked_bm25(as_of_gen=)`` / the batch siblings keep serving
+        that generation even if maintenance verbs or ``vacuum()`` trim
+        it from the retention window meanwhile — sweeps skip leased
+        directories, so lazy pinned DataFrames never hit a mid-job
+        file-not-found. On exit the lease releases and the next publish
+        sweeps the directory if it fell out of retention. Without a
+        lease, materialize pinned reads before the next maintenance
+        verb (SCALE.md)."""
+        from contextlib import ExitStack, contextmanager
+
+        @contextmanager
+        def _ctx():
+            g = self._resolve_gen(gen)
+            d, dl = self._gen_dirs(g)
+            with ExitStack() as stack:
+                stack.enter_context(
+                    genstore.gen_lease(self.path, os.path.basename(d))
+                )
+                stack.enter_context(
+                    genstore.gen_lease(self.path, os.path.basename(dl))
+                )
+                yield g
+
+        return _ctx()
 
     def _keep_dirnames(self, state: dict) -> set[str]:
         keep = set()
@@ -210,8 +249,10 @@ class PostingsStore:
         """Remove every data*/doclen* sibling that is neither live nor
         retained under ``state`` — superseded generations past the
         retention window, crashed verbs' tmp dirs, and generations
-        orphaned by an earlier crash."""
-        keep = self._keep_dirnames(state)
+        orphaned by an earlier crash. Directories under an ACTIVE read
+        lease (``pinned()``) are skipped — they become orphans the next
+        publish sweeps once the lease releases."""
+        keep = self._keep_dirnames(state) | genstore.leased_dirnames(self.path)
         for name in os.listdir(self.path):
             if (
                 name.startswith((_DATA_DIR, _DOCLEN_DIR))

@@ -364,6 +364,19 @@ def pq_topk(
     return out
 
 
+def _cheap_rowcount(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan row estimate — FREE (no Spark job).
+    None when the plan carries no row count (typical without CBO
+    statistics); callers must treat absence as unknown, not zero."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+    except Exception:  # py4j / API drift — an estimate is best-effort
+        return None
+    return None
+
+
 def _default_n_salts(df: DataFrame, id_col: str) -> int:
     """Derive the salt count for the salted scoring join from the
     execution environment instead of a fixed constant. Sizing rule
@@ -372,12 +385,19 @@ def _default_n_salts(df: DataFrame, id_col: str) -> int:
     n_salts^2 / N — take 2x the cluster parallelism (enough salt
     granularity that every core holds pair work even for one query),
     capped at sqrt(N) so replication never rivals the pair count on a
-    small corpus. One narrow column-pruned count of the corpus; callers
-    that already know their shape pass ``n_salts`` explicitly."""
+    small corpus. The cap applies only when a CHEAP row estimate exists
+    (Catalyst plan statistics — no job): round-7 ADVICE flagged that a
+    real count() here made every defaulted join-mode query pay a full
+    corpus scan per call. Replication is cheap to overshoot (n_salts^2/N
+    stays tiny at any corpus the join mode targets), so parallelism
+    alone is the right default; callers that know their shape pass
+    ``n_salts`` explicitly."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    n = df.select(id_col).count()
-    cap = max(1, int(n ** 0.5))
-    return max(1, min(2 * max(1, int(par)), cap))
+    base = 2 * max(1, int(par))
+    n = _cheap_rowcount(df)
+    if n is not None:
+        return max(1, min(base, max(1, int(n ** 0.5))))
+    return max(1, base)
 
 
 def _salted_query_pairs(

@@ -211,16 +211,42 @@ class IVFPQStore:
 
     def _resolve_gen(self, gen) -> str:
         """Validate a pinned-read generation (int or dirname): it must
-        be live or retained; a vacuumed generation fails loudly."""
+        be live, retained, or still on disk under an ACTIVE read lease
+        (``pinned()``); a vacuumed generation fails loudly."""
         ptr = self._ptr()
         name = self._gen_name(gen)
         if name == ptr["gen"] or name in set(ptr["retained"]):
             return name
+        if name in genstore.leased_dirnames(self.path) and os.path.isdir(
+            os.path.join(self.path, name)
+        ):
+            return name
         raise LookupError(
             f"generation {gen!r} is neither live ({ptr['gen']!r}) nor "
-            f"retained {sorted(ptr['retained'])} — it was vacuumed, "
-            "superseded past keep_gens, or never published"
+            f"retained {sorted(ptr['retained'])} nor leased — it was "
+            "vacuumed, superseded past keep_gens, or never published "
+            "(hold reader leases with `with store.pinned(g):`)"
         )
+
+    def pinned(self, gen):
+        """Context manager holding a READ LEASE on generation ``gen``
+        (round 8): inside the block, ``reader(gen=)`` /
+        ``query(as_of_gen=)`` keep serving that generation even if
+        maintenance verbs or ``vacuum()`` trim it from the retention
+        window meanwhile — sweeps skip leased directories, so lazy
+        pinned DataFrames never hit a mid-job file-not-found. On exit
+        the lease releases and the next publish sweeps the directory if
+        it fell out of retention. Without a lease, materialize pinned
+        reads before the next maintenance verb (SCALE.md)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            name = self._resolve_gen(gen)
+            with genstore.gen_lease(self.path, name):
+                yield self._gen_num(name)
+
+        return _ctx()
 
     def _epochs(self) -> list[str]:
         """Committed, unfolded streaming-epoch directory names (sorted)."""
@@ -230,7 +256,9 @@ class IVFPQStore:
         return {state["gen"], *state.get("retained", [])}
 
     def _sweep_gens(self, state: dict) -> None:
-        keep = self._keep_dirnames(state)
+        # directories under an ACTIVE read lease (pinned()) are skipped;
+        # they become orphans the next publish sweeps once released
+        keep = self._keep_dirnames(state) | genstore.leased_dirnames(self.path)
         for name in os.listdir(self.path):
             if name.startswith(_DATA_DIR) and name not in keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

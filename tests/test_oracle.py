@@ -31,6 +31,27 @@ def ddb(sf_dir):
     con.close()
 
 
+def _oracle_df(con, sf_dir: str, sql: str) -> pd.DataFrame:
+    """Run an oracle with a retry on transient DuckDB OOM (round-8
+    hardening, VERDICT r7 hazard #1): under full-suite memory pressure a
+    single allocation failure poisons the session-scoped connection and
+    cascades into a contiguous block of FALSE failures that read as
+    wrong answers. The retry runs the same SQL on a FRESH connection
+    with its own views — an actual value mismatch still fails."""
+    try:
+        return con.sql(sql).df()
+    except duckdb.OutOfMemoryException:
+        fresh = duckdb.connect()
+        try:
+            for t in TABLES:
+                fresh.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            return fresh.sql(sql).df()
+        finally:
+            fresh.close()
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Canonicalize like the driver: sort columns by name, round doubles to
     6, render timestamps as UTC strings, sort rows."""
@@ -78,8 +99,30 @@ def _assert_match(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_match(name, spark, sf_dir, ddb):
     spark_pdf = _QUERIES[name](spark, sf_dir).toPandas()
-    oracle_pdf = ddb.sql(_ORACLES[name]).df()
+    oracle_pdf = _oracle_df(ddb, sf_dir, _ORACLES[name])
     _assert_match(name, spark_pdf, oracle_pdf)
+
+
+def test_oracle_retries_transient_oom_on_fresh_connection(sf_dir):
+    """A connection that throws OutOfMemoryException (simulating the
+    poisoned session connection) must not surface as a wrong answer:
+    _oracle_df retries the same SQL on a fresh connection and returns
+    the real result."""
+
+    class _Poisoned:
+        def sql(self, q):
+            raise duckdb.OutOfMemoryException("Out of Memory (simulated)")
+
+    name = "q01_pricing_summary"
+    got = _oracle_df(_Poisoned(), sf_dir, _ORACLES[name])
+    fresh = duckdb.connect()
+    try:
+        for t in TABLES:
+            fresh.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        want = fresh.sql(_ORACLES[name]).df()
+    finally:
+        fresh.close()
+    _assert_match(name, got, want)
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
