@@ -40,8 +40,9 @@ rows being upserted — never the corpus), and both legs reuse the
 stores' touched-partition-only rewrites.
 
 Reference parity: the reference upserts into a single Mongo collection
-(/root/reference/etl_connector.py:186-214) — one store, nothing paired;
-this is north-star extension territory (SURVEY §2.3).
+(/root/reference/etl_connector.py:167-191 ``upsert_to_mongo``) — one
+store, nothing paired, no cross-store consistency to keep; this is
+north-star extension territory (SURVEY §2.3).
 """
 
 from __future__ import annotations

@@ -188,3 +188,83 @@ def test_one_sided_upsert_invisible_to_ids_caught_by_stamps(
     want = {str(r["doc_id"]) for r in mdocs.select("doc_id").collect()}
     assert {r["doc_id"] for r in drift} == want
     assert {r["side"] for r in drift} == {"stamp_mismatch"}
+
+
+def test_paired_lifecycle_random_walk_with_crashes(spark, sf_dir, tmp_path):
+    """Model-based fuzz of the paired-maintenance lifecycle (the round-7
+    store fuzz extended across the PAIR): a seeded random walk of
+    paired upserts/deletes, each with a chance of a staged crash before
+    the first leg, between legs, or mid-delete — followed by
+    resume_paired. Invariants after every converged step: no pending
+    intents, reconcile_stores is EMPTY (ids AND stamps agree across
+    stores), and both stores' (id, stamp) sets match the driver-side
+    model exactly."""
+    import random
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.reconcile import _id_stamp
+
+    rng = random.Random(8)
+    docs, emb, ps, vs = _pair(spark, sf_dir, tmp_path, cap=48)
+    ids_all = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    model: dict[int, int] = {i: 0 for i in ids_all}  # id -> stamp
+
+    def crashing(*a, **k):
+        raise RuntimeError("fuzz crash")
+
+    for step in range(10):
+        slice_ids = sorted(rng.sample(ids_all, rng.randint(1, 8)))
+        op = rng.choice(["upsert", "upsert", "delete"])
+        crash = rng.choice([None, None, "first", "second"])
+        if op == "upsert":
+            mdocs = docs.filter(F.col("doc_id").isin(slice_ids)).withColumn(
+                "text", F.concat(F.lit(f"step{step} "), F.col("text"))
+            )
+            mvecs = emb.filter(F.col("vec_id").isin(slice_ids)).withColumn(
+                "embedding", F.reverse(F.col("embedding"))
+            )
+            victim, real = (
+                (ps, ps.upsert) if crash == "first" else (vs, vs.upsert)
+            )
+            if crash:
+                victim.upsert = crashing
+                with pytest.raises(RuntimeError, match="fuzz crash"):
+                    paired_upsert(ps, vs, mdocs, mvecs)
+                victim.upsert = real
+                assert len(pending_intents(ps)) == 1
+                rep = resume_paired(ps, vs)
+                assert len(rep) == 1 and rep[0]["op"] == "upsert"
+                stamp = rep[0]["stamp"]
+            else:
+                stamp = paired_upsert(ps, vs, mdocs, mvecs)
+            for i in slice_ids:
+                model[i] = stamp
+        else:
+            vic = docs.filter(F.col("doc_id").isin(slice_ids)).select("doc_id")
+            victim, real = (
+                (ps, ps.delete) if crash == "first" else (vs, vs.delete)
+            )
+            if crash:
+                victim.delete = crashing
+                with pytest.raises(RuntimeError, match="fuzz crash"):
+                    paired_delete(ps, vs, vic)
+                victim.delete = real
+                rep = resume_paired(ps, vs)
+                assert len(rep) == 1 and rep[0]["op"] == "delete"
+            else:
+                paired_delete(ps, vs, vic)
+            for i in slice_ids:
+                model.pop(i, None)
+        # converged invariants
+        assert pending_intents(ps) == []
+        assert reconcile_stores(ps, vs).count() == 0
+        got_p = {
+            (int(r["doc_id"]), int(r["p_stamp"]))
+            for r in _id_stamp(ps.doclen_reader(), "doc_id", "p_stamp").collect()
+        }
+        got_v = {
+            (int(r["doc_id"]), int(r["v_stamp"]))
+            for r in _id_stamp(vs.reader(), "vid", "v_stamp").collect()
+        }
+        want = {(i, s) for i, s in model.items()}
+        assert got_p == want, f"step {step}: postings drifted from model"
+        assert got_v == want, f"step {step}: vectors drifted from model"
