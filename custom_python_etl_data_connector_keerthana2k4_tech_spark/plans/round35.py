@@ -146,3 +146,191 @@ def q400_batch_range_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame
         qdf, nprobe=_IVF_NPROBE, topk=_PQ_TOPK,
         query_mode="join", attr_ranges=bands,
     )
+
+
+# ---------------------------------------------------------------------------
+# q401: batch RRF served from a PINNED pair (time travel across BOTH stores)
+# ---------------------------------------------------------------------------
+
+
+def _q401_oracle() -> str:
+    """The pinned pair serves the PRE-mutation state of BOTH indexes, so
+    the oracle is EXACTLY q391's batch-RRF derivation over the original
+    corpus — any mutation leaking into either store's retained
+    generation (or the two legs pinning to different states) is a value
+    mismatch. Shared lazily via registry.oracle_of (the q393 device)."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans import registry
+
+    return registry.oracle_of("q391_rrf_query_table")
+
+
+@query("q401_pinned_pair_rrf", oracle=_q401_oracle)
+def q401_pinned_pair_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible evals over a mutating HYBRID deployment: build the
+    postings store AND the IVF-PQ store, capture both live generations,
+    mutate both through the crash-consistent paired verbs (the q396
+    slices — intent-logged upsert + delete, operators/paired.py), then
+    serve q391's whole batch RRF pinned to the PRE-mutation pair:
+    ``ranked_bm25_table(as_of_gen=)`` (the round-8 batch lexical time
+    travel) fuses with ``query(as_of_gen=)`` on the vector side. Both
+    legs pin independently — a generation each store retained as
+    hardlinks — so the eval is byte-for-byte the index state before the
+    verbs ran while live traffic (q396's side) sees the mutations. The
+    oracle is q391's full replay over the ORIGINAL corpus, shared
+    verbatim: drift in EITHER pinned leg is a value mismatch."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.paired import (
+        paired_delete,
+        paired_upsert,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33 import _QT_RRF_K
+
+    docs = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    proot = tempfile.mkdtemp(prefix="q401_pinned_p_") + "/ix"
+    vroot = tempfile.mkdtemp(prefix="q401_pinned_v_") + "/ix"
+    ps = PostingsStore.build(spark, docs, "doc_id", "text", proot, n_buckets=16)
+    vs = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", vroot,
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+    )
+    g0p, g0v = ps.current_gen(), vs.current_gen()
+    paired_upsert(
+        ps, vs,
+        docs.filter(F.col("doc_id") % _MUT_UPS == 5).withColumn(
+            "text", F.concat(F.lit("fused rank "), F.col("text"))
+        ),
+        e.filter(F.col("vec_id") % _MUT_UPS == 5).withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        ),
+    )
+    paired_delete(
+        ps, vs, docs.filter(F.col("doc_id") % _MUT_DEL == 4).select("doc_id")
+    )
+
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33 import _QT_HYK, _QT_SHORTLIST
+
+    bm = ps.ranked_bm25_table(
+        _qt_frame(spark), topk=_QT_SHORTLIST, as_of_gen=g0p
+    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
+    ann = vs.query(
+        e.filter(F.col("vec_id") < _PQ_NQ),
+        nprobe=_IVF_NPROBE, topk=_QT_SHORTLIST, query_mode="join",
+        as_of_gen=g0v,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("ann_rank"),
+    )
+    from pyspark.sql import Window
+
+    fused = bm.join(ann, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("bm25_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("ann_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("__frk", F.row_number().over(w))
+        .filter(F.col("__frk") <= _QT_HYK)
+        .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q402: the cross-store drift AUDIT itself under the oracle gate
+# ---------------------------------------------------------------------------
+
+_AUD_UPS = 13  # doc_id % 13 == 2 -> upserted in the POSTINGS store only
+_AUD_STAMP = 5
+_AUD_PDEL = 17  # doc_id % 17 == 3 -> deleted from the POSTINGS store only
+_AUD_VDEL = 19  # doc_id % 19 == 4 -> deleted from the VECTOR store only
+
+
+@query(
+    "q402_reconcile_drift_audit",
+    oracle=f"""
+    WITH base AS (SELECT vec_id AS doc_id FROM embeddings),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_AUD_UPS} = 2 THEN CAST({_AUD_STAMP} AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS p_stamp
+      FROM base WHERE doc_id % {_AUD_PDEL} <> 3
+    ),
+    v AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS v_stamp
+      FROM base WHERE doc_id % {_AUD_VDEL} <> 4
+    )
+    SELECT CAST(COALESCE(p.doc_id, v.doc_id) AS VARCHAR) AS doc_id,
+           CASE WHEN v.doc_id IS NULL THEN 'postings_only'
+                WHEN p.doc_id IS NULL THEN 'vectors_only'
+                WHEN p_stamp <> v_stamp THEN 'stamp_mismatch' END AS side
+    FROM p FULL JOIN v ON p.doc_id = v.doc_id
+    WHERE v.doc_id IS NULL OR p.doc_id IS NULL OR p_stamp <> v_stamp
+    """,
+)
+def q402_reconcile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-store drift AUDIT under the oracle gate: build a
+    consistent postings+IVF-PQ pair over the shared id space (the
+    embeddings ids — a subset of the documents ids on every fixture),
+    then plant all three drift classes DELIBERATELY with single-store
+    verbs — a postings-only stamped upsert (ids unchanged: the
+    half-landed paired mutation reconcile exists to catch), a
+    postings-only delete, and a vector-only delete — and return
+    ``reconcile_stores``. The oracle derives the expected audit rows
+    from the mutation arithmetic alone (id set algebra + stamp CASE),
+    so a reconcile false-negative (drift it fails to surface) or
+    false-positive (consistent docs it flags) is a value mismatch.
+    Overlaps are exercised by construction: an id deleted from both
+    stores yields NO row; an upserted id later deleted from the
+    postings side reports vectors_only, not stamp_mismatch. Scale: the
+    audit reads the doclen sidecar (id+stamp) and the codes' id+stamp
+    columns only — column-pruned, one full-outer join of two narrow
+    frames."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import (
+        PostingsStore,
+    )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.reconcile import reconcile_stores
+
+    docs = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    base_docs = docs.join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    proot = tempfile.mkdtemp(prefix="q402_audit_p_") + "/ix"
+    vroot = tempfile.mkdtemp(prefix="q402_audit_v_") + "/ix"
+    ps = PostingsStore.build(spark, base_docs, "doc_id", "text", proot, n_buckets=16)
+    vs = IVFPQStore.build(
+        spark, e, "vec_id", "embedding", vroot,
+        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
+        centroids=_coarse_centroids(spark, sf_dir),
+        codebook=_pq_codebook(spark, sf_dir),
+    )
+    ps.upsert(
+        base_docs.filter(F.col("doc_id") % _AUD_UPS == 2).withColumn(
+            "text", F.concat(F.lit("stale edit "), F.col("text"))
+        ),
+        stamp=_AUD_STAMP,
+    )
+    ps.delete(
+        base_docs.filter(F.col("doc_id") % _AUD_PDEL == 3).select("doc_id")
+    )
+    vs.delete(e.filter(F.col("vec_id") % _AUD_VDEL == 4).select("vec_id"))
+    return reconcile_stores(ps, vs)

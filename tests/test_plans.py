@@ -100,6 +100,7 @@ _INTENTIONAL_BNLJ = {
     "q396_paired_mutation_rrf",  # one-row corpus-stats broadcast (batch BM25 leg over the mutated pair; ANN leg is the q382 join plan)
     "q397_time_travel_bm25",  # one-row corpus-stats broadcast (ranked_bm25 pinned to the retained generation, q384's shape)
     "q399_batch_time_travel_bm25",  # one-row corpus-stats broadcast (batch BM25 pinned to the retained generation — q389's shape at a pinned gen)
+    "q401_pinned_pair_rrf",  # one-row corpus-stats broadcast (pinned batch BM25 leg — q391's shape at a pinned pair; ANN leg is the q382 join plan)
     "q175_cusum_drift",  # one-row baseline-mean broadcast
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
