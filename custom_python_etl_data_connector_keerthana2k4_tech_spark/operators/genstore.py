@@ -50,6 +50,7 @@ a postings+doclen pair, hardlink swaps) stays in each store.
 
 from __future__ import annotations
 
+import binascii
 import json
 import os
 import shutil
@@ -125,7 +126,10 @@ def read_ptr(ptr_path: str, default_gen) -> dict:
 def _pid_alive(pid: int) -> bool:
     """Is ``pid`` a live process on THIS host? (kill-0 probe; a
     PermissionError means the pid exists but belongs to another user —
-    alive for our purposes.)"""
+    alive for our purposes.) Host-local by construction: callers must
+    only consult it for holders recorded on THIS host (see
+    ``_parse_holder``) — on shared storage a remote holder's pid is
+    unknowable here and must never be probed as if local."""
     try:
         os.kill(int(pid), 0)
     except ProcessLookupError:
@@ -135,45 +139,86 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _host() -> str:
+    """This host's name, as recorded next to pids in lock/lease files so
+    liveness probes stay HOST-SCOPED (round-8 VERDICT: a kill-0 probe on
+    another host's pid says nothing about that holder — auto-break/sweep
+    must only act on same-host entries)."""
+    return os.uname().nodename
+
+
+def _parse_holder(content: str) -> tuple[int | None, str | None]:
+    """``(pid, hostname)`` from lock/lease content ``"pid[/tid][@host]"``.
+    Legacy files (pre-round-9) recorded no hostname and were written
+    under the then-documented single-host scope — they parse with
+    ``hostname=None`` and are treated as same-host."""
+    body, sep, host = content.partition("@")
+    try:
+        pid = int(body.split("/", 1)[0])
+    except ValueError:
+        pid = None
+    return pid, (host.strip() or None) if sep else None
+
+
+def _holder_stale(content: str) -> bool:
+    """Is the recorded holder provably dead? Only decidable for holders
+    on THIS host: a foreign-host entry always reads as live (its pid
+    space is not ours to probe — auto-recovery falls back to the
+    timeout+manual path there)."""
+    pid, host = _parse_holder(content)
+    if pid is None:
+        return False
+    if host is not None and host != _host():
+        return False  # foreign host: liveness unknowable here
+    return pid != os.getpid() and not _pid_alive(pid)
+
+
 def _break_stale_lock(lock: str) -> bool:
     """Auto-recover from a CRASHED lock holder (round-7 ADVICE): the
-    lock file records its holder's pid, and when that pid no longer
-    exists on this host the lock is provably stale — a dead process
-    cannot run its unlink — so waiters may remove it instead of blocking
-    every maintenance verb and streaming epoch commit until a human
-    deletes the file. Breakers serialize on a secondary O_EXCL
-    ``.break`` file so two waiters cannot both unlink (the second unlink
-    could remove a NEW holder's freshly created lock); under the break
-    lock the content is re-read and must still name the same dead pid.
-    Same-process lock files (another THREAD of a live maintainer) are
-    never broken. Returns True when a stale lock was removed."""
+    lock file records its holder's ``pid/tid@hostname``, and when that
+    pid no longer exists ON THE RECORDING HOST the lock is provably
+    stale — a dead process cannot run its unlink — so waiters may remove
+    it instead of blocking every maintenance verb and streaming epoch
+    commit until a human deletes the file. HOST-SCOPED (round-8
+    VERDICT): the pid probe only means anything on the host that wrote
+    the lock, so a lock recorded by ANOTHER host is never auto-broken —
+    on shared storage a live remote maintainer would otherwise read as
+    dead locally and have its lock stolen, reopening the lost-update
+    window the CAS publish exists to close; foreign-host locks fall back
+    to the timeout + manual-delete path. Breakers serialize on a
+    secondary O_EXCL ``.break`` file so two waiters cannot both unlink
+    (the second unlink could remove a NEW holder's freshly created
+    lock); under the break lock the content is re-read and must still
+    name the same dead pid. Same-process lock files (another THREAD of
+    a live maintainer) are never broken. Returns True when a stale lock
+    was removed."""
     try:
         with open(lock) as f:
             content = f.read()
-        pid = int(content.split("/", 1)[0])
-    except (OSError, ValueError):
-        return False  # vanished or unreadable — just retry the acquire
-    if pid == os.getpid() or _pid_alive(pid):
+    except OSError:
+        return False  # vanished — just retry the acquire
+    if not _holder_stale(content):
         return False
     brk = lock + ".break"
     try:
         fd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        # another breaker is working; if IT crashed mid-break (its pid
-        # rides the file), sweep its break file so the next pass can act
+        # another breaker is working; if IT crashed mid-break (its
+        # pid@host rides the file), sweep its break file so the next
+        # pass can act — same host-scoping as the lock itself
         try:
             with open(brk) as f:
-                bpid = int(f.read() or "-1")
-        except (OSError, ValueError):
+                bcontent = f.read()
+        except OSError:
             return False
-        if not _pid_alive(bpid):
+        if _holder_stale(bcontent):
             try:
                 os.unlink(brk)
             except OSError:
                 pass
         return False
     try:
-        os.write(fd, str(os.getpid()).encode())
+        os.write(fd, f"{os.getpid()}@{_host()}".encode())
         os.close(fd)
         try:
             with open(lock) as f:
@@ -201,16 +246,23 @@ def _break_stale_lock(lock: str) -> bool:
 def ptr_lock(ptr_path: str, timeout: float = _LOCK_TIMEOUT):
     """Serialize pointer WRITERS on an O_EXCL lock file (readers never
     lock — the pointer file itself is replaced atomically). A crashed
-    holder's stale lock is AUTO-BROKEN once its recorded pid no longer
-    exists on this host (``_break_stale_lock`` — breakers serialize so
-    a live holder's lock can never be stolen); a lock held by a LIVE
-    process past the timeout raises ConcurrentWriteError."""
+    SAME-HOST holder's stale lock is AUTO-BROKEN once its recorded pid
+    no longer exists on the recording host (``_break_stale_lock`` —
+    breakers serialize so a live holder's lock can never be stolen, and
+    the probe is host-scoped so a live maintainer on ANOTHER host is
+    never mistaken for dead); a lock held by a live process — or by any
+    foreign-host holder, crashed or not — past the timeout raises
+    ConcurrentWriteError (the manual-recovery path for cross-host
+    crashes, SCALE.md)."""
     lock = ptr_path + ".lock"
     deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}/{threading.get_ident()}".encode())
+            os.write(
+                fd,
+                f"{os.getpid()}/{threading.get_ident()}@{_host()}".encode(),
+            )
             os.close(fd)
             break
         except FileExistsError:
@@ -219,9 +271,10 @@ def ptr_lock(ptr_path: str, timeout: float = _LOCK_TIMEOUT):
             if time.monotonic() >= deadline:
                 raise ConcurrentWriteError(
                     f"pointer lock {lock} held past {timeout}s — another "
-                    "LIVE maintainer is running (crashed holders' locks "
-                    "auto-break by pid liveness; delete the file only if "
-                    "the recorded pid is on a different host)"
+                    "LIVE maintainer is running (crashed SAME-HOST "
+                    "holders' locks auto-break by pid liveness; a lock "
+                    "recorded by another host is never auto-broken — "
+                    "verify that host is down before deleting the file)"
                 )
             time.sleep(0.02)
     try:
@@ -498,15 +551,28 @@ def gen_lease(store_path: str, dirname: str):
     maintenance runs meanwhile (without a lease, a sweep mid-scan fails
     the job with a file-not-found instead of the loud up-front
     LookupError the vacuumed-pin path gives). Lease files record the
-    holder's pid; leases of DEAD pids are ignored (and swept) by
-    ``leased_dirnames``, so a crashed reader can never pin retention
-    forever. Released dirs that fell out of the retention window are
-    orphans the next publish's sweep removes — self-healing."""
+    holder's ``pid@hostname``; leases whose pid is dead ON THE RECORDING
+    HOST are ignored (and swept) by ``leased_dirnames``, so a crashed
+    reader can never pin retention forever — but the probe is
+    HOST-SCOPED (round-8 VERDICT): a lease recorded by ANOTHER host
+    always counts as live here (its pid space is not ours to probe; on
+    shared storage a live remote reader would otherwise have its pinned
+    generation vacuumed mid-scan), so a cross-host crashed lease is
+    swept by its own host's next ``leased_dirnames`` pass or by hand.
+    Released dirs that fell out of the retention window are orphans the
+    next publish's sweep removes — self-healing."""
     d = os.path.join(store_path, _LEASE_ROOT)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{dirname}.{os.getpid()}-{threading.get_ident()}")
+    # the filename carries a hex host token so two hosts' readers with
+    # coinciding pid/tid never overwrite each other's lease file on
+    # shared storage (hostnames themselves contain dots, which the
+    # dirname/holder filename split reserves)
+    htok = binascii.crc32(_host().encode())
+    path = os.path.join(
+        d, f"{dirname}.{os.getpid()}-{threading.get_ident()}-{htok:08x}"
+    )
     with open(path, "w") as f:
-        f.write(str(os.getpid()))
+        f.write(f"{os.getpid()}@{_host()}")
         f.flush()
         os.fsync(f.fileno())
     try:
@@ -519,19 +585,33 @@ def gen_lease(store_path: str, dirname: str):
 
 
 def leased_dirnames(store_path: str) -> set[str]:
-    """Generation dirnames currently leased by LIVE pids (stale lease
-    files of dead holders are swept as a side effect)."""
+    """Generation dirnames currently leased by live holders. Stale
+    lease files of SAME-HOST dead holders are swept as a side effect;
+    a lease recorded by another host always counts as live (host-scoped
+    liveness — see ``gen_lease``). Legacy lease files without a
+    recorded hostname fall back to the filename's pid and the same-host
+    assumption they were written under."""
     d = os.path.join(store_path, _LEASE_ROOT)
     if not os.path.isdir(d):
         return set()
     out = set()
     for name in os.listdir(d):
         dirname, _, holder = name.rpartition(".")
-        try:
-            pid = int(holder.split("-", 1)[0])
-        except ValueError:
-            continue
         if not dirname:
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                content = f.read()
+        except OSError:
+            continue  # released between listdir and read
+        pid, host = _parse_holder(content)
+        if pid is None:
+            try:
+                pid = int(holder.split("-", 1)[0])
+            except ValueError:
+                continue
+        if host is not None and host != _host():
+            out.add(dirname)  # foreign host: liveness unknowable here
             continue
         if not _pid_alive(pid):
             try:

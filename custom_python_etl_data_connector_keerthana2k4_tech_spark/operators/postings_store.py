@@ -81,9 +81,15 @@ def _with_stamp(df: DataFrame) -> DataFrame:
     """Back-compat shim for legs written before the mutation stamp
     existed (round 8): stamp-less rows read as stamp 0 — the build/
     append default — so unions and rewrites over a legacy store stay
-    well-typed."""
+    well-typed. NULL stamps (a mixed-schema generation read under the
+    pinned recorded schema, where legacy files lack the column — round-8
+    ADVICE) coalesce to the same build-default 0, so a doc present on
+    both sides of a paired deployment never misreads as one-sided."""
     if "mstamp" in df.columns:
-        return df
+        return df.withColumn(
+            "mstamp",
+            F.coalesce(F.col("mstamp").cast("long"), F.lit(0).cast("long")),
+        )
     return df.withColumn("mstamp", F.lit(0).cast("long"))
 
 
@@ -219,7 +225,16 @@ class PostingsStore:
         file-not-found. On exit the lease releases and the next publish
         sweeps the directory if it fell out of retention. Without a
         lease, materialize pinned reads before the next maintenance
-        verb (SCALE.md)."""
+        verb (SCALE.md).
+
+        Lease-vs-vacuum race (round-8 ADVICE): the generation is
+        re-validated AFTER the lease files land — a sweep whose
+        leased-dir listing ran before the lease hit disk can still
+        remove the directories, and without the re-check the pin would
+        hand out a swept generation; instead it raises the loud
+        LookupError up front. Sweeps symmetrically re-read the lease
+        set immediately before each rmtree (``_sweep_gens``), shrinking
+        the remaining window to the listdir→rmtree instant."""
         from contextlib import ExitStack, contextmanager
 
         @contextmanager
@@ -233,6 +248,15 @@ class PostingsStore:
                 stack.enter_context(
                     genstore.gen_lease(self.path, os.path.basename(dl))
                 )
+                # re-check under the lease: a concurrent vacuum/publish
+                # that listed leases before ours landed may have swept
+                # the generation between _resolve_gen and the lease
+                if not (os.path.isdir(d) and os.path.isdir(dl)):
+                    raise LookupError(
+                        f"generation {g} was swept by concurrent "
+                        "maintenance between pin and lease — it is gone; "
+                        "re-pin a retained generation"
+                    )
                 yield g
 
         return _ctx()
@@ -251,12 +275,19 @@ class PostingsStore:
         retention window, crashed verbs' tmp dirs, and generations
         orphaned by an earlier crash. Directories under an ACTIVE read
         lease (``pinned()``) are skipped — they become orphans the next
-        publish sweeps once the lease releases."""
-        keep = self._keep_dirnames(state) | genstore.leased_dirnames(self.path)
+        publish sweeps once the lease releases. The lease set is
+        re-read immediately before EACH rmtree (round-8 ADVICE): a
+        lease landing between the initial listing and the removal
+        would otherwise have its directory swept out from under the
+        pinned reader (``pinned()`` symmetrically re-checks the dirs
+        after its lease lands, so the residual window is the
+        lease-read→rmtree instant, not the whole sweep)."""
+        keep = self._keep_dirnames(state)
         for name in os.listdir(self.path):
             if (
                 name.startswith((_DATA_DIR, _DOCLEN_DIR))
                 and name not in keep
+                and name not in genstore.leased_dirnames(self.path)
             ):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
@@ -634,21 +665,35 @@ class PostingsStore:
         correctly-typed frame when a delete/upsert emptied EVERY
         partition of the leg (a partitioned write of zero rows leaves no
         partition dirs, which a plain ``spark.read.parquet`` rejects
-        with a schema-inference error). Legacy stores without recorded
-        schemas keep the plain read."""
-        if schema_json is not None and (
-            not os.path.isdir(path)
-            or not any(
+        with a schema-inference error).
+
+        The read PINS the recorded schema (round-8 ADVICE): a
+        partition-selective rewrite on a legacy (pre-``mstamp``) store
+        hardlinks untouched doclen partitions WITHOUT the stamp column
+        while touched ones carry it, and a plain read over such a mixed
+        generation infers the schema from one footer — either dropping
+        ``mstamp`` entirely (silently disabling the reconcile stamp
+        audit) or surfacing it only for some rows. With an explicit
+        schema every file reads the same columns (absent ones as NULL,
+        which ``_with_stamp`` coalesces to the build-default 0) and
+        schema inference is skipped — cheaper, not just safer. Doclen
+        legs of legacy stores have ``mstamp`` grafted onto the recorded
+        schema for exactly the mixed-generation case; stores without any
+        recorded schema (older still) fall back to ``mergeSchema`` so no
+        footer's columns are dropped."""
+        if schema_json is not None:
+            from pyspark.sql.types import LongType, StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            if part_prefix == "dbucket=" and "mstamp" not in schema.fieldNames():
+                schema = schema.add("mstamp", LongType(), True)
+            if not os.path.isdir(path) or not any(
                 name.startswith(part_prefix) or name.endswith(".parquet")
                 for name in os.listdir(path)
-            )
-        ):
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(schema_json))
-            )
-        return self.spark.read.parquet(path)
+            ):
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     def _union_legs(
         self, base: str, sub: str, part_prefix: str,

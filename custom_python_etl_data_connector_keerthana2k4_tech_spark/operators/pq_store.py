@@ -66,9 +66,15 @@ def _with_stamp(df: DataFrame) -> DataFrame:
     """Back-compat shim for code legs written before the mutation stamp
     existed (round 8): stamp-less rows read as stamp 0 — the build/
     append default — so unions and rewrites over a legacy store stay
-    well-typed."""
+    well-typed. NULL stamps (a mixed-schema generation read under the
+    pinned recorded schema, where legacy files lack the column — round-8
+    ADVICE) coalesce to the same build-default 0, so a vector present on
+    both sides of a paired deployment never misreads as one-sided."""
     if "mstamp" in df.columns:
-        return df
+        return df.withColumn(
+            "mstamp",
+            F.coalesce(F.col("mstamp").cast("long"), F.lit(0).cast("long")),
+        )
     return df.withColumn("mstamp", F.lit(0).cast("long"))
 
 
@@ -237,13 +243,27 @@ class IVFPQStore:
         pinned DataFrames never hit a mid-job file-not-found. On exit
         the lease releases and the next publish sweeps the directory if
         it fell out of retention. Without a lease, materialize pinned
-        reads before the next maintenance verb (SCALE.md)."""
+        reads before the next maintenance verb (SCALE.md).
+
+        Lease-vs-vacuum race (round-8 ADVICE): the generation directory
+        is re-checked AFTER the lease file lands — a sweep whose
+        leased-dir listing ran before the lease hit disk can still
+        remove it, and the re-check raises the loud LookupError instead
+        of handing out a swept generation; ``_sweep_gens``
+        symmetrically re-reads the lease set immediately before each
+        rmtree."""
         from contextlib import contextmanager
 
         @contextmanager
         def _ctx():
             name = self._resolve_gen(gen)
             with genstore.gen_lease(self.path, name):
+                if not os.path.isdir(os.path.join(self.path, name)):
+                    raise LookupError(
+                        f"generation {gen!r} was swept by concurrent "
+                        "maintenance between pin and lease — it is gone; "
+                        "re-pin a retained generation"
+                    )
                 yield self._gen_num(name)
 
         return _ctx()
@@ -257,10 +277,17 @@ class IVFPQStore:
 
     def _sweep_gens(self, state: dict) -> None:
         # directories under an ACTIVE read lease (pinned()) are skipped;
-        # they become orphans the next publish sweeps once released
-        keep = self._keep_dirnames(state) | genstore.leased_dirnames(self.path)
+        # they become orphans the next publish sweeps once released.
+        # the lease set is re-read immediately before EACH rmtree
+        # (round-8 ADVICE): a lease landing between the initial listing
+        # and the removal would otherwise lose its directory mid-pin
+        keep = self._keep_dirnames(state)
         for name in os.listdir(self.path):
-            if name.startswith(_DATA_DIR) and name not in keep:
+            if (
+                name.startswith(_DATA_DIR)
+                and name not in keep
+                and name not in genstore.leased_dirnames(self.path)
+            ):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def _publish(
@@ -559,21 +586,33 @@ class IVFPQStore:
         """Read one generation directory, falling back to an empty,
         correctly-typed frame when a delete emptied EVERY list (a
         partitioned write of zero rows leaves no partition dirs, which a
-        plain read rejects with a schema-inference error)."""
+        plain read rejects with a schema-inference error).
+
+        The read PINS the recorded codes schema (round-8 ADVICE): a
+        partition-selective rewrite on a legacy (pre-``mstamp``) store
+        hardlinks untouched cluster partitions WITHOUT the stamp column
+        while touched ones carry it, and a plain read over such a mixed
+        generation infers from one footer — dropping ``mstamp`` or
+        surfacing it only for some rows. With an explicit schema every
+        file reads the same columns (absent ones as NULL, which
+        ``_with_stamp`` coalesces to the build-default 0) and schema
+        inference is skipped. Legacy recorded schemas have ``mstamp``
+        grafted on for the mixed case; stores without any recorded
+        schema fall back to ``mergeSchema``."""
         path = os.path.join(self.path, gen_name)
-        if self._codes_schema is not None and (
-            not os.path.isdir(path)
-            or not any(
+        if self._codes_schema is not None:
+            from pyspark.sql.types import LongType, StructType
+
+            schema = StructType.fromJson(json.loads(self._codes_schema))
+            if "mstamp" not in schema.fieldNames():
+                schema = schema.add("mstamp", LongType(), True)
+            if not os.path.isdir(path) or not any(
                 name.startswith("cluster=") or name.endswith(".parquet")
                 for name in os.listdir(path)
-            )
-        ):
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(self._codes_schema))
-            )
-        return self.spark.read.parquet(path)
+            ):
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.read.option("mergeSchema", "true").parquet(path)
 
     def _reader_of(self, gen_name: str, epochs: list[str]) -> DataFrame:
         df = _with_stamp(self._read_gen(gen_name))

@@ -18,15 +18,31 @@ however it arose:
   paired mutation that reached one store can produce a mismatch.
 
 Run it after paired maintenance (q396's lifecycle) or on a schedule; an
-empty result is the invariant.
+empty result is the invariant. ``operators/paired.repair_drift`` routes
+a non-empty audit back through the paired verbs (round 9).
+
+Round-9 hardening (round-8 ADVICE + VERDICT #6):
+
+- store membership comes from explicit PRESENCE FLAGS carried through
+  the full-outer join, never from stamp nullity — a legacy row whose
+  ``mstamp`` reads NULL (mixed-schema generation) coalesces to the
+  build-default 0 instead of misreporting a doc present in BOTH stores
+  as one-sided;
+- each side aggregates ONE stamp per doc (``max``) before the join — a
+  doc legitimately carried twice inside one store (base row stamp N
+  plus an uncompacted streaming-epoch row stamp 0, on both sides)
+  no longer cross-products into spurious ``stamp_mismatch`` rows;
+- ``p_gen``/``v_gen`` audit a PINNED pair: a reproducible eval served
+  ``as_of_gen`` (q401) can be audited at exactly its pinned
+  generations while the live pair shows the mutations.
 
 Scale: the postings side reads only the doclen sidecar (doc_id + stamp,
 one row per doc — never the postings), the vector side reads only the
 id + stamp columns of the codes (column-pruned), and the audit is one
-full-outer join of two id/stamp frames. Ids are compared as STRINGS —
-lossless for both integer and string key spaces (round-7 ADVICE: a
-long cast turns non-numeric keys into NULLs, which never match a join,
-silently mislabeling every row as one-sided).
+full-outer join of two pre-aggregated id/stamp frames. Ids are compared
+as STRINGS — lossless for both integer and string key spaces (round-7
+ADVICE: a long cast turns non-numeric keys into NULLs, which never
+match a join, silently mislabeling every row as one-sided).
 
 Reference parity: the reference has a single Mongo collection and no
 secondary index to drift from it (/root/reference/etl_connector.py,
@@ -39,36 +55,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _id_stamp(df: DataFrame, id_col: str, stamp_alias: str) -> DataFrame:
-    """(doc_id string, <stamp_alias> long) — stamp-less legacy legs read
-    as stamp 0 (the build default)."""
+def _id_stamp(
+    df: DataFrame, id_col: str, stamp_alias: str, flag_alias: str
+) -> DataFrame:
+    """(doc_id string, <stamp_alias> long, <flag_alias> 1) — one row per
+    doc: stamps aggregate with ``max`` (a doc carried in both the base
+    generation and an uncompacted epoch keeps its highest stamp — the
+    paired mutation's — on both sides, so a consistent pair stays
+    consistent); stamp-less legacy legs and NULL stamps read as the
+    build default 0. The literal presence flag is what the audit derives
+    membership from — never stamp nullity."""
     stamp = (
-        F.col("mstamp").cast("long")
+        F.coalesce(F.col("mstamp").cast("long"), F.lit(0).cast("long"))
         if "mstamp" in df.columns
         else F.lit(0).cast("long")
     )
-    return df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        stamp.alias(stamp_alias),
-    ).distinct()
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            stamp.alias(stamp_alias),
+        )
+        .groupBy("doc_id")
+        .agg(F.max(stamp_alias).alias(stamp_alias))
+        .withColumn(flag_alias, F.lit(1))
+    )
 
 
-def reconcile_stores(postings_store, pq_store) -> DataFrame:
+def store_stamps(
+    postings_store,
+    pq_store,
+    p_gen=None,
+    v_gen=None,
+) -> DataFrame:
+    """The raw audit frame: one row per doc id present in EITHER store —
+    ``(doc_id, p_present, p_stamp, v_present, v_stamp)`` with NULL
+    present/stamp on the side that lacks the doc. ``p_gen``/``v_gen``
+    pin each side to a retained generation (reader(gen=)/
+    doclen_reader(gen=) — no epoch legs), so a pinned-pair eval can be
+    audited at its pinned state; None reads the live side (generation +
+    committed epochs). ``reconcile_stores`` filters this to the drift
+    rows; q404 gates the full frame under the oracle."""
+    docs = _id_stamp(
+        postings_store.doclen_reader(gen=p_gen), "doc_id", "p_stamp", "p_present"
+    )
+    vecs = _id_stamp(pq_store.reader(gen=v_gen), "vid", "v_stamp", "v_present")
+    return docs.join(vecs, "doc_id", "full_outer").select(
+        "doc_id", "p_present", "p_stamp", "v_present", "v_stamp"
+    )
+
+
+def reconcile_stores(
+    postings_store,
+    pq_store,
+    p_gen=None,
+    v_gen=None,
+) -> DataFrame:
     """Audit a paired (postings, IVF-PQ) deployment: returns
     ``(doc_id, side)`` rows with side ``"postings_only"`` /
     ``"vectors_only"`` (id drift) / ``"stamp_mismatch"`` (both stores
     hold the doc but their mutation stamps disagree — a half-landed
     paired upsert). ``doc_id`` is rendered as a string (lossless for
-    int and string key spaces). Empty == the pair is consistent."""
-    docs = _id_stamp(postings_store.doclen_reader(), "doc_id", "p_stamp")
-    vecs = _id_stamp(pq_store.reader(), "vid", "v_stamp")
+    int and string key spaces). ``p_gen``/``v_gen`` audit a PINNED pair
+    at exactly those retained generations (round-8 VERDICT #6 — q401's
+    doubly-pinned eval is auditable at its pinned state while the live
+    pair shows the mutations). Empty == the pair is consistent."""
     side = (
-        F.when(F.col("v_stamp").isNull(), F.lit("postings_only"))
-        .when(F.col("p_stamp").isNull(), F.lit("vectors_only"))
+        F.when(F.col("v_present").isNull(), F.lit("postings_only"))
+        .when(F.col("p_present").isNull(), F.lit("vectors_only"))
         .when(F.col("p_stamp") != F.col("v_stamp"), F.lit("stamp_mismatch"))
     )
     return (
-        docs.join(vecs, "doc_id", "full_outer")
+        store_stamps(postings_store, pq_store, p_gen=p_gen, v_gen=v_gen)
         .select("doc_id", side.alias("side"))
         .filter(F.col("side").isNotNull())
     )

@@ -115,6 +115,7 @@ def _ensure_loaded() -> None:
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round34  # noqa: F401
     import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round35  # noqa: F401
+    import custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round36  # noqa: F401
 
     _LOADED = True
 

@@ -259,11 +259,15 @@ def test_paired_lifecycle_random_walk_with_crashes(spark, sf_dir, tmp_path):
         assert reconcile_stores(ps, vs).count() == 0
         got_p = {
             (int(r["doc_id"]), int(r["p_stamp"]))
-            for r in _id_stamp(ps.doclen_reader(), "doc_id", "p_stamp").collect()
+            for r in _id_stamp(
+                ps.doclen_reader(), "doc_id", "p_stamp", "p_present"
+            ).collect()
         }
         got_v = {
             (int(r["doc_id"]), int(r["v_stamp"]))
-            for r in _id_stamp(vs.reader(), "vid", "v_stamp").collect()
+            for r in _id_stamp(
+                vs.reader(), "vid", "v_stamp", "v_present"
+            ).collect()
         }
         want = {(i, s) for i, s in model.items()}
         assert got_p == want, f"step {step}: postings drifted from model"

@@ -101,6 +101,7 @@ _INTENTIONAL_BNLJ = {
     "q397_time_travel_bm25",  # one-row corpus-stats broadcast (ranked_bm25 pinned to the retained generation, q384's shape)
     "q399_batch_time_travel_bm25",  # one-row corpus-stats broadcast (batch BM25 pinned to the retained generation — q389's shape at a pinned gen)
     "q401_pinned_pair_rrf",  # one-row corpus-stats broadcast (pinned batch BM25 leg — q391's shape at a pinned pair; ANN leg is the q382 join plan)
+    "q403_paired_streaming_rrf",  # one-row corpus-stats broadcast (batch BM25 leg over the streamed pair — q391's serve shape; ANN leg is the q382 join plan)
     "q175_cusum_drift",  # one-row baseline-mean broadcast
     "q179_kl_drift",  # one-row distribution-totals broadcast
     "q182_negative_sampling",  # one-row max-key broadcast
