@@ -475,32 +475,44 @@ def repair_drift(
     drifted slice semi-joins the source frames — never a corpus
     rewrite), and both legs reuse touched-partition-only rewrites.
     Returns ``{"upserted", "deleted", "stamp"}``."""
-    ids = audit.select(F.col("doc_id").cast("string").alias("doc_id")).distinct()
-    # dataframe-qualified keys: the source frames' own id columns may be
-    # NAMED doc_id too, which an unqualified F.col would make ambiguous
-    up_docs = docs.join(
-        ids, docs[ps.id_col].cast("string") == ids["doc_id"], "left_semi"
+    # the audit frame re-derives both stores' id/stamp scans on every
+    # reference — persist the (audit-sized) drifted-id slice once so the
+    # two semi-joins, the anti-join, and the counts reuse it
+    ids = (
+        audit.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .distinct()
+        .persist()
     )
-    up_vecs = vecs.join(
-        ids, vecs[vs.id_col].cast("string") == ids["doc_id"], "left_semi"
-    )
-    gone = ids.join(
-        docs.select(F.col(ps.id_col).cast("string").alias("doc_id")),
-        "doc_id",
-        "left_anti",
-    )
-    out = {"upserted": 0, "deleted": 0, "stamp": None}
-    n_up = up_docs.count()
-    if n_up:
-        out["stamp"] = paired_upsert(ps, vs, up_docs, up_vecs)
-        out["upserted"] = n_up
-    n_gone = gone.count()
-    if n_gone:
-        # cast the audit's string ids back to the store's id type so the
-        # delete's semi-joins stay type-aligned (lossless round trip)
-        typed = gone.select(
-            F.col("doc_id").cast(docs.schema[ps.id_col].dataType).alias("id")
+    try:
+        # dataframe-qualified keys: the source frames' own id columns may
+        # be NAMED doc_id too, which an unqualified F.col would make
+        # ambiguous
+        up_docs = docs.join(
+            ids, docs[ps.id_col].cast("string") == ids["doc_id"], "left_semi"
         )
-        paired_delete(ps, vs, typed)
-        out["deleted"] = n_gone
-    return out
+        up_vecs = vecs.join(
+            ids, vecs[vs.id_col].cast("string") == ids["doc_id"], "left_semi"
+        )
+        gone = ids.join(
+            docs.select(F.col(ps.id_col).cast("string").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        out = {"upserted": 0, "deleted": 0, "stamp": None}
+        n_up = up_docs.count()
+        if n_up:
+            out["stamp"] = paired_upsert(ps, vs, up_docs, up_vecs)
+            out["upserted"] = n_up
+        n_gone = gone.count()
+        if n_gone:
+            # cast the audit's string ids back to the store's id type so
+            # the delete's semi-joins stay type-aligned (lossless round
+            # trip)
+            typed = gone.select(
+                F.col("doc_id").cast(docs.schema[ps.id_col].dataType).alias("id")
+            )
+            paired_delete(ps, vs, typed)
+            out["deleted"] = n_gone
+        return out
+    finally:
+        ids.unpersist()
