@@ -77,6 +77,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators import genstore
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.genstore import ptr_lock
 
 _INTENT_ROOT = "_paired_intent"
@@ -160,8 +161,15 @@ def _stage(
     final = os.path.join(root, name)
     tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    for leg_name, df in payloads.items():
-        df.write.mode("overwrite").parquet(os.path.join(tmp, leg_name))
+    # the payload legs are independent writes into the SAME uncommitted
+    # temp dir — overlap their jobs (the atomic rename below is still the
+    # only commit point)
+    run_jobs([
+        (lambda df=df, leg=leg_name: df.write.mode("overwrite").parquet(
+            os.path.join(tmp, leg)
+        ))
+        for leg_name, df in payloads.items()
+    ])
     with open(os.path.join(tmp, _INTENT_FILE), "w") as f:
         json.dump({"op": op, "stamp": int(stamp), **(extra or {})}, f)
         f.flush()
@@ -499,11 +507,25 @@ def repair_drift(
             "left_anti",
         )
         out = {"upserted": 0, "deleted": 0, "stamp": None}
-        n_up = up_docs.count()
+        # both routing counts in ONE job (the upsert leg counts source
+        # ROWS — up_docs' row count — and the delete leg counts drifted
+        # ids absent from the truth), instead of two sequential .count()s
+        sizes = dict.fromkeys(("up", "gone"), 0)
+        for r in (
+            docs.select(F.col(ps.id_col).cast("string").alias("doc_id"))
+            .join(ids, "doc_id", "left_semi")
+            .select(F.lit("up").alias("leg"))
+            .unionByName(gone.select(F.lit("gone").alias("leg")))
+            .groupBy("leg")
+            .count()
+            .collect()
+        ):
+            sizes[r["leg"]] = int(r["count"])
+        n_up = sizes["up"]
         if n_up:
             out["stamp"] = paired_upsert(ps, vs, up_docs, up_vecs)
             out["upserted"] = n_up
-        n_gone = gone.count()
+        n_gone = sizes["gone"]
         if n_gone:
             # cast the audit's string ids back to the store's id type so
             # the delete's semi-joins stay type-aligned (lossless round

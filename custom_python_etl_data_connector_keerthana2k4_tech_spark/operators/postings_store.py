@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.functions.text import hex_hash60, py_hex_hash60
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators import genstore
+from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings import build_postings, phrase_match
 
 _PARAMS_FILE = "_postings_params.json"
@@ -141,12 +142,16 @@ class PostingsStore:
             )
         os.replace(tmp, os.path.join(path, _PARAMS_FILE))
         store = cls(spark, path)
-        enc.write.mode("overwrite").partitionBy("bucket").parquet(
-            store._data_path()
-        )
-        dl.write.mode("overwrite").partitionBy("dbucket").parquet(
-            store._doclen_path()
-        )
+        # the two legs are independent scans of ``docs`` — overlap them
+        # (run_jobs) so the build pays one write tail, not two
+        run_jobs([
+            lambda: enc.write.mode("overwrite").partitionBy("bucket").parquet(
+                store._data_path()
+            ),
+            lambda: dl.write.mode("overwrite").partitionBy("dbucket").parquet(
+                store._doclen_path()
+            ),
+        ])
         return store
 
     # -- generations ----------------------------------------------------------
@@ -402,12 +407,12 @@ class PostingsStore:
         """Synchronous batch append into the live generation (no retry
         semantics — streaming ingest goes through the epoch-commit path
         instead)."""
-        self._encode(docs).write.mode("append").partitionBy("bucket").parquet(
-            self._data_path()
-        )
-        self._doclen(docs).write.mode("append").partitionBy("dbucket").parquet(
-            self._doclen_path()
-        )
+        run_jobs([
+            lambda: self._encode(docs).write.mode("append")
+            .partitionBy("bucket").parquet(self._data_path()),
+            lambda: self._doclen(docs).write.mode("append")
+            .partitionBy("dbucket").parquet(self._doclen_path()),
+        ])
 
     def _commit_epoch(
         self, docs: DataFrame, epoch_id: int, lineage: str | None = None
@@ -421,12 +426,15 @@ class PostingsStore:
         of being dropped as a replay."""
 
         def write_legs(tmp: str) -> None:
-            self._encode(docs).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(os.path.join(tmp, "postings"))
-            self._doclen(docs).write.mode("overwrite").partitionBy(
-                "dbucket"
-            ).parquet(os.path.join(tmp, "doclen"))
+            # independent scans of the micro-batch — overlap their jobs
+            run_jobs([
+                lambda: self._encode(docs).write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(os.path.join(tmp, "postings")),
+                lambda: self._doclen(docs).write.mode("overwrite").partitionBy(
+                    "dbucket"
+                ).parquet(os.path.join(tmp, "doclen")),
+            ])
 
         genstore.commit_epoch(
             self.path, self._ptr_path(), 0, epoch_id, write_legs, lineage
@@ -475,20 +483,23 @@ class PostingsStore:
         tmp_doclen = os.path.join(self.path, _DOCLEN_DIR + suffix)
         shutil.rmtree(tmp_data, ignore_errors=True)
         shutil.rmtree(tmp_doclen, ignore_errors=True)
-        (
-            self._union_legs(base_data, "postings", "bucket=", eps)
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(tmp_data)
-        )
-        (
-            self._union_legs(base_doclen, "doclen", "dbucket=", eps)
-            .repartition("dbucket")
-            .write.mode("overwrite")
-            .partitionBy("dbucket")
-            .parquet(tmp_doclen)
-        )
+        # the two leg rewrites are independent — overlap their jobs
+        run_jobs([
+            lambda: (
+                self._union_legs(base_data, "postings", "bucket=", eps)
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp_data)
+            ),
+            lambda: (
+                self._union_legs(base_doclen, "doclen", "dbucket=", eps)
+                .repartition("dbucket")
+                .write.mode("overwrite")
+                .partitionBy("dbucket")
+                .parquet(tmp_doclen)
+            ),
+        ])
 
         def place(new_data: str, new_doclen: str) -> None:
             os.rename(tmp_data, new_data)
@@ -563,21 +574,30 @@ class PostingsStore:
         )
         enc = self._encode(docs).persist()
         ids = docs.select(F.col(self.id_col).alias("doc_id")).distinct()
-        touched = {
-            int(r["bucket"]) for r in enc.select("bucket").distinct().collect()
-        }
-        prior = (
-            live
-            .join(ids, "doc_id", "left_semi")
-            .select("bucket")
-            .distinct()
-        )
-        touched |= {int(r["bucket"]) for r in prior.collect()}
-        buckets = sorted(touched)
         new_dl = self._doclen(docs, stamp=stamp)
-        dbuckets = sorted(
-            int(r["dbucket"]) for r in new_dl.select("dbucket").distinct().collect()
+        # ONE job finds every touched partition of both legs — the buckets
+        # the new postings land in, the buckets holding older versions of
+        # the same ids, and the ids' dbucket dirs. Three narrow distinct
+        # scans union under one action so the verb pays one scheduling
+        # round trip instead of three (the first leg also materializes
+        # enc's cache for the rewrite below).
+        probe = (
+            enc.select(F.col("bucket").alias("part"), F.lit("t").alias("leg"))
+            .unionByName(
+                live.join(ids, "doc_id", "left_semi").select(
+                    F.col("bucket").alias("part"), F.lit("t").alias("leg")
+                )
+            )
+            .unionByName(
+                new_dl.select(
+                    F.col("dbucket").alias("part"), F.lit("d").alias("leg")
+                )
+            )
+            .distinct()
+            .collect()
         )
+        buckets = sorted({int(r["part"]) for r in probe if r["leg"] == "t"})
+        dbuckets = sorted({int(r["part"]) for r in probe if r["leg"] == "d"})
 
         rewritten = (
             live
@@ -587,8 +607,6 @@ class PostingsStore:
             .select("token", "doc_id", "pos", "bucket")
         )
         tmp_data = base_data + ".upsert"
-        rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
-
         dl_rewritten = (
             live_dl
             .filter(F.col("dbucket").isin(dbuckets))
@@ -597,9 +615,13 @@ class PostingsStore:
             .select("doc_id", "dlen", "mstamp", "dbucket")
         )
         tmp_doclen = base_doclen + ".upsert"
-        dl_rewritten.write.mode("overwrite").partitionBy("dbucket").parquet(
-            tmp_doclen
-        )
+        # the two leg rewrites are independent — overlap their jobs
+        run_jobs([
+            lambda: rewritten.write.mode("overwrite")
+            .partitionBy("bucket").parquet(tmp_data),
+            lambda: dl_rewritten.write.mode("overwrite")
+            .partitionBy("dbucket").parquet(tmp_doclen),
+        ])
         enc.unpersist()
         self._swap_partitions(base, tmp_data, buckets, tmp_doclen, dbuckets)
 
@@ -616,24 +638,24 @@ class PostingsStore:
             self._read_leg(base_doclen, self._doclen_schema, "dbucket=")
         )
         vids = ids.toDF("doc_id").distinct()
-        homes = (
-            live
-            .join(vids, "doc_id", "left_semi")
-            .select("bucket")
+        # touched partitions of BOTH legs in ONE job: the buckets holding
+        # the ids' postings and the dbucket dirs holding their doclen rows
+        # (both from EXISTING rows — the semi-join device — so deleting
+        # already-absent ids is a true no-op: hashing the requested ids
+        # would rewrite (and de-hardlink) dirs that hold nothing)
+        probe = (
+            live.join(vids, "doc_id", "left_semi")
+            .select(F.col("bucket").alias("part"), F.lit("t").alias("leg"))
+            .unionByName(
+                live_dl.join(vids, "doc_id", "left_semi").select(
+                    F.col("dbucket").alias("part"), F.lit("d").alias("leg")
+                )
+            )
             .distinct()
+            .collect()
         )
-        buckets = sorted(int(r["bucket"]) for r in homes.collect())
-        # touched sidecar partitions come from EXISTING doclen rows (the
-        # same semi-join device as the postings side), so deleting
-        # already-absent ids is a true no-op — hashing the requested ids
-        # would rewrite (and de-hardlink) dbucket dirs that hold nothing
-        dhomes = (
-            live_dl
-            .join(vids, "doc_id", "left_semi")
-            .select("dbucket")
-            .distinct()
-        )
-        dbuckets = sorted(int(r["dbucket"]) for r in dhomes.collect())
+        buckets = sorted({int(r["part"]) for r in probe if r["leg"] == "t"})
+        dbuckets = sorted({int(r["part"]) for r in probe if r["leg"] == "d"})
         if not buckets and not dbuckets:
             return
 
@@ -644,8 +666,6 @@ class PostingsStore:
             .select("token", "doc_id", "pos", "bucket")
         )
         tmp_data = base_data + ".delete"
-        kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp_data)
-
         dl_kept = (
             live_dl
             .filter(F.col("dbucket").isin(dbuckets))
@@ -653,7 +673,13 @@ class PostingsStore:
             .select("doc_id", "dlen", "mstamp", "dbucket")
         )
         tmp_doclen = base_doclen + ".delete"
-        dl_kept.write.mode("overwrite").partitionBy("dbucket").parquet(tmp_doclen)
+        # the two leg rewrites are independent — overlap their jobs
+        run_jobs([
+            lambda: kept.write.mode("overwrite")
+            .partitionBy("bucket").parquet(tmp_data),
+            lambda: dl_kept.write.mode("overwrite")
+            .partitionBy("dbucket").parquet(tmp_doclen),
+        ])
         self._swap_partitions(base, tmp_data, buckets, tmp_doclen, dbuckets)
 
     # -- read -----------------------------------------------------------------

@@ -495,15 +495,20 @@ class IVFPQStore:
         base = self._ptr()
         live = _with_stamp(self._read_gen(base["gen"]))  # base generation only
         enc = self._encode(batch, stamp=stamp).persist()
-        touched = {int(r["cluster"]) for r in enc.select("cluster").distinct().collect()}
-        prior = (
-            live
-            .join(enc.select("vid"), "vid", "left_semi")
-            .select("cluster")
+        # ONE job finds every touched list: the lists the new encodings
+        # land in plus the lists holding older versions of the same ids
+        # (two narrow distinct scans unioned under one action — one
+        # scheduling round trip, and the first leg materializes enc's
+        # cache for the rewrite below)
+        clusters = sorted(
+            int(r["cluster"])
+            for r in enc.select("cluster")
+            .unionByName(
+                live.join(enc.select("vid"), "vid", "left_semi").select("cluster")
+            )
             .distinct()
+            .collect()
         )
-        touched |= {int(r["cluster"]) for r in prior.collect()}
-        clusters = sorted(touched)
         rewritten = (
             live
             .filter(F.col("cluster").isin(clusters))

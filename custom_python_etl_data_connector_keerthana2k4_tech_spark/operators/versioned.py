@@ -737,17 +737,23 @@ def versioned_merge(
             )
     else:
         col = m["partition_by"]
-        src_parts = {
-            str(r[0]) for r in source.select(col).distinct().collect()
-        }
         cur_df = read_versioned(spark, root, cur)
-        hit_parts = {
-            str(r[0])
-            for r in cur_df.join(
-                source.select(*ks).distinct(), ks, "left_semi"
-            ).select(col).distinct().collect()
-        }
-        touched = sorted(src_parts | hit_parts)
+        # the partitions the source's rows land in plus the ones holding
+        # a matched key — two narrow distinct scans under ONE action (one
+        # scheduling round trip, not two sequential collects)
+        touched = sorted(
+            {
+                str(r[0])
+                for r in source.select(col)
+                .unionByName(
+                    cur_df.join(
+                        source.select(*ks).distinct(), ks, "left_semi"
+                    ).select(col)
+                )
+                .distinct()
+                .collect()
+            }
+        )
         prev_parts = dict(m["partitions"])
         parts = {p: o for p, o in prev_parts.items() if p not in touched}
         stats = {
