@@ -743,7 +743,15 @@ class PostingsStore:
                 name.startswith(part_prefix) for name in os.listdir(leg)
             ):
                 continue
-            leg_df = self.spark.read.parquet(leg)
+            # epoch legs are written by _commit_epoch under the SAME
+            # recorded schema as the generation — pin it so each union
+            # leg skips footer schema inference (one driver-side job per
+            # epoch otherwise)
+            leg_df = (
+                self.spark.read.schema(df.schema).parquet(leg)
+                if schema is not None
+                else self.spark.read.parquet(leg)
+            )
             if sub == "doclen":
                 leg_df = _with_stamp(leg_df)
             df = df.unionByName(leg_df)

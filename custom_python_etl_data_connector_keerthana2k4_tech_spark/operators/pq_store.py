@@ -628,7 +628,15 @@ class IVFPQStore:
                 name.startswith("cluster=") for name in os.listdir(leg)
             ):
                 continue
-            df = df.unionByName(_with_stamp(self.spark.read.parquet(leg)))
+            # epoch legs carry the SAME recorded codes schema as the
+            # generation — pin it so each union leg skips footer schema
+            # inference (one driver-side job per epoch otherwise)
+            leg_df = (
+                self.spark.read.schema(df.schema).parquet(leg)
+                if self._codes_schema is not None
+                else self.spark.read.parquet(leg)
+            )
+            df = df.unionByName(_with_stamp(leg_df))
         return df
 
     def reader(

@@ -76,6 +76,44 @@ def _qt_frame(spark: SparkSession) -> DataFrame:
     )
 
 
+def _rrf_fuse(bm_thunk, ann_thunk) -> DataFrame:
+    """Construct the two hybrid legs CONCURRENTLY and fuse with RRF
+    (k={_QT_RRF_K}), per-query top-{_QT_HYK} on (rrf DESC, doc_id).
+
+    Each leg's builder runs a bounded driver collect while constructing
+    its plan (the BM25 leg's <= n_buckets bucket ids, the ANN leg's
+    <= n_lists probed lists); running the two builders from a 2-thread
+    pool overlaps those round trips instead of paying them back to
+    back. The fusion arithmetic is shared verbatim by q391/q396/q401/
+    q403 (their oracles all replay it), so the frames — and the fused
+    plan — are identical to the sequential construction."""
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
+    bm, ann = run_jobs([bm_thunk, ann_thunk])
+    fused = bm.join(ann, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        (
+            F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("bm25_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("ann_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("__frk", F.row_number().over(w))
+        .filter(F.col("__frk") <= _QT_HYK)
+        .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
+    )
+
+
 def _build_store(spark: SparkSession, sf_dir: str):
     """The shared READ-ONLY postings store (plans/stores.py — built once
     per application/corpus, the amortized serving shape). q392 mutates
@@ -313,46 +351,25 @@ def q391_rrf_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _build_store(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
-
-    bm = store.ranked_bm25_table(
-        _qt_frame(spark), topk=_QT_SHORTLIST
-    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
-
     qids = sorted(_QT)
-    ann = ivfpq_topk(
-        e, e.filter(F.col("vec_id").isin(qids)), "vec_id", "embedding",
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
-        m=_PQ_M, k_centroids=_PQ_K, topk=_QT_SHORTLIST,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-        query_mode="join",
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("ann_rank"),
-    )
-
-    fused = bm.join(ann, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        "bm25_rank",
-        "ann_rank",
-        (
-            F.coalesce(
-                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("bm25_rank")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("ann_rank")),
-                F.lit(0.0),
-            )
-        ).alias("rrf"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fused.withColumn("__frk", F.row_number().over(w))
-        .filter(F.col("__frk") <= _QT_HYK)
-        .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
+    return _rrf_fuse(
+        lambda: store.ranked_bm25_table(
+            _qt_frame(spark), topk=_QT_SHORTLIST
+        ).select(
+            "query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank")
+        ),
+        lambda: ivfpq_topk(
+            e, e.filter(F.col("vec_id").isin(qids)), "vec_id", "embedding",
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+            m=_PQ_M, k_centroids=_PQ_K, topk=_QT_SHORTLIST,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+            query_mode="join",
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("ann_rank"),
+        ),
     )
 
 

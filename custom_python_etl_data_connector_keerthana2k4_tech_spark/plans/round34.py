@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.registry import query
@@ -225,38 +225,22 @@ def q396_paired_mutation_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps, vs, docs.filter(F.col("doc_id") % _MUT_DEL == 4).select("doc_id")
     )
 
-    bm = ps.ranked_bm25_table(
-        _qt_frame(spark), topk=_QT_SHORTLIST
-    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
-    ann = vs.query(
-        e.filter(F.col("vec_id") < _PQ_NQ),
-        nprobe=_IVF_NPROBE, topk=_QT_SHORTLIST, query_mode="join",
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("ann_rank"),
-    )
-    fused = bm.join(ann, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        "bm25_rank",
-        "ann_rank",
-        (
-            F.coalesce(
-                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("bm25_rank")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1).cast("double") / (F.lit(_QT_RRF_K) + F.col("ann_rank")),
-                F.lit(0.0),
-            )
-        ).alias("rrf"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
-    return (
-        fused.withColumn("__frk", F.row_number().over(w))
-        .filter(F.col("__frk") <= _QT_HYK)
-        .select("query_id", "doc_id", "bm25_rank", "ann_rank", "rrf")
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.plans.round33 import _rrf_fuse
+
+    return _rrf_fuse(
+        lambda: ps.ranked_bm25_table(
+            _qt_frame(spark), topk=_QT_SHORTLIST
+        ).select(
+            "query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank")
+        ),
+        lambda: vs.query(
+            e.filter(F.col("vec_id") < _PQ_NQ),
+            nprobe=_IVF_NPROBE, topk=_QT_SHORTLIST, query_mode="join",
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("ann_rank"),
+        ),
     )
 
 
