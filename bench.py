@@ -8,8 +8,12 @@ Catalyst prune the computed columns; noop materializes every row).
 Stability: every query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and
 reports the MIN — single-run numbers at local[32] carry multi-second
 GC/scheduler variance that swamps real plan regressions. The full payload
-is also persisted to bench_out.json at the repo root so successive rounds
-diff against a stable artifact (the driver's captured tail can truncate).
+is also persisted to bench_out.json at the repo root so the driver's
+parser has a complete copy (its captured stdout tail can truncate the
+~11 KB line). bench_out.json is UNTRACKED (round-9 VERDICT #2: driver
+bench runs were clobbering the committed multi-pass fold) — the folded
+artifact each round commits lives at bench_fold_rNN.json instead, so a
+driver run never dirties the tree or overwrites the fold.
 """
 
 from __future__ import annotations
