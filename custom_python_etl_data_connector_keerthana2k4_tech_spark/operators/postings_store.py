@@ -406,7 +406,13 @@ class PostingsStore:
     def append(self, docs: DataFrame) -> None:
         """Synchronous batch append into the live generation (no retry
         semantics — streaming ingest goes through the epoch-commit path
-        instead)."""
+        instead). The two legs append OVERLAPPED, which adds one partial
+        state the sequential order never produced: the doclen leg can
+        land while the postings leg fails (previously a postings failure
+        meant no doclen write at all). Either way a failed append leaves
+        the live generation partially written — callers needing
+        atomicity use ``_commit_epoch``/``upsert`` (staged + atomic
+        flip), the documented contract."""
         run_jobs([
             lambda: self._encode(docs).write.mode("append")
             .partitionBy("bucket").parquet(self._data_path()),
@@ -684,6 +690,37 @@ class PostingsStore:
 
     # -- read -----------------------------------------------------------------
 
+    def _leg_schema(self, schema_json: str | None, part_prefix: str):
+        """The pinned read schema for one leg: the RECORDED schema, with
+        ``mstamp`` forced NULLABLE on doclen legs (grafted when a legacy
+        recorded schema lacks it). The recorded schema captures the
+        build encoder's ``lit(stamp)`` as non-nullable, but files
+        written before the stamp existed read the column as NULL — a
+        non-nullable declaration would let the optimizer elide
+        ``_with_stamp``'s NULL→0 coalesce and leak NULL stamps into the
+        reconcile audit (round-9 ADVICE). Returns None when no schema
+        was recorded (oldest stores — mergeSchema fallback)."""
+        if schema_json is None:
+            return None
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        if part_prefix == "dbucket=":
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True if f.name == "mstamp" else f.nullable,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if "mstamp" not in schema.fieldNames():
+                schema = schema.add("mstamp", LongType(), True)
+        return schema
+
     def _read_leg(
         self, path: str, schema_json: str | None, part_prefix: str
     ) -> DataFrame:
@@ -693,26 +730,21 @@ class PostingsStore:
         partition dirs, which a plain ``spark.read.parquet`` rejects
         with a schema-inference error).
 
-        The read PINS the recorded schema (round-8 ADVICE): a
-        partition-selective rewrite on a legacy (pre-``mstamp``) store
-        hardlinks untouched doclen partitions WITHOUT the stamp column
-        while touched ones carry it, and a plain read over such a mixed
-        generation infers the schema from one footer — either dropping
-        ``mstamp`` entirely (silently disabling the reconcile stamp
-        audit) or surfacing it only for some rows. With an explicit
-        schema every file reads the same columns (absent ones as NULL,
-        which ``_with_stamp`` coalesces to the build-default 0) and
-        schema inference is skipped — cheaper, not just safer. Doclen
-        legs of legacy stores have ``mstamp`` grafted onto the recorded
-        schema for exactly the mixed-generation case; stores without any
-        recorded schema (older still) fall back to ``mergeSchema`` so no
-        footer's columns are dropped."""
-        if schema_json is not None:
-            from pyspark.sql.types import LongType, StructType
-
-            schema = StructType.fromJson(json.loads(schema_json))
-            if part_prefix == "dbucket=" and "mstamp" not in schema.fieldNames():
-                schema = schema.add("mstamp", LongType(), True)
+        The read PINS the recorded schema (round-8 ADVICE, via
+        ``_leg_schema``): a partition-selective rewrite on a legacy
+        (pre-``mstamp``) store hardlinks untouched doclen partitions
+        WITHOUT the stamp column while touched ones carry it, and a
+        plain read over such a mixed generation infers the schema from
+        one footer — either dropping ``mstamp`` entirely (silently
+        disabling the reconcile stamp audit) or surfacing it only for
+        some rows. With an explicit schema every file reads the same
+        columns (absent ones as NULL, which ``_with_stamp`` coalesces to
+        the build-default 0) and schema inference is skipped — cheaper,
+        not just safer. Stores without any recorded schema (older
+        still) fall back to ``mergeSchema`` so no footer's columns are
+        dropped."""
+        schema = self._leg_schema(schema_json, part_prefix)
+        if schema is not None:
             if not os.path.isdir(path) or not any(
                 name.startswith(part_prefix) or name.endswith(".parquet")
                 for name in os.listdir(path)
@@ -733,6 +765,11 @@ class PostingsStore:
         schema = (
             self._postings_schema if sub == "postings" else self._doclen_schema
         )
+        # epoch legs pin the same NULLABLE-mstamp leg schema as the base
+        # read (round-9 ADVICE: pinning the post-_with_stamp df.schema
+        # declared mstamp non-nullable, letting the optimizer elide the
+        # per-leg NULL→0 coalesce on legacy epoch files)
+        leg_schema = self._leg_schema(schema, part_prefix)
         df = self._read_leg(base, schema, part_prefix)
         if sub == "doclen":
             df = _with_stamp(df)
@@ -748,8 +785,8 @@ class PostingsStore:
             # leg skips footer schema inference (one driver-side job per
             # epoch otherwise)
             leg_df = (
-                self.spark.read.schema(df.schema).parquet(leg)
-                if schema is not None
+                self.spark.read.schema(leg_schema).parquet(leg)
+                if leg_schema is not None
                 else self.spark.read.parquet(leg)
             )
             if sub == "doclen":

@@ -605,12 +605,8 @@ class IVFPQStore:
         grafted on for the mixed case; stores without any recorded
         schema fall back to ``mergeSchema``."""
         path = os.path.join(self.path, gen_name)
-        if self._codes_schema is not None:
-            from pyspark.sql.types import LongType, StructType
-
-            schema = StructType.fromJson(json.loads(self._codes_schema))
-            if "mstamp" not in schema.fieldNames():
-                schema = schema.add("mstamp", LongType(), True)
+        schema = self._leg_schema()
+        if schema is not None:
             if not os.path.isdir(path) or not any(
                 name.startswith("cluster=") or name.endswith(".parquet")
                 for name in os.listdir(path)
@@ -619,8 +615,41 @@ class IVFPQStore:
             return self.spark.read.schema(schema).parquet(path)
         return self.spark.read.option("mergeSchema", "true").parquet(path)
 
+    def _leg_schema(self):
+        """The pinned read schema for a codes leg: the RECORDED schema
+        with ``mstamp`` forced NULLABLE (grafted when a legacy recorded
+        schema lacks it). The recorded schema captures the encoder's
+        ``lit(stamp)`` as non-nullable, but files written before the
+        stamp existed read the column as NULL — a non-nullable
+        declaration would let the optimizer elide ``_with_stamp``'s
+        NULL→0 coalesce and leak NULL stamps into the reconcile audit
+        (round-9 ADVICE). None when no schema was recorded."""
+        if self._codes_schema is None:
+            return None
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField(
+                    f.name,
+                    f.dataType,
+                    True if f.name == "mstamp" else f.nullable,
+                    f.metadata,
+                )
+                for f in StructType.fromJson(json.loads(self._codes_schema))
+            ]
+        )
+        if "mstamp" not in schema.fieldNames():
+            schema = schema.add("mstamp", LongType(), True)
+        return schema
+
     def _reader_of(self, gen_name: str, epochs: list[str]) -> DataFrame:
         df = _with_stamp(self._read_gen(gen_name))
+        # epoch legs pin the same NULLABLE-mstamp leg schema as the base
+        # read (round-9 ADVICE: pinning the post-_with_stamp df.schema
+        # declared mstamp non-nullable, letting the optimizer elide the
+        # per-leg NULL→0 coalesce on legacy epoch files)
+        leg_schema = self._leg_schema()
         eroot = os.path.join(self.path, _EPOCH_ROOT)
         for ep in epochs:
             leg = os.path.join(eroot, ep, "codes")
@@ -632,8 +661,8 @@ class IVFPQStore:
             # generation — pin it so each union leg skips footer schema
             # inference (one driver-side job per epoch otherwise)
             leg_df = (
-                self.spark.read.schema(df.schema).parquet(leg)
-                if self._codes_schema is not None
+                self.spark.read.schema(leg_schema).parquet(leg)
+                if leg_schema is not None
                 else self.spark.read.parquet(leg)
             )
             df = df.unionByName(_with_stamp(leg_df))

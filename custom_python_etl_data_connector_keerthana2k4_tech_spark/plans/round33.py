@@ -78,7 +78,7 @@ def _qt_frame(spark: SparkSession) -> DataFrame:
 
 def _rrf_fuse(bm_thunk, ann_thunk) -> DataFrame:
     """Construct the two hybrid legs CONCURRENTLY and fuse with RRF
-    (k={_QT_RRF_K}), per-query top-{_QT_HYK} on (rrf DESC, doc_id).
+    (k = _QT_RRF_K), per-query top-_QT_HYK on (rrf DESC, doc_id).
 
     Each leg's builder runs a bounded driver collect while constructing
     its plan (the BM25 leg's <= n_buckets bucket ids, the ANN leg's

@@ -199,17 +199,28 @@ def q396_paired_mutation_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
 
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
     docs = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     proot = tempfile.mkdtemp(prefix="q396_paired_p_") + "/ix"
     vroot = tempfile.mkdtemp(prefix="q396_paired_v_") + "/ix"
-    ps = PostingsStore.build(spark, docs, "doc_id", "text", proot, n_buckets=16)
-    vs = IVFPQStore.build(
-        spark, e, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
+    # the two stores are INDEPENDENT (separate roots, separate inputs) —
+    # build them concurrently (guide §2.6; round-9 VERDICT #1a): each
+    # build is driver-coordinated (encode + two leg writes), so the
+    # overlap removes one build's scheduling tail from the wall clock
+    ps, vs = run_jobs([
+        lambda: PostingsStore.build(
+            spark, docs, "doc_id", "text", proot, n_buckets=16
+        ),
+        lambda: IVFPQStore.build(
+            spark, e, "vec_id", "embedding", vroot,
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M,
+            k_centroids=_PQ_K,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+        ),
+    ])
     # the SAME doc slices mutate in BOTH stores, crash-consistently:
     # intent staged before either publish, both legs stamped together
     paired_upsert(

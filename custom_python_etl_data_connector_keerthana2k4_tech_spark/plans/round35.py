@@ -187,17 +187,26 @@ def q401_pinned_pair_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
 
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
     docs = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     proot = tempfile.mkdtemp(prefix="q401_pinned_p_") + "/ix"
     vroot = tempfile.mkdtemp(prefix="q401_pinned_v_") + "/ix"
-    ps = PostingsStore.build(spark, docs, "doc_id", "text", proot, n_buckets=16)
-    vs = IVFPQStore.build(
-        spark, e, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
+    # independent stores, independent roots — build concurrently (guide
+    # §2.6; round-9 VERDICT #1a)
+    ps, vs = run_jobs([
+        lambda: PostingsStore.build(
+            spark, docs, "doc_id", "text", proot, n_buckets=16
+        ),
+        lambda: IVFPQStore.build(
+            spark, e, "vec_id", "embedding", vroot,
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M,
+            k_centroids=_PQ_K,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+        ),
+    ])
     g0p, g0v = ps.current_gen(), vs.current_gen()
     paired_upsert(
         ps, vs,
@@ -296,23 +305,42 @@ def q402_reconcile_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_docs = docs.join(
         e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
     )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
     proot = tempfile.mkdtemp(prefix="q402_audit_p_") + "/ix"
     vroot = tempfile.mkdtemp(prefix="q402_audit_v_") + "/ix"
-    ps = PostingsStore.build(spark, base_docs, "doc_id", "text", proot, n_buckets=16)
-    vs = IVFPQStore.build(
-        spark, e, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
-    ps.upsert(
-        base_docs.filter(F.col("doc_id") % _AUD_UPS == 2).withColumn(
-            "text", F.concat(F.lit("stale edit "), F.col("text"))
+    # independent stores — build concurrently (guide §2.6)
+    ps, vs = run_jobs([
+        lambda: PostingsStore.build(
+            spark, base_docs, "doc_id", "text", proot, n_buckets=16
         ),
-        stamp=_AUD_STAMP,
-    )
-    ps.delete(
-        base_docs.filter(F.col("doc_id") % _AUD_PDEL == 3).select("doc_id")
-    )
-    vs.delete(e.filter(F.col("vec_id") % _AUD_VDEL == 4).select("vec_id"))
+        lambda: IVFPQStore.build(
+            spark, e, "vec_id", "embedding", vroot,
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M,
+            k_centroids=_PQ_K,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+        ),
+    ])
+
+    # the planted drift is three SINGLE-STORE verbs; the two postings
+    # verbs are order-dependent (same store) but the vector delete
+    # touches only vs — overlap it with the postings sequence (§2.6)
+    def _plant_postings():
+        ps.upsert(
+            base_docs.filter(F.col("doc_id") % _AUD_UPS == 2).withColumn(
+                "text", F.concat(F.lit("stale edit "), F.col("text"))
+            ),
+            stamp=_AUD_STAMP,
+        )
+        ps.delete(
+            base_docs.filter(F.col("doc_id") % _AUD_PDEL == 3).select("doc_id")
+        )
+
+    run_jobs([
+        _plant_postings,
+        lambda: vs.delete(
+            e.filter(F.col("vec_id") % _AUD_VDEL == 4).select("vec_id")
+        ),
+    ])
     return reconcile_stores(ps, vs)

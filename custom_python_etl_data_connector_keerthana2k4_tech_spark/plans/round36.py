@@ -97,21 +97,14 @@ def q403_paired_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the held-out slice lives in the INTERSECTION id space (a paired
     # stream carries text AND vector for each id); embeddings ids are a
     # subset of documents ids on every fixture
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
     held = (F.col("vec_id") % _STREAM_MOD) == 1
     held_ids = e.filter(held).select(F.col("vec_id").alias("doc_id"))
     init_docs = docs.join(held_ids, "doc_id", "left_anti")
     init_vecs = e.filter(~held)
     proot = tempfile.mkdtemp(prefix="q403_stream_p_") + "/ix"
     vroot = tempfile.mkdtemp(prefix="q403_stream_v_") + "/ix"
-    ps = PostingsStore.build(
-        spark, init_docs, "doc_id", "text", proot, n_buckets=16
-    )
-    vs = IVFPQStore.build(
-        spark, init_vecs, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
     # one stream carries the union of both stores' columns; each leg's
     # encoder selects its own
     payload = docs.join(held_ids, "doc_id", "left_semi").join(
@@ -119,7 +112,23 @@ def q403_paired_streaming_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("vec_id"),
     )
     src = tempfile.mkdtemp(prefix="q403_stream_src_")
-    payload.write.mode("overwrite").parquet(src)
+    # three INDEPENDENT driver-coordinated jobs open this fixture — the
+    # two store builds (separate roots, separate inputs) and the stream
+    # source's payload write — run them concurrently (guide §2.6;
+    # round-9 VERDICT #1a)
+    ps, vs, _ = run_jobs([
+        lambda: PostingsStore.build(
+            spark, init_docs, "doc_id", "text", proot, n_buckets=16
+        ),
+        lambda: IVFPQStore.build(
+            spark, init_vecs, "vec_id", "embedding", vroot,
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M,
+            k_centroids=_PQ_K,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+        ),
+        lambda: payload.write.mode("overwrite").parquet(src),
+    ])
     ckpt = tempfile.mkdtemp(prefix="q403_stream_ckpt_") + "/ckpt"
     stream = spark.readStream.schema(payload.schema).parquet(src)
     paired_streaming_append(ps, vs, stream, ckpt).awaitTermination()
@@ -217,24 +226,42 @@ def q404_drift_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_docs = docs.join(
         e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
     )
+    from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.concurrency import run_jobs
+
     proot = tempfile.mkdtemp(prefix="q404_repair_p_") + "/ix"
     vroot = tempfile.mkdtemp(prefix="q404_repair_v_") + "/ix"
-    ps = PostingsStore.build(spark, base_docs, "doc_id", "text", proot, n_buckets=16)
-    vs = IVFPQStore.build(
-        spark, e, "vec_id", "embedding", vroot,
-        n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M, k_centroids=_PQ_K,
-        centroids=_coarse_centroids(spark, sf_dir),
-        codebook=_pq_codebook(spark, sf_dir),
-    )
-    ps.upsert(
-        base_docs.filter(F.col("doc_id") % _AUD_UPS == 2).withColumn(
-            "text", F.concat(F.lit("stale edit "), F.col("text"))
+    # independent stores — build concurrently (guide §2.6)
+    ps, vs = run_jobs([
+        lambda: PostingsStore.build(
+            spark, base_docs, "doc_id", "text", proot, n_buckets=16
         ),
-        stamp=_AUD_STAMP,
-    )
-    ps.delete(
-        base_docs.filter(F.col("doc_id") % _AUD_PDEL == 3).select("doc_id")
-    )
-    vs.delete(e.filter(F.col("vec_id") % _AUD_VDEL == 4).select("vec_id"))
+        lambda: IVFPQStore.build(
+            spark, e, "vec_id", "embedding", vroot,
+            n_lists=_IVF_LISTS, km_iters=_IVF_ITERS, m=_PQ_M,
+            k_centroids=_PQ_K,
+            centroids=_coarse_centroids(spark, sf_dir),
+            codebook=_pq_codebook(spark, sf_dir),
+        ),
+    ])
+
+    # plant the drift: the two postings verbs are order-dependent (same
+    # store), the vector delete is independent — overlap it (§2.6)
+    def _plant_postings():
+        ps.upsert(
+            base_docs.filter(F.col("doc_id") % _AUD_UPS == 2).withColumn(
+                "text", F.concat(F.lit("stale edit "), F.col("text"))
+            ),
+            stamp=_AUD_STAMP,
+        )
+        ps.delete(
+            base_docs.filter(F.col("doc_id") % _AUD_PDEL == 3).select("doc_id")
+        )
+
+    run_jobs([
+        _plant_postings,
+        lambda: vs.delete(
+            e.filter(F.col("vec_id") % _AUD_VDEL == 4).select("vec_id")
+        ),
+    ])
     repair_drift(ps, vs, reconcile_stores(ps, vs), base_docs, e)
     return store_stamps(ps, vs).select("doc_id", "p_stamp", "v_stamp")
