@@ -40,6 +40,7 @@ def _rows(df):
 # -- 1: empty query frames -> descriptive error ------------------------------
 
 
+@pytest.mark.slow
 def test_empty_queries_raise_descriptive_error(spark, sf_dir, tmp_path):
     e = load(spark, sf_dir, "embeddings")
     empty = e.filter(F.col("vec_id") < 0)

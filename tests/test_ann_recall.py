@@ -15,6 +15,8 @@ far away. Both legs run the distributed query side (query_mode="join")
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 DIM = 64
@@ -75,6 +77,7 @@ def test_truth_is_the_planted_mates(spark):
         assert r["neighbor_id"] % GROUPS == r["query_id"] % GROUPS
 
 
+@pytest.mark.slow
 def test_production_codebook_serves_recall_at_10_ge_090(spark):
     """SCALE.md's 'raise M/K, not nprobe' guidance, proven in-repo: at
     M=16/K=256 the index reaches recall@10 >= 0.9 on the planted-

@@ -500,6 +500,7 @@ def _render(spark, plan):
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_random_plan_matches_duckdb(spark, ddb, plan):
     sdf, sql = _render(spark, plan)
     got = _canon(sdf.toPandas())

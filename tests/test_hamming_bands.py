@@ -102,6 +102,7 @@ def test_guards_refuse_degenerate_parameters(spark):
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 @given(data=st.data())
 def test_fuzz_banded_equals_brute_force(spark, data):
     """Property fuzz over the (nbits, max_hamming) grid: random

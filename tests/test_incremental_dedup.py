@@ -10,6 +10,8 @@ admit-if-not-seen contract.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.dedup import (
@@ -49,6 +51,7 @@ def test_two_batch_incremental_equals_full(spark):
     assert inc == full  # bridge-free fixture: identical corpora
 
 
+@pytest.mark.slow
 def test_invariants_on_fixture_corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
@@ -78,6 +81,7 @@ def test_invariants_on_fixture_corpus(spark, sf_dir):
         assert touching > 0  # dropped docs are dropped for a reason
 
 
+@pytest.mark.slow
 def test_idempotent_reprocessing(spark):
     """Re-submitting an already-processed batch admits nothing new."""
     docs = _docs(spark)
@@ -97,6 +101,7 @@ def _ids(df, col="doc_id"):
     return sorted(r[col] for r in df.select(col).collect())
 
 
+@pytest.mark.slow
 def test_signature_store_matches_text_store(spark, sf_dir):
     """The persisted-signature path must make the SAME admit/reject
     decisions as the re-shingling path — the store side is fed ONLY the
@@ -140,6 +145,7 @@ def test_signature_table_is_rebuildable(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_signature_store_small_fixture_equivalence(spark):
     docs = _docs(spark)
     b1 = docs.filter(F.col("doc_id") <= 4)

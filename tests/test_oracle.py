@@ -96,7 +96,20 @@ def _assert_match(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
             )
 
 
-@pytest.mark.parametrize("name", sorted(_ORACLES))
+# the two heaviest oracle differentials (multi-pass near-dedup / curation
+# pipelines, ~30 s together): depth profile only — their operators keep
+# dedicated default-run suites (test_dedup, test_curate), and the driver's
+# own DuckDB gate re-verifies the declared queries every round
+_SLOW_ORACLE = {"q53_near_dedup_corpus", "q54_curate_corpus"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(_ORACLES)
+    ],
+)
 def test_oracle_match(name, spark, sf_dir, ddb):
     spark_pdf = _QUERIES[name](spark, sf_dir).toPandas()
     oracle_pdf = _oracle_df(ddb, sf_dir, _ORACLES[name])

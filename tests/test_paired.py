@@ -28,6 +28,8 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.paired i
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings_store import PostingsStore
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.reconcile import reconcile_stores
+
+from conftest import fuzz_depth
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 
 
@@ -190,6 +192,7 @@ def test_one_sided_upsert_invisible_to_ids_caught_by_stamps(
     assert {r["side"] for r in drift} == {"stamp_mismatch"}
 
 
+@pytest.mark.slow
 def test_paired_lifecycle_random_walk_with_crashes(spark, sf_dir, tmp_path):
     """Model-based fuzz of the paired-maintenance lifecycle (the round-7
     store fuzz extended across the PAIR): a seeded random walk of
@@ -211,7 +214,7 @@ def test_paired_lifecycle_random_walk_with_crashes(spark, sf_dir, tmp_path):
     def crashing(*a, **k):
         raise RuntimeError("fuzz crash")
 
-    for step in range(10):
+    for step in range(fuzz_depth(10, 6)):
         slice_ids = sorted(rng.sample(ids_all, rng.randint(1, 8)))
         op = rng.choice(["upsert", "upsert", "delete"])
         crash = rng.choice([None, None, "first", "second"])

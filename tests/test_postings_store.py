@@ -5,6 +5,8 @@ predicate must land in PartitionFilters."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings import build_postings, phrase_match
@@ -200,6 +202,7 @@ def test_ranked_bm25_table_equals_per_query_loops(spark, sf_dir, tmp_path):
         assert sorted(by_q.get(qid, [])) == want, f"query {qid} diverges"
 
 
+@pytest.mark.slow
 def test_ranked_bm25_table_prunes_and_scales_to_10k_queries(
     spark, sf_dir, tmp_path
 ):

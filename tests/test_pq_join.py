@@ -106,6 +106,7 @@ def _synth(spark, n, id_offset=0, id_start=0):
     )
 
 
+@pytest.mark.slow
 def test_join_mode_serves_100k_query_table(spark):
     """The driver-bound killer: 100k queries arrive as a TABLE. Join mode
     never collects them; correctness is pinned by TILE IDENTITY — every

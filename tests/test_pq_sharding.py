@@ -36,6 +36,7 @@ def test_ivfpq_sharded_equals_unsharded_small_q(emb):
     assert _rows(whole) == _rows(sharded)
 
 
+@pytest.mark.slow
 def test_huge_query_set_bounded_plan(emb):
     """Q=500 (the whole corpus as queries) through the default batch of
     64: 8 bounded union branches, no O(Q)-wide projection or stack

@@ -9,10 +9,14 @@ deadline checking is disabled.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
+
+from conftest import fuzz_depth
 
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.upsert import (
     dedup_last_write_wins,
@@ -28,7 +32,7 @@ _RECORD = st.tuples(
 _BATCH = st.lists(_RECORD, min_size=0, max_size=12)
 
 _SETTINGS = settings(
-    max_examples=15,
+    max_examples=fuzz_depth(15, 6),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -49,6 +53,7 @@ def _canon(df):
     )
 
 
+@pytest.mark.slow
 @given(batch=_BATCH)
 @_SETTINGS
 def test_dedup_last_write_wins_idempotent(spark, batch):
@@ -74,6 +79,7 @@ def test_dedup_last_write_wins_idempotent(spark, batch):
     assert nulls_in == nulls_out
 
 
+@pytest.mark.slow
 @given(existing=_BATCH, batch=_BATCH)
 @_SETTINGS
 def test_upsert_converges(spark, existing, batch):
@@ -89,6 +95,7 @@ def test_upsert_converges(spark, existing, batch):
     assert keyed(once) == keyed(twice)
 
 
+@pytest.mark.slow
 @given(batch=_BATCH)
 @_SETTINGS
 def test_validation_monotonic(spark, batch):
@@ -124,6 +131,7 @@ _VALUES = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(xs=_VALUES, probs=st.lists(st.floats(0.0, 1.0), min_size=1, max_size=4))
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_exact_quantiles_matches_sorted_interpolation(spark, xs, probs):

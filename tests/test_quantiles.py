@@ -59,6 +59,7 @@ def test_depth_capped_skew_stays_bounded(spark):
     assert got == pytest.approx(want, abs=0.0)
 
 
+@pytest.mark.slow
 def test_bisect_path_exact(spark):
     """Force the value-bisection escape hatch (distinct count above
     collect_limit at the depth cap) and check exact order statistics."""
@@ -93,6 +94,7 @@ def test_bisect_adjacent_doubles_midpoint_rounds_up(spark):
     assert _rank_value_bisect(df, "v", 59, 10) == mx
 
 
+@pytest.mark.slow
 def test_degenerate_many_distinct_in_ulp_range(spark):
     """Ulp-dense distinct values (> collect_limit of them) inside a
     degenerate range: the bisection path must return exact quantiles."""

@@ -38,6 +38,7 @@ def _mutated_pstore(spark, sf_dir, tmp_path):
     return store, g0
 
 
+@pytest.mark.slow
 def test_bm25_table_as_of_gen_equals_single_query_loop(spark, sf_dir, tmp_path):
     store, g0 = _mutated_pstore(spark, sf_dir, tmp_path)
     qt = spark.createDataFrame(
@@ -60,6 +61,7 @@ def test_bm25_table_as_of_gen_equals_single_query_loop(spark, sf_dir, tmp_path):
     assert _rows(live.select("query_id", "doc_id", "bm25", "n_terms_hit")) != want
 
 
+@pytest.mark.slow
 def test_phrase_table_as_of_gen_equals_single_loop(spark, sf_dir, tmp_path):
     store, g0 = _mutated_pstore(spark, sf_dir, tmp_path)
     phrases = {10: ["table", "sort"], 11: ["sort", "hash"]}
@@ -85,6 +87,7 @@ def _band_store(spark, sf_dir, tmp_path):
     return e, store
 
 
+@pytest.mark.slow
 def test_attr_ranges_equal_per_query_where_loops(spark, sf_dir, tmp_path):
     e, store = _band_store(spark, sf_dir, tmp_path)
     qdf = e.filter(F.col("vec_id") < 3)
@@ -108,6 +111,7 @@ def test_attr_ranges_equal_per_query_where_loops(spark, sf_dir, tmp_path):
     assert got == sorted(want)
 
 
+@pytest.mark.slow
 def test_attr_ranges_one_sided_and_composed_with_filters(spark, sf_dir, tmp_path):
     e, store = _band_store(spark, sf_dir, tmp_path)
     qdf = e.filter(F.col("vec_id") < 2)

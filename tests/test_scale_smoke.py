@@ -149,6 +149,7 @@ def test_minhash_planted_dups_100k_docs(spark):
     assert expected <= found
 
 
+@pytest.mark.slow
 def test_exact_l2_topk_200k_line_closed_form(spark):
     """Sharded brute-force exact-L2 top-k over 200k synthetic vectors on
     a line (every dim = i*1e-4, so quantized dist(i,j) = 16*(100(i-j))^2

@@ -33,6 +33,8 @@ from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.postings
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.operators.pq_store import IVFPQStore
 from custom_python_etl_data_connector_keerthana2k4_tech_spark.tables import load
 
+from conftest import fuzz_depth
+
 DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 EMB_DDL = "vec_id long, embedding array<float>, label int"
 TERMS = ["table", "sort", "hash"]
@@ -459,6 +461,7 @@ def test_bm25_table_large_vocabulary_smoke_on_shuffle_join(
     assert {r["query_id"] for r in got} == {0, 1}  # only real terms hit
 
 
+@pytest.mark.slow
 def test_batch_attr_filtered_query_equals_filtered_loops(
     spark, sf_dir, tmp_path
 ):
@@ -567,6 +570,7 @@ def test_pinned_read_isolated_from_streaming_commits(spark, sf_dir, tmp_path):
     assert len(_rows(store.reader())) > len(pinned_before)  # live: sees it
 
 
+@pytest.mark.slow
 def test_postings_lifecycle_random_walk_matches_model(spark, sf_dir, tmp_path):
     """Model-based lifecycle fuzz: a seeded random walk over the FULL
     verb set (append / epoch commit / epoch replay / upsert / delete /
@@ -596,7 +600,7 @@ def test_postings_lifecycle_random_walk_matches_model(spark, sf_dir, tmp_path):
 
     next_epoch = 0
     committed: dict[int, list] = {}
-    for step in range(12):
+    for step in range(fuzz_depth(12, 6)):
         verb = rng.choice(
             ["append", "epoch", "replay", "upsert", "delete", "compact",
              "vacuum"]

@@ -216,6 +216,7 @@ def test_pulse_stream_converges(spark, tmp_path):
     assert out[0].pulse_name == "Emotet wave v2"
 
 
+@pytest.mark.slow
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState: per-key totals accumulate across micro-batches
     (maxFilesPerTrigger=1 forces two batches) and survive a checkpointed
@@ -320,6 +321,7 @@ def test_stream_static_join_enrichment(spark, events_dir, sf_dir, tmp_path):
     assert got.filter(F.col("c_mktsegment").isNotNull()).count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas EWMA: ordered two-batch replay of the
     fixture events must reproduce the batch q108 trajectory exactly — one
@@ -425,6 +427,7 @@ def test_pulse_stream_rest_over_the_wire(spark, tmp_path):
     assert len(v2) == 1 and v2[0].pulse_name == "Emotet wave v2"
 
 
+@pytest.mark.slow
 def test_streaming_cusum_matches_serial_recursion(spark, tmp_path):
     """Per-key streaming CUSUM: two ordered micro-batches must carry the
     reflected cumulative sum across the batch boundary exactly."""
@@ -564,6 +567,7 @@ def test_scd2_enrichment_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
     """Two micro-batches; capacity >= distinct items -> SpaceSaving counts
     are exactly the batch groupBy counts, accumulated across batches."""
@@ -646,6 +650,7 @@ def test_streaming_heavy_hitters_never_undercounts(spark, tmp_path):
         assert est >= true[item]  # SpaceSaving never undercounts
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emits_unmatched(spark, events_dir, tmp_path):
     """Watermarked LEFT OUTER stream-stream join: unmatched left rows are
     held in state while they could still match, then emitted null-padded
@@ -730,6 +735,7 @@ def test_stream_stream_left_outer_emits_unmatched(spark, events_dir, tmp_path):
     assert got.filter(F.col("r_value").isNotNull()).count() > 0
 
 
+@pytest.mark.slow
 def test_sessionize_with_timeout_matches_batch_gap_rule(spark, tmp_path):
     """Timeout-driven stateful sessionization: sessions close in-stream
     when a successor arrives past the gap, and via EventTimeTimeout when
@@ -788,6 +794,7 @@ def test_sessionize_with_timeout_matches_batch_gap_rule(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_foreach_batch_near_dedup_stream(spark, tmp_path):
     """Streaming near-dedup against the persisted signature store: batches
     arrive as files; admitted docs match the batch-by-batch incremental
